@@ -1,0 +1,123 @@
+"""Query catalog: every operator the engine exposes, as a named
+(spark_fn, oracle_sql) pair consumed by ``__spark_entry__.py``.
+
+Contract (driver): ``fn(spark, sf_dir) -> DataFrame`` and ``oracle``
+is equivalent ANSI SQL DuckDB runs over the same parquet tables. Column
+names must match exactly; computed columns are aliased identically on
+both sides.
+
+Determinism discipline (why the helpers below exist):
+- Sums of doubles are order-dependent in the last ulp; Spark's partial
+  aggregation and DuckDB's sequential scan would disagree. Both sides
+  therefore cast to DECIMAL(30,6) (exact, order-independent sum) and
+  cast the final aggregate back to DOUBLE. double->decimal(…,6)
+  rounding is engine-agnostic for these inputs (an exact tie at the
+  6th decimal place requires ~40 trailing zero bits — measure-zero for
+  the fixtures' uniform doubles).
+- Counts: DuckDB SUM(int) yields HUGEINT — always cast to BIGINT to
+  match Spark's LongType.
+- Per-row double arithmetic (+,-,*,/ and sqrt) is IEEE-754-identical in
+  the JVM and C++, so row-level expressions need no special handling;
+  transcendentals (log/exp/pow) are NOT guaranteed identical and are
+  avoided in oracle-checked queries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None  # ANSI SQL for DuckDB; None => rows-only check
+    doc: str = ""
+
+
+REGISTRY: dict[str, QueryDef] = {}
+
+
+def register(name: str, oracle: str | None = None):
+    """Decorator: add ``fn(spark, sf_dir) -> DataFrame`` to the catalog."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        REGISTRY[name] = QueryDef(name, fn, oracle, (fn.__doc__ or "").strip())
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# determinism helpers (Spark side + SQL side, kept textually adjacent so the
+# two implementations can be eyeballed for equivalence)
+# ---------------------------------------------------------------------------
+
+DEC = "decimal(30,6)"
+
+
+def dsum(col: Column) -> Column:
+    """Order-independent SUM of a double column, returned as double."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+def dsum_sql(expr: str) -> str:
+    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+
+
+def davg(col: Column) -> Column:
+    """Order-independent AVG of a double column (exact sum / count)."""
+    return dsum(col) / F.count(col)
+
+
+def davg_sql(expr: str) -> str:
+    return f"({dsum_sql(expr)} / COUNT({expr}))"
+
+
+def bigcount_sql(expr: str = "*") -> str:
+    """COUNT with an explicit BIGINT cast (DuckDB returns BIGINT already,
+    the cast documents the contract with Spark's LongType)."""
+    return f"CAST(COUNT({expr}) AS BIGINT)"
+
+
+def bigsum_sql(expr: str) -> str:
+    """SUM over integer expressions: DuckDB widens to HUGEINT; Spark keeps
+    LongType — force BIGINT."""
+    return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .sources.tables import load_table
+
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# populate the registry — importing each plan module runs its @register calls
+# ---------------------------------------------------------------------------
+
+
+def _populate() -> None:
+    from .plans import (  # noqa: F401
+        dedup,
+        multimodal,
+        parity,
+        relational,
+        similarity,
+        textops,
+        timeops,
+        windows,
+    )
+
+
+_populate()
