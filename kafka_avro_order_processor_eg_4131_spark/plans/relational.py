@@ -1,1 +1,568 @@
-# populated in later milestones
+"""Core batch relational surface (SURVEY.md §2.7): joins of every
+flavor, sorts/limits/top-k, set operations, distinct, grouping
+sets/rollup/cube, scalar functions — all Catalyst built-ins, each
+paired with a DuckDB oracle.
+
+Scale notes (100 TB posture), per query family:
+- dimension joins (region/nation/customer) are broadcast — Spark's
+  autoBroadcastJoinThreshold + AQE pick this up from stats; the big
+  fact tables (orders/lineitem) never shuffle for those joins.
+- fact-fact joins (orders-lineitem) shuffle on the join key once; AQE
+  splits skewed partitions.
+- top-k is ORDER BY + LIMIT, which Spark executes as TakeOrdered
+  (per-partition heap + driver merge of k rows), never a full sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
+from ..operators.joins import asof_join
+
+_REVENUE = "l_extendedprice * (1 - l_discount)"
+
+
+# ---------------------------------------------------------------------------
+# aggregation-heavy scans (TPC-H shapes)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql("l_quantity")} AS sum_qty,
+           {dsum_sql("l_extendedprice")} AS sum_base_price,
+           {dsum_sql(_REVENUE)} AS sum_disc_price,
+           {dsum_sql(f"({_REVENUE}) * (1 + l_tax)")} AS sum_charge,
+           ({dsum_sql("l_quantity")} / COUNT(*)) AS avg_qty,
+           ({dsum_sql("l_extendedprice")} / COUNT(*)) AS avg_price,
+           ({dsum_sql("l_discount")} / COUNT(*)) AS avg_disc,
+           {bigcount_sql()} AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: single fact scan, predicate pushed to parquet,
+    map-side partial aggregation into a 6-group shuffle."""
+    l = load(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        l.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum(F.col("l_quantity")).alias("sum_qty"),
+            dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (dsum(F.col("l_discount")) / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle=f"""
+    SELECT l_orderkey,
+           {dsum_sql(_REVENUE)} AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate  > TIMESTAMP '1997-06-01'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: broadcast dim filter, fact-fact equi-join, grouped
+    agg, top-k (TakeOrdered — no full sort)."""
+    c = load(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    l = load(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1997-06-01").cast("timestamp_ntz")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        F.broadcast(c)
+        .join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(dsum(revenue).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_local_supplier_volume",
+    oracle=f"""
+    SELECT n_name, {dsum_sql(_REVENUE)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+)
+def q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 6-table join; region/nation/supplier broadcast,
+    one shuffle joins the two facts."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    r = load(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        c.join(o, F.col("c_custkey") == F.col("o_custkey"))
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            F.broadcast(s),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(dsum(revenue).alias("revenue"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# join flavors
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_left_outer_order_counts",
+    oracle=f"""
+    SELECT c_custkey, {bigcount_sql("o_orderkey")} AS n_orders
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey
+         AND o_orderdate < TIMESTAMP '1995-07-01'
+    GROUP BY c_custkey
+    """,
+)
+def join_left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join preserving customers with zero matching orders."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@register(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    """,
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers having at least one URGENT
+    order — no duplication of the left side, right side never projected."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_anti_quiet_customers",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderdate < TIMESTAMP '1995-07-01')
+    """,
+)
+def join_anti_quiet_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): customers with no orders before
+    mid-1995."""
+    c = load(spark, sf_dir, "customer")
+    o = load(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1995-07-01").cast("timestamp_ntz")
+    )
+    return c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_theta_quantity_over_size",
+    oracle=f"""
+    SELECT p_brand, {bigcount_sql()} AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey AND l_quantity > p_size
+    GROUP BY p_brand
+    """,
+)
+def join_theta_quantity_over_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-join with a theta residual (l_quantity > p_size): Catalyst
+    evaluates the non-equi conjunct as a post-join filter on the
+    broadcast hash join — no nested-loop blow-up."""
+    l = load(spark, sf_dir, "lineitem")
+    p = load(spark, sf_dir, "part")
+    return (
+        l.join(
+            F.broadcast(p),
+            (F.col("l_partkey") == F.col("p_partkey"))
+            & (F.col("l_quantity") > F.col("p_size")),
+        )
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("n_lines"))
+    )
+
+
+@register(
+    "join_cross_region_nation",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit CROSS join (dim x dim only — never facts)."""
+    r = load(spark, sf_dir, "region")
+    n = load(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "asof_join_latest_order_before_event",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey
+    FROM events e
+    ASOF LEFT JOIN orders_d o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def asof_join_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join (no Spark built-in; custom operator, operators/joins.py):
+    for each event, the most recent order of that user at or before the
+    event time. Implemented with the union-sort technique — one shuffle,
+    no pair blow-up; DuckDB's native ASOF JOIN is the oracle."""
+    e = load(spark, sf_dir, "events")
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+        .withColumnRenamed("o_custkey", "user_id")  # asof key must share a name
+    )
+    joined = asof_join(
+        left=e.select("event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")),
+        right=o,
+        on="user_id",
+        left_time="ts",
+        right_time="o_orderdate",
+        payload=["o_orderkey"],
+    )
+    return joined.select(
+        "event_id", "user_id", "ts", F.col("o_orderkey").alias("last_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# sorts / limits / top-k
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "topk_orders_by_price",
+    oracle="""
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def topk_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k: ORDER BY + LIMIT compiles to TakeOrderedAndProject —
+    per-partition heaps, k rows to the driver, never a global sort."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# set operations / distinct
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "setop_union_active_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_union_active_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION (distinct) of two filtered key sets."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@register(
+    "setop_intersect_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_intersect_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT of the same two key sets."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersect(b)
+
+
+@register(
+    "setop_except_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference) of the same two key sets."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.subtract(b)  # EXCEPT (distinct) semantics, matching the SQL
+
+
+@register(
+    "distinct_status_priority",
+    oracle="""
+    SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders
+    """,
+)
+def distinct_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT over a two-column projection (exact dedup via hash agg)."""
+    return load(spark, sf_dir, "orders").select("o_orderstatus", "o_orderpriority").distinct()
+
+
+# ---------------------------------------------------------------------------
+# grouping sets / rollup / cube / distinct aggregation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "agg_count_distinct_customers",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+           {bigcount_sql()} AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTINCT aggregation: Catalyst expands to a two-phase plan
+    (partial dedup, then final count) — no driver-side dedup."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+@register(
+    "rollup_status_priority",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           {bigcount_sql()} AS n,
+           CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING id — hierarchy totals in one pass."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.count("*").alias("n"),
+        F.grouping_id().cast("long").alias("gid"),
+    )
+
+
+@register(
+    "cube_returnflag_linestatus",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {bigcount_sql()} AS n,
+           {dsum_sql("l_quantity")} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+)
+def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims."""
+    l = load(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        dsum(F.col("l_quantity")).alias("sum_qty"),
+    )
+
+
+@register(
+    "grouping_sets_status_segment",
+    oracle=f"""
+    SELECT o_orderstatus, c_mktsegment, {bigcount_sql()} AS n
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment))
+    """,
+)
+def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS via Spark SQL over temp views."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment))
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_name)                       AS name_upper,
+           CAST(LENGTH(p_name) AS INT)         AS name_len,
+           SUBSTRING(p_name, 1, 8)             AS name_prefix,
+           CONCAT(p_brand, ':', p_type)        AS brand_type,
+           REPLACE(p_name, ' ', '_')           AS name_snake,
+           REVERSE(p_brand)                    AS brand_rev,
+           CAST(STRPOS(p_name, 'a') AS INT)    AS first_a
+    FROM part
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function surface: upper/length/substring/concat/replace/
+    reverse/instr — all JVM-side, whole-stage codegen'd."""
+    p = load(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.upper("p_name").alias("name_upper"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_snake"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.instr(F.col("p_name"), "a").cast("int").alias("first_a"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT c_custkey,
+           ABS(c_acctbal)                    AS bal_abs,
+           FLOOR(c_acctbal)                  AS bal_floor,
+           CEIL(c_acctbal)                   AS bal_ceil,
+           SQRT(ABS(c_acctbal))              AS bal_sqrt,
+           CAST(c_custkey % 7 AS BIGINT)     AS key_mod7,
+           CAST(SIGN(c_acctbal) AS INT)      AS bal_sign
+    FROM customer
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math function surface: abs/floor/ceil/sqrt/mod/sign (IEEE-exact
+    ops only — transcendentals excluded from oracle checks by policy)."""
+    c = load(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.abs(F.col("c_acctbal")).alias("bal_abs"),
+        F.floor("c_acctbal").cast("double").alias("bal_floor"),
+        F.ceil("c_acctbal").cast("double").alias("bal_ceil"),
+        F.sqrt(F.abs(F.col("c_acctbal"))).alias("bal_sqrt"),
+        (F.col("c_custkey") % 7).alias("key_mod7"),
+        F.signum("c_acctbal").cast("int").alias("bal_sign"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(EXTRACT(year  FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS order_month,
+           CAST(EXTRACT(day   FROM o_orderdate) AS INT) AS order_day,
+           DATE_TRUNC('month', o_orderdate)             AS order_month_start,
+           CAST(DATE_DIFF('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT)
+                                                        AS days_since_epoch95
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function surface: extract/date_trunc/datediff."""
+    o = load(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.dayofmonth("o_orderdate").alias("order_day"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        F.datediff(
+            F.col("o_orderdate").cast("date"),
+            F.lit("1995-01-01").cast("date"),
+        ).alias("days_since_epoch95"),
+    )

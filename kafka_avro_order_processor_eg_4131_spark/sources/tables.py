@@ -38,7 +38,22 @@ def table_path(sf_dir: str, name: str) -> str:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLE_NAMES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLE_NAMES}")
-    return spark.read.parquet(table_path(sf_dir, name))
+    if name == "events":
+        # runtime-settable; needed when the caller's session (e.g. the
+        # driver's) wasn't built by session.get_spark
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # TIMESTAMP(NANOS) read as long (see session.py); truncate to
+        # microseconds exactly like DuckDB does when reading the same file.
+        from pyspark.sql import functions as F
+
+        # integer `div`, NOT `/`: epoch-nanos (~1.7e18) exceed double's
+        # 2^53 exact-integer range, so float division would drift by ±1us
+        df = df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        )
+    return df
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
