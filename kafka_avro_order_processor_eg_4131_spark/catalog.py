@@ -97,8 +97,12 @@ def bigsum_sql(expr: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .shipping import ship_package
     from .sources.tables import load_table
 
+    # every catalog query funnels through here — guarantees executor
+    # workers can import this package before any Python UDF runs
+    ship_package(spark)
     return load_table(spark, sf_dir, name)
 
 

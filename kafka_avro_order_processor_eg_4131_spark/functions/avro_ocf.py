@@ -1,0 +1,257 @@
+"""Avro codec: Object-Container-File-per-message framing, pure Python.
+
+The reference serializes every Kafka message as a complete Avro OCF
+container holding exactly one record (producer.py:36-48 uses
+``fastavro.writer``; consumer.py:50-65 reads back the first record) —
+magic ``Obj\\x01``, embedded writer-schema JSON, null codec, 16-byte
+sync marker, one data block. That framing is load-bearing for
+byte-compatibility with the reference's topics (SURVEY.md §1.4), so the
+engine implements it here from the Avro 1.12 spec directly (fastavro is
+not available, and Spark's built-in from_avro/to_avro expects raw datum
+framing anyway).
+
+Supported schema subset: records of string / float / double / int /
+long / boolean / bytes — a superset of the reference's Order schema
+(order.avsc: string, string, float).
+
+Spark integration: Arrow-batched pandas UDFs (``ocf_encode_udf`` /
+``ocf_decode_udf``). The per-row Python cost is confined to the codec
+boundary exactly like the reference's fastavro calls; everything
+downstream of decode is JVM-side Catalyst.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import io
+import json
+import struct
+from typing import Any
+
+# ---------------------------------------------------------------------------
+# varint / zigzag primitives (Avro spec §Binary encoding)
+# ---------------------------------------------------------------------------
+
+
+def _zigzag_encode(n: int) -> int:
+    return (n << 1) ^ (n >> 63)
+
+
+def _zigzag_decode(n: int) -> int:
+    return (n >> 1) ^ -(n & 1)
+
+
+def write_long(out: io.BytesIO, n: int) -> None:
+    n = _zigzag_encode(n)
+    while True:
+        b = n & 0x7F
+        n >>= 7
+        if n:
+            out.write(bytes([b | 0x80]))
+        else:
+            out.write(bytes([b]))
+            return
+
+
+def read_long(buf: io.BytesIO) -> int:
+    shift = 0
+    acc = 0
+    while True:
+        byte = buf.read(1)
+        if not byte:
+            raise EOFError("truncated varint")
+        b = byte[0]
+        acc |= (b & 0x7F) << shift
+        if not (b & 0x80):
+            return _zigzag_decode(acc)
+        shift += 7
+
+
+def write_bytes(out: io.BytesIO, data: bytes) -> None:
+    write_long(out, len(data))
+    out.write(data)
+
+
+def read_bytes(buf: io.BytesIO) -> bytes:
+    n = read_long(buf)
+    data = buf.read(n)
+    if len(data) != n:
+        raise EOFError("truncated bytes")
+    return data
+
+
+# ---------------------------------------------------------------------------
+# schema-driven datum codec
+# ---------------------------------------------------------------------------
+
+_PRIMITIVE_WRITERS = {
+    "string": lambda out, v: write_bytes(out, str(v).encode("utf-8")),
+    "bytes": write_bytes,
+    "int": write_long,
+    "long": write_long,
+    "float": lambda out, v: out.write(struct.pack("<f", float(v))),
+    "double": lambda out, v: out.write(struct.pack("<d", float(v))),
+    "boolean": lambda out, v: out.write(b"\x01" if v else b"\x00"),
+}
+
+_PRIMITIVE_READERS = {
+    "string": lambda buf: read_bytes(buf).decode("utf-8"),
+    "bytes": read_bytes,
+    "int": read_long,
+    "long": read_long,
+    "float": lambda buf: struct.unpack("<f", buf.read(4))[0],
+    "double": lambda buf: struct.unpack("<d", buf.read(8))[0],
+    "boolean": lambda buf: buf.read(1) == b"\x01",
+}
+
+
+def write_datum(out: io.BytesIO, schema: dict, record: dict[str, Any]) -> None:
+    if schema.get("type") != "record":
+        raise ValueError(f"unsupported top-level schema {schema.get('type')!r}")
+    for field in schema["fields"]:
+        ftype = field["type"]
+        writer = _PRIMITIVE_WRITERS.get(ftype)
+        if writer is None:
+            raise ValueError(f"unsupported field type {ftype!r}")
+        writer(out, record[field["name"]])
+
+
+def read_datum(buf: io.BytesIO, schema: dict) -> dict[str, Any]:
+    if schema.get("type") != "record":
+        raise ValueError(f"unsupported top-level schema {schema.get('type')!r}")
+    rec: dict[str, Any] = {}
+    for field in schema["fields"]:
+        reader = _PRIMITIVE_READERS.get(field["type"])
+        if reader is None:
+            raise ValueError(f"unsupported field type {field['type']!r}")
+        rec[field["name"]] = reader(buf)
+    return rec
+
+
+# ---------------------------------------------------------------------------
+# OCF container framing (Avro spec §Object Container Files)
+# ---------------------------------------------------------------------------
+
+MAGIC = b"Obj\x01"
+
+
+def _sync_marker(schema_json: str) -> bytes:
+    """Deterministic 16-byte sync marker derived from the schema — unlike
+    the reference's random marker, identical inputs produce identical
+    container bytes (reproducible tests; semantics unchanged)."""
+    return hashlib.md5(b"sync:" + schema_json.encode("utf-8")).digest()
+
+
+def ocf_encode(schema: dict | str, records: list[dict[str, Any]]) -> bytes:
+    """records -> one OCF container (the reference writes exactly one
+    record per container; this accepts any count for generality)."""
+    schema_dict = json.loads(schema) if isinstance(schema, str) else schema
+    schema_json = json.dumps(schema_dict)
+    sync = _sync_marker(schema_json)
+
+    out = io.BytesIO()
+    out.write(MAGIC)
+    # metadata map: one block of 2 entries, then end-of-map
+    write_long(out, 2)
+    write_bytes(out, b"avro.schema")
+    write_bytes(out, schema_json.encode("utf-8"))
+    write_bytes(out, b"avro.codec")
+    write_bytes(out, b"null")
+    write_long(out, 0)
+    out.write(sync)
+
+    body = io.BytesIO()
+    for rec in records:
+        write_datum(body, schema_dict, rec)
+    payload = body.getvalue()
+    write_long(out, len(records))
+    write_bytes(out, payload)
+    out.write(sync)
+    return out.getvalue()
+
+
+def ocf_decode(data: bytes, first_only: bool = True) -> dict[str, Any] | list[dict[str, Any]]:
+    """OCF container bytes -> decoded record(s), schema taken from the
+    container metadata (mirrors consumer.py:50-65: reader over BytesIO,
+    first record returned)."""
+    buf = io.BytesIO(data)
+    if buf.read(4) != MAGIC:
+        raise ValueError("not an Avro object container file (bad magic)")
+    meta: dict[str, bytes] = {}
+    while True:
+        count = read_long(buf)
+        if count == 0:
+            break
+        if count < 0:  # spec: negative count prefixes a byte size
+            read_long(buf)
+            count = -count
+        for _ in range(count):
+            k = read_bytes(buf).decode("utf-8")
+            meta[k] = read_bytes(buf)
+    if meta.get("avro.codec", b"null") not in (b"null", b""):
+        raise ValueError(f"unsupported codec {meta.get('avro.codec')!r}")
+    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+    sync = buf.read(16)
+
+    records: list[dict[str, Any]] = []
+    while True:
+        try:
+            n = read_long(buf)
+        except EOFError:
+            break
+        block = io.BytesIO(read_bytes(buf))
+        if buf.read(16) != sync:
+            raise ValueError("sync marker mismatch")
+        for _ in range(n):
+            records.append(read_datum(block, schema))
+            if first_only:
+                return records[0]
+    if first_only:
+        raise ValueError("empty container")
+    return records
+
+
+# ---------------------------------------------------------------------------
+# Spark pandas-UDF bindings (Arrow-batched; no row-at-a-time pickling)
+# ---------------------------------------------------------------------------
+
+
+def ocf_encode_udf(schema_json: str):
+    """pandas UDF: struct column -> OCF container bytes per row."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    schema_dict = json.loads(schema_json)
+
+    def _encode(rows):
+        return pd.Series(
+            [ocf_encode(schema_dict, [row]) for row in rows.to_dict("records")],
+            dtype=object,
+        )
+
+    # hint-less form: PySpark 4 rejects DataFrame/struct signatures as
+    # type hints but accepts them with an explicit returnType
+    return pandas_udf(_encode, "binary")
+
+
+def ocf_decode_udf(schema_json: str, spark_type: str):
+    """pandas UDF: OCF bytes -> struct column (``spark_type`` is the DDL
+    string, e.g. ``orderId string, product string, price float``).
+    Corrupt input decodes to null — the DataFrame-level null check routes
+    it to the DLQ branch exactly like the reference's catch-all
+    (consumer.py:272-276)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
+
+    def _decode(col):
+        out = []
+        for blob in col:
+            try:
+                out.append(ocf_decode(bytes(blob)))
+            except Exception:
+                out.append({})  # all-null row -> DLQ branch downstream
+        return pd.DataFrame(out, columns=field_names)
+
+    return pandas_udf(_decode, spark_type)

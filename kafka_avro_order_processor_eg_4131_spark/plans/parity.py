@@ -123,6 +123,47 @@ def route_permanent_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "codec_roundtrip_routing",
+    oracle=f"""
+    WITH decoded AS (
+      SELECT CAST(CAST({_PRICE} AS REAL) AS DOUBLE) AS price
+      FROM orders
+    )
+    SELECT CASE WHEN price >= 5.0 AND price <= 50.0 THEN 'transient_failure'
+                WHEN price > 1000.0 THEN 'permanent_failure'
+                ELSE 'success' END AS status,
+           {bigcount_sql()} AS n,
+           {dsum_sql("price")} AS total_price
+    FROM decoded
+    GROUP BY 1
+    """,
+)
+def codec_roundtrip_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E1+E2+P5 end-to-end: orders -> Avro OCF encode (one container per
+    record, reference producer.py:36-48) -> decode -> route -> aggregate.
+    The oracle mirrors the only lossy step, float32 quantization of
+    ``price`` (order.avsc:14-17, SURVEY.md §1.2), via CAST(... AS REAL).
+    Exercises the real codec UDFs on every row."""
+    from ..functions.avro_ocf import ocf_decode_udf, ocf_encode_udf
+    from ..schemas import ORDER_AVRO_SCHEMA_JSON
+
+    enc = ocf_encode_udf(ORDER_AVRO_SCHEMA_JSON)
+    dec = ocf_decode_udf(ORDER_AVRO_SCHEMA_JSON, "orderId string, product string, price float")
+    o = load(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("orderId"),
+        F.col("o_orderpriority").alias("product"),
+        _price().cast("float").alias("price"),
+    )
+    decoded = o.select(
+        dec(enc(F.struct("orderId", "product", "price"))).alias("order")
+    ).select(F.col("order.price").cast("double").alias("price"))
+    return decoded.groupBy(status_expr(F.col("price")).alias("status")).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("price")).alias("total_price"),
+    )
+
+
+@register(
     "validate_orders",
     oracle=f"""
     SELECT {bigsum_sql("CASE WHEN ok THEN 1 ELSE 0 END")} AS n_valid,

@@ -1,0 +1,187 @@
+"""The flagship streaming pipeline — the reference's live consumer loop
+(consumer.py:126-211) restated as Structured Streaming (SURVEY.md §3.2):
+
+    envelope stream -> OCF decode (E2) -> 3-way route (P3-P5)
+      -> foreachBatch:
+           success   -> running aggregate (A1-A3) + success sink
+           permanent -> DLQ sink with 5 metadata headers (P6/K2)
+           transient -> retry sink (F2 policy: NOT committed to
+                        success/DLQ; surfaced for redelivery)
+
+Delivery semantics: each micro-batch either fully commits (checkpoint
+advances after all three sinks succeed) or is replayed — at-least-once
+per batch. This is deliberately stronger than the reference, whose
+per-record manual commit can silently skip past uncommitted transient
+offsets (the F2 lost-retry bug, SURVEY.md §2.6 — documented, not
+reproduced).
+
+Broker-free twin: the same pipeline runs from a file (parquet) envelope
+source so tests and CI need no Kafka; the logic downstream of the
+source is byte-identical.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.avro_ocf import ocf_decode_udf
+from ..functions.routing import status_expr
+from ..schemas import (
+    ORDER_AVRO_SCHEMA_JSON,
+    STATUS_PERMANENT,
+    STATUS_SUCCESS,
+    STATUS_TRANSIENT,
+)
+from .retry import with_retry
+
+ORDER_DDL = "orderId string, product string, price float"
+
+
+# ---------------------------------------------------------------------------
+# stages (each usable on batch or streaming DataFrames)
+# ---------------------------------------------------------------------------
+
+
+def decode_orders(envelope: DataFrame) -> DataFrame:
+    """E2: OCF container bytes -> order struct. Corrupt payloads decode to
+    an all-null struct and route to the permanent/DLQ branch, mirroring
+    the reference's catch-all (consumer.py:272-276)."""
+    decode = ocf_decode_udf(ORDER_AVRO_SCHEMA_JSON, ORDER_DDL)
+    return envelope.withColumn("order", decode(F.col("value")))
+
+
+def route_orders(decoded: DataFrame) -> DataFrame:
+    """P3-P5: status tag per record."""
+    return decoded.withColumn("status", status_expr(F.col("order.price")))
+
+
+def dlq_enrich(batch: DataFrame, error_reason_col) -> DataFrame:
+    """P6: build the DLQ record — ORIGINAL raw bytes + key (consumer.py:
+    99-105) and the 5 reference headers (consumer.py:90-96) in Spark's
+    Kafka-sink headers shape."""
+
+    def hdr(k: str, v):
+        return F.struct(F.lit(k).alias("key"), v.cast("binary").alias("value"))
+
+    return batch.select(
+        F.col("value"),  # original serialized bytes, unmodified
+        F.col("key"),
+        F.array(
+            hdr("error_reason", error_reason_col),
+            hdr("original_topic", F.col("topic")),
+            hdr("original_partition", F.col("partition").cast("string")),
+            hdr("original_offset", F.col("offset").cast("string")),
+            hdr("timestamp", F.unix_timestamp().cast("string")),
+        ).alias("headers"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# foreachBatch router (the multi-sink write, SURVEY.md §4.2)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class PipelineSinks:
+    """File-based sinks for the broker-free twin. With Kafka available,
+    success/dlq/retry would be topics via sources.kafka.write_kafka_batch
+    — same batch DataFrames, different format."""
+
+    success_dir: str
+    dlq_dir: str
+    retry_dir: str
+    agg_dir: str
+
+
+def process_batch(batch: DataFrame, batch_id: int, sinks: PipelineSinks) -> None:
+    """One micro-batch through the 3-way router. The batch is persisted
+    once so the three filtered writes don't recompute the decode UDF."""
+    batch.persist()
+    try:
+        success = batch.filter(F.col("status") == STATUS_SUCCESS)
+        permanent = batch.filter(F.col("status") == STATUS_PERMANENT)
+        transient = batch.filter(F.col("status") == STATUS_TRANSIENT)
+
+        # A1-A3: per-batch aggregate contribution (count/sum over successes);
+        # the running totals are the sum over batch outputs — same values the
+        # reference prints at each message, observed at batch boundaries.
+        agg = success.groupBy().agg(
+            F.lit(batch_id).alias("batch_id"),
+            F.count("*").alias("order_count"),
+            F.sum(F.col("order.price").cast("double")).alias("total_price"),
+        )
+
+        with_retry(
+            lambda: success.select("key", "value", "topic", "partition", "offset")
+            .write.mode("append")
+            .parquet(sinks.success_dir)
+        )
+        with_retry(
+            lambda: dlq_enrich(
+                permanent,
+                F.when(
+                    F.col("order.price").isNotNull(),
+                    F.format_string(
+                        "Price exceeds threshold: %.2f > 1000.0",
+                        F.col("order.price").cast("double"),
+                    ),
+                ).otherwise(F.lit("Processing error: deserialization failed")),
+            )
+            .write.mode("append")
+            .parquet(sinks.dlq_dir)
+        )
+        with_retry(
+            lambda: transient.select("key", "value", "topic", "partition", "offset")
+            .write.mode("append")
+            .parquet(sinks.retry_dir)
+        )
+        with_retry(lambda: agg.write.mode("append").parquet(sinks.agg_dir))
+    finally:
+        batch.unpersist()
+
+
+def run_order_pipeline(
+    spark: SparkSession,
+    input_dir: str,
+    work_dir: str,
+    available_now: bool = True,
+) -> PipelineSinks:
+    """Broker-free flagship pipeline: parquet envelope stream in
+    ``input_dir`` (columns: key binary, value binary, topic string,
+    partition int, offset long) -> routed multi-sink under ``work_dir``.
+
+    ``available_now=True`` processes everything present then stops —
+    the batch-bounded mode tests use; with False it runs continuously
+    (production shape)."""
+    from ..shipping import ship_package
+
+    ship_package(spark)
+    sinks = PipelineSinks(
+        success_dir=os.path.join(work_dir, "success"),
+        dlq_dir=os.path.join(work_dir, "dlq"),
+        retry_dir=os.path.join(work_dir, "retry"),
+        agg_dir=os.path.join(work_dir, "agg"),
+    )
+    envelope = (
+        spark.readStream.schema(
+            "key binary, value binary, topic string, partition int, offset long"
+        )
+        .parquet(input_dir)
+    )
+    routed = route_orders(decode_orders(envelope))
+    writer = (
+        routed.writeStream.foreachBatch(
+            lambda df, bid: process_batch(df, bid, sinks)
+        )
+        .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
+    )
+    if available_now:
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+    else:
+        writer.start()
+    return sinks

@@ -1,0 +1,81 @@
+"""OCF codec round-trip tests — the E1/E2 property tests SURVEY.md §5.2
+prescribes (random records -> encode -> decode -> equality, mirroring
+producer -> consumer)."""
+
+from __future__ import annotations
+
+import math
+import struct
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from kafka_avro_order_processor_eg_4131_spark.functions.avro_ocf import (
+    MAGIC,
+    ocf_decode,
+    ocf_encode,
+)
+from kafka_avro_order_processor_eg_4131_spark.schemas import ORDER_AVRO_SCHEMA
+
+orders = st.fixed_dictionaries(
+    {
+        "orderId": st.uuids().map(str),
+        "product": st.text(min_size=0, max_size=40),
+        "price": st.floats(min_value=0.0, max_value=1e6, allow_nan=False, width=32),
+    }
+)
+
+
+@given(orders)
+@settings(max_examples=200, deadline=None)
+def test_roundtrip_single_record(order):
+    blob = ocf_encode(ORDER_AVRO_SCHEMA, [order])
+    decoded = ocf_decode(blob)
+    assert decoded["orderId"] == order["orderId"]
+    assert decoded["product"] == order["product"]
+    # float32 quantization is the wire semantics (order.avsc:14-17)
+    assert decoded["price"] == struct.unpack("<f", struct.pack("<f", order["price"]))[0]
+
+
+@given(st.lists(orders, min_size=1, max_size=10))
+@settings(max_examples=50, deadline=None)
+def test_roundtrip_multi_record(batch):
+    blob = ocf_encode(ORDER_AVRO_SCHEMA, batch)
+    decoded = ocf_decode(blob, first_only=False)
+    assert len(decoded) == len(batch)
+    assert decoded[0]["orderId"] == batch[0]["orderId"]
+
+
+def test_container_framing_matches_reference_shape():
+    """The reference's observable frame facts (SURVEY.md §1.4): magic
+    Obj\\x01, embedded schema JSON, null codec, ~296-302 bytes for a
+    typical order."""
+    order = {
+        "orderId": "0a1b2c3d-0000-4000-8000-0123456789ab",
+        "product": "Amber Wallet",
+        "price": 822.13,
+    }
+    blob = ocf_encode(ORDER_AVRO_SCHEMA, [order])
+    assert blob[:4] == MAGIC
+    assert b"avro.schema" in blob
+    assert b'"com.assignment"' in blob or b"com.assignment" in blob
+    assert b"avro.codec" in blob and b"null" in blob
+    # size envelope: reference logs 296-302 B for one record
+    assert 250 <= len(blob) <= 350, len(blob)
+
+
+def test_corrupt_input_raises():
+    for bad in (b"", b"garbage", MAGIC + b"\x00\x00"):
+        try:
+            ocf_decode(bad)
+            raised = False
+        except Exception:
+            raised = True
+        assert raised, bad
+
+
+def test_float32_quantization_example():
+    """822.13 round-trips as ~822.1300048828125 (SURVEY.md §1.2)."""
+    blob = ocf_encode(ORDER_AVRO_SCHEMA, [{"orderId": "x", "product": "y", "price": 822.13}])
+    decoded = ocf_decode(blob)
+    assert math.isclose(decoded["price"], 822.1300048828125, rel_tol=0, abs_tol=1e-12)
