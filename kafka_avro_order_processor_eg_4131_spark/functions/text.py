@@ -1,0 +1,98 @@
+"""Text-analysis expressions for LLM-data-pipeline workloads: token
+counting, quality scoring, language ID, fingerprinting (BASELINE.json
+north-star extensions; absent from the reference — SURVEY.md §2.7).
+
+Everything here is a JVM-side Column expression (split/regexp/higher-
+order array functions) — no Python UDFs, so the hot path stays inside
+whole-stage codegen at 100 TB. Each helper has a textually-parallel SQL
+twin used by the DuckDB oracles in plans/textops.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# small, deliberately-crude per-language stopword sets for the n-gram/
+# stopword language-ID heuristic (a real system would plug fastText or
+# CLD3 in via pandas_udf; the heuristic keeps the operator oracle-checkable)
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr": ("le", "les", "des", "et", "est", "une", "que", "pas"),
+    "es": ("el", "los", "las", "y", "es", "una", "que", "por"),
+}
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization; empty text -> empty array."""
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.trim(text), r"\s+")
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text)).cast("bigint")
+
+
+def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
+    """Number of tokens (with multiplicity) in the stopword set."""
+    wordset = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(wordset, t))).cast(
+        "bigint"
+    )
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    n_alpha = F.length(F.regexp_replace(text, "[^a-zA-Z]", ""))
+    return n_alpha.cast("double") / F.greatest(F.length(text), F.lit(1)).cast("double")
+
+
+def avg_token_len(text: Column) -> Column:
+    n_solid = F.length(F.regexp_replace(text, r"\s+", ""))
+    return n_solid.cast("double") / F.greatest(token_count(text), F.lit(1)).cast(
+        "double"
+    )
+
+
+def stopword_ratio(text: Column, words: tuple[str, ...] | None = None) -> Column:
+    hits = stopword_hits(text, words or LANG_STOPWORDS["en"])
+    return hits.cast("double") / F.greatest(token_count(text), F.lit(1)).cast("double")
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: stopword density + reasonable
+    word length + alphabetic purity (weights arbitrary but fixed)."""
+    return (
+        F.lit(0.4) * stopword_ratio(text)
+        + F.lit(0.3) * F.least(avg_token_len(text) / F.lit(10.0), F.lit(1.0))
+        + F.lit(0.3) * alpha_ratio(text)
+    )
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: stopword_hits(text, words) for lang, words in LANG_STOPWORDS.items()}
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax of per-language stopword hits; ties broken in the fixed
+    order en > de > fr > es; all-zero -> 'unknown'."""
+    s = lang_scores(text)
+    best = F.greatest(*s.values())
+    expr = F.when(best == 0, F.lit("unknown"))
+    for lang in ("en", "de", "fr", "es"):
+        expr = expr.when(s[lang] == best, F.lit(lang))
+    return expr.otherwise(F.lit("unknown"))
+
+
+def normalize(text: Column) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
+    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text
+    (the exact-dedup key; rolling/MinHash fingerprints live in
+    operators/dedup.py)."""
+    return F.md5(normalize(text))

@@ -1,0 +1,49 @@
+"""Vector math over ``array<float>`` embedding columns, as JVM-side
+higher-order functions — no Python in the hot path.
+
+Determinism: the dot product is a LEFT FOLD (F.aggregate) over
+double-widened elements, matching DuckDB's ``list_reduce`` fold order
+element-for-element, so cosines agree bit-for-bit with the oracle.
+``sqrt`` is IEEE-754 correctly-rounded in both engines.
+
+At scale: these expressions vectorize inside whole-stage codegen; for
+very high dimensions a pandas_udf over Arrow batches (numpy dot) wins —
+that variant lives in operators/similarity.py as the documented
+alternative.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# --- SQL twins (DuckDB) -----------------------------------------------------
+
+
+def dot_sql(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)"
+    )
+
+
+def norm_sql(a: str) -> str:
+    return f"sqrt({dot_sql(a, a)})"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({dot_sql(a, b)} / ({norm_sql(a)} * {norm_sql(b)}))"

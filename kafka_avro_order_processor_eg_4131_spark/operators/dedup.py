@@ -1,0 +1,210 @@
+"""Deduplication operators for training-data pipelines (north-star
+extension): exact, MinHash+LSH, SimHash, n-gram Jaccard, embedding-
+cosine near-dup. All pure DataFrame compositions — explode/groupBy/
+join — so every stage distributes and AQE handles skew.
+
+Scale shapes (100 TB posture):
+- exact: one hash-aggregate on the fingerprint (map-side combine).
+- MinHash: explode(shingles) is the big intermediate — rows =
+  total shingle count, but it reduces immediately into per-doc
+  signatures (8 mins in ONE groupBy, no cross join with hash ids).
+  Candidate generation joins on (band, bucket): only docs sharing a
+  bucket ever meet, which is the entire point of LSH at scale.
+- SimHash: 16-bit signatures; hamming<=3 pairs found via 4-bit band
+  exact-match prefilter (pigeonhole: 3 flipped bits leave >=1 of 4
+  bands intact) — again a bucket equi-join, not an all-pairs scan.
+- embedding near-dup: brute pairwise within blocking keys (or the LSH
+  buckets from operators/similarity.py) — the all-pairs form here is
+  for oracle-checkable correctness at fixture scale.
+
+The hash family is md5-based so the DuckDB oracles can reproduce it
+byte-for-byte (Spark hash()/xxhash64 have no DuckDB twin); md5 is
+JVM-side codegen, not a UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import normalize, tokens
+
+NUM_HASHES = 8
+BANDS = 4  # rows-per-band = 2
+SIMHASH_BITS = 16
+
+
+def shingles(text, k: int = 3):
+    """Distinct k-word shingles of the normalized text (array column).
+    Documents shorter than k tokens yield an empty array."""
+    toks = tokens(normalize(text))
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    return F.array_distinct(
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(toks, (i + j + 1).cast("int")) for j in range(k)]
+            ),
+        )
+    )
+
+
+def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+                 k: int = 3) -> DataFrame:
+    """(id, shingle) rows — the exploded form both MinHash and Jaccard use."""
+    return docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
+    )
+
+
+def minhash_signatures(sh_rows: DataFrame, num_hashes: int = NUM_HASHES) -> DataFrame:
+    """Per-doc MinHash signature: sig_h = min(md5('h|' || shingle)).
+    One groupBy computes all hash functions (no hash-id cross join)."""
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{h}|"), F.col("sh")))).alias(f"sig{h}")
+        for h in range(num_hashes)
+    ]
+    return sh_rows.groupBy("id").agg(*aggs)
+
+
+def lsh_buckets(sigs: DataFrame, bands: int = BANDS,
+                num_hashes: int = NUM_HASHES) -> DataFrame:
+    """(id, band, bucket) rows: bucket = md5 of the band's signature rows."""
+    rows_per_band = num_hashes // bands
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.md5(
+                    F.concat(
+                        *[F.col(f"sig{b * rows_per_band + r}") for r in range(rows_per_band)]
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("id", F.explode(bucket_structs).alias("bb")).select(
+        "id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+
+
+def candidate_pairs(buckets: DataFrame) -> DataFrame:
+    """Distinct (id1 < id2) pairs sharing at least one LSH bucket."""
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id1"), F.col("b.id").alias("id2"))
+        .distinct()
+    )
+
+
+def jaccard_pairs(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact shingle-set Jaccard for the given candidate pairs."""
+    sizes = sh_rows.groupBy("id").agg(F.count("*").alias("n"))
+    inter = (
+        pairs.join(sh_rows.alias("s1"), F.col("id1") == F.col("s1.id"))
+        .join(
+            sh_rows.alias("s2"),
+            (F.col("id2") == F.col("s2.id")) & (F.col("s1.sh") == F.col("s2.sh")),
+        )
+        .groupBy("id1", "id2")
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.alias("n1"), F.col("id1") == F.col("n1.id"))
+        .join(sizes.alias("n2"), F.col("id2") == F.col("n2.id"))
+        .select(
+            "id1",
+            "id2",
+            (
+                F.col("inter").cast("double")
+                / (F.col("n1.n") + F.col("n2.n") - F.col("inter")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+# --- SimHash -----------------------------------------------------------------
+
+_HEXDIGITS = "0123456789abcdef"
+
+
+def _token_bit(tok, j: int):
+    """Bit j (0-based, MSB-first within each hex digit) of md5(token)."""
+    digit = F.substring(F.md5(tok), 1 + j // 4, 1)
+    val = F.instr(F.lit(_HEXDIGITS), digit) - 1  # hex digit -> 0..15
+    return F.shiftright(val, 3 - (j % 4)) % 2
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            bits: int = SIMHASH_BITS) -> DataFrame:
+    """16-bit SimHash: per token-occurrence hash bits vote +1/-1 per
+    position; sign of the sum sets the output bit. Entirely JVM-side:
+    explode + one groupBy with ``bits`` integer sums."""
+    tok_rows = docs.select(
+        F.col(id_col).alias("id"), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
+    )
+    votes = [
+        F.sum(_token_bit(F.col("tok"), j) * 2 - 1).alias(f"v{j}") for j in range(bits)
+    ]
+    sums = tok_rows.groupBy("id").agg(*votes)
+    sig = None
+    for j in range(bits):
+        bit = F.when(F.col(f"v{j}") >= 0, F.lit(1)).otherwise(F.lit(0))
+        term = bit.cast("long") * F.lit(1 << j).cast("long")
+        sig = term if sig is None else sig + term
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3,
+                       bits: int = SIMHASH_BITS, bands: int = 4) -> DataFrame:
+    """Pairs with hamming(simhash) <= max_hamming, found by banding the
+    signature into ``bands`` equal bit-chunks and equi-joining on any
+    identical chunk (sound for max_hamming < bands by pigeonhole)."""
+    chunk = bits // bands
+    mask = (1 << chunk) - 1
+    banded = sig_df.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        (
+                            F.shiftright(F.col("simhash"), b * chunk).cast("long")
+                            % F.lit(mask + 1)
+                        ).alias("chunk"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    hamming = F.bit_count(F.expr("h1 ^ h2"))
+    return cand.filter(hamming <= max_hamming).select(
+        "id1", "id2", hamming.cast("int").alias("hamming")
+    )

@@ -1,1 +1,246 @@
-# populated in later milestones
+"""Dedup queries over ``documents`` / ``embeddings`` (north-star
+extension; machinery in operators/dedup.py). The fixture plants real
+near-duplicates (Jaccard ~0.99 pairs), so these return non-trivial
+results.
+
+Oracle construction mirrors the Spark operators CTE-for-stage:
+md5-based hash family, identical shingling, identical banding — the
+SQL is generated from the same Python constants so the two sides can't
+drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import bigcount_sql, load, register
+from ..operators import dedup as D
+from ..functions.text import fingerprint
+
+# shared SQL fragments --------------------------------------------------------
+
+_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_TOKS = f"string_split({_NORM}, ' ')"
+# distinct 3-word shingles; shorter docs yield an empty list
+_SHINGLES = (
+    f"list_distinct(list_transform("
+    f"generate_series(1, greatest(len({_TOKS}) - 2, 0)), "
+    f"i -> {_TOKS}[i] || ' ' || {_TOKS}[i+1] || ' ' || {_TOKS}[i+2]))"
+)
+
+_SIG_COLS = ",\n           ".join(
+    f"min(md5('{h}|' || sh)) AS sig{h}" for h in range(D.NUM_HASHES)
+)
+_ROWS_PER_BAND = D.NUM_HASHES // D.BANDS
+_BUCKET_SELECTS = "\n      UNION ALL\n".join(
+    f"      SELECT id, {b} AS band, md5("
+    + " || ".join(f"sig{b * _ROWS_PER_BAND + r}" for r in range(_ROWS_PER_BAND))
+    + ") AS bucket FROM sigs"
+    for b in range(D.BANDS)
+)
+
+_SHINGLE_CTES = f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh
+      FROM documents
+    ),
+    sigs AS (
+      SELECT id, {_SIG_COLS}
+      FROM sh GROUP BY id
+    ),
+    buckets AS (
+{_BUCKET_SELECTS}
+    ),
+    cands AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2
+      FROM buckets a JOIN buckets b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id
+    )
+"""
+
+
+@register(
+    "dedup_exact_groups",
+    oracle=f"""
+    SELECT md5({_NORM}) AS fp,
+           MIN(doc_id) AS keeper_doc_id,
+           {bigcount_sql()} AS group_size
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint;
+    deterministic keeper = min doc_id. One map-side-combine aggregate —
+    the cheapest dedup at any scale."""
+    d = load(spark, sf_dir, "documents")
+    return d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("keeper_doc_id"),
+        F.count("*").alias("group_size"),
+    )
+
+
+@register(
+    "dedup_minhash_candidates",
+    oracle=_SHINGLE_CTES + """
+    SELECT id1, id2 FROM cands
+    """,
+)
+def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup candidates: shingle -> 8-hash signature ->
+    4 bands -> bucket equi-join. Only bucket-colliding docs ever meet —
+    the candidate set is ~linear in corpus size, not quadratic."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d)
+    return D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
+
+
+@register(
+    "dedup_jaccard_verified",
+    oracle=_SHINGLE_CTES + """
+    , sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS i
+      FROM cands c
+      JOIN sh s1 ON s1.id = c.id1
+      JOIN sh s2 ON s2.id = c.id2 AND s2.sh = s1.sh
+      GROUP BY c.id1, c.id2
+    )
+    SELECT i.id1, i.id2,
+           CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN sizes n1 ON n1.id = i.id1
+    JOIN sizes n2 ON n2.id = i.id2
+    WHERE CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) >= 0.8
+    """,
+)
+def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard verification of the LSH candidates: exact shingle-
+    set similarity >= 0.8 — the verify stage that makes MinHash output
+    trustworthy (candidates are probabilistic, this is exact)."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d)
+    cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
+    return D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
+
+
+# --- SimHash ------------------------------------------------------------------
+
+_HEX = "0123456789abcdef"
+
+
+def _bit_sql(j: int) -> str:
+    return (
+        f"((strpos('{_HEX}', substring(md5(tok), {1 + j // 4}, 1)) - 1)"
+        f" >> {3 - (j % 4)}) & 1"
+    )
+
+
+_VOTE_COLS = ",\n             ".join(
+    f"SUM(({_bit_sql(j)}) * 2 - 1) AS v{j}" for j in range(D.SIMHASH_BITS)
+)
+_SIG_EXPR = " + ".join(
+    f"(CASE WHEN v{j} >= 0 THEN {1 << j} ELSE 0 END)" for j in range(D.SIMHASH_BITS)
+)
+
+
+@register(
+    "dedup_simhash_signatures",
+    oracle=f"""
+    WITH tok_rows AS (
+      SELECT doc_id AS id, unnest({_TOKS.replace("text", "text")}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    votes AS (
+      SELECT id, {_VOTE_COLS}
+      FROM tok_rows GROUP BY id
+    )
+    SELECT id, CAST({_SIG_EXPR} AS BIGINT) AS simhash
+    FROM votes
+    """,
+)
+def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash per document: token hash bits vote ±1 per position,
+    sign of each sum sets the bit. All integer arithmetic — JVM-side and
+    bit-identical to the oracle."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash(d)
+
+
+@register(
+    "dedup_simhash_near_pairs",
+    oracle=f"""
+    WITH tok_rows AS (
+      SELECT doc_id AS id, unnest({_TOKS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ),
+    votes AS (
+      SELECT id, {_VOTE_COLS}
+      FROM tok_rows GROUP BY id
+    ),
+    sig AS (
+      SELECT id, CAST({_SIG_EXPR} AS BIGINT) AS simhash FROM votes
+    ),
+    banded AS (
+      SELECT id, simhash, b.band, (simhash >> (b.band * 4)) & 15 AS chunk
+      FROM sig, (SELECT unnest(generate_series(0, 3)) AS band) b
+    ),
+    cand AS (
+      SELECT DISTINCT a.id AS id1, b.id AS id2, a.simhash AS h1, b.simhash AS h2
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.chunk = b.chunk AND a.id < b.id
+    )
+    SELECT id1, id2, CAST(bit_count(xor(h1, h2)) AS INT) AS hamming
+    FROM cand WHERE bit_count(xor(h1, h2)) <= 3
+    """,
+)
+def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming <= 3) via 4-bit band LSH — the
+    banding guarantees recall for hamming < 4 by pigeonhole while keeping
+    the join linear in practice."""
+    d = load(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(D.simhash(d))
+
+
+# --- embedding cosine near-dup -------------------------------------------------
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id1, b.vec_id AS id2,
+             (list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
+              / (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))
+               * sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
+                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))))
+             AS cos
+      FROM e a JOIN e b ON a.vec_id < b.vec_id
+    )
+    SELECT id1, id2, cos FROM pairs WHERE cos >= 0.45
+    """,
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup: all-pairs cosine >= threshold. The
+    fixture's embeddings are near-orthogonal (max cos ~0.51), so the
+    threshold is set to 0.45 to exercise value correctness; production
+    near-dup uses ~0.95 with the LSH-bucketed path
+    (operators/similarity.py) to avoid the quadratic join."""
+    from ..functions.vectors import cosine
+
+    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    a = e.alias("a")
+    b = e.alias("b")
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id1"),
+            F.col("b.vec_id").alias("id2"),
+            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+        )
+        .filter(F.col("cos") >= 0.45)
+    )

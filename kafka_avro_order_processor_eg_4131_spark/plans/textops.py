@@ -1,1 +1,124 @@
-# populated in later milestones
+"""Text-analysis queries over ``documents`` (north-star extension;
+functions in functions/text.py). All JVM-side expressions; per-row
+arithmetic only, so Spark/DuckDB agree bit-for-bit without the decimal
+trick."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import load, register
+from ..functions import text as T
+
+# SQL twins of the functions/text.py helpers ---------------------------------
+
+_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
+
+
+def _hits_sql(words: tuple[str, ...]) -> str:
+    inlist = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"CASE WHEN trim(text) = '' THEN 0 ELSE "
+        f"len(list_filter({_TOKENS}, t -> t IN ({inlist}))) END"
+    )
+
+
+_ALPHA = "(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)" \
+         " / CAST(greatest(length(text), 1) AS DOUBLE))"
+_SOLID = "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)"
+_AVGLEN = f"({_SOLID} / CAST(greatest({_NTOK}, 1) AS DOUBLE))"
+_STOPRATIO = (
+    f"(CAST({_hits_sql(T.LANG_STOPWORDS['en'])} AS DOUBLE)"
+    f" / CAST(greatest({_NTOK}, 1) AS DOUBLE))"
+)
+
+
+@register(
+    "doc_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST({_NTOK} AS BIGINT) AS n_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           {_AVGLEN} AS avg_token_len
+    FROM documents
+    """,
+)
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer) + character stats."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.token_count(t).alias("n_tokens"),
+        F.length(t).cast("bigint").alias("n_chars"),
+        T.avg_token_len(t).alias("avg_token_len"),
+    )
+
+
+@register(
+    "doc_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           {_STOPRATIO} AS stopword_ratio,
+           {_ALPHA} AS alpha_ratio,
+           (0.4 * {_STOPRATIO}
+            + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+            + 0.3 * {_ALPHA}) AS quality_score
+    FROM documents
+    """,
+)
+def doc_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: stopword density, alphabetic purity, composite
+    score — the cheap pre-filter stage of a training-data pipeline."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        T.stopword_ratio(t).alias("stopword_ratio"),
+        T.alpha_ratio(t).alias("alpha_ratio"),
+        T.quality_score(t).alias("quality_score"),
+    )
+
+
+@register(
+    "doc_lang_id",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             {_hits_sql(T.LANG_STOPWORDS['en'])} AS s_en,
+             {_hits_sql(T.LANG_STOPWORDS['de'])} AS s_de,
+             {_hits_sql(T.LANG_STOPWORDS['fr'])} AS s_fr,
+             {_hits_sql(T.LANG_STOPWORDS['es'])} AS s_es
+      FROM documents
+    )
+    SELECT doc_id,
+           CASE WHEN greatest(s_en, s_de, s_fr, s_es) = 0 THEN 'unknown'
+                WHEN s_en = greatest(s_en, s_de, s_fr, s_es) THEN 'en'
+                WHEN s_de = greatest(s_en, s_de, s_fr, s_es) THEN 'de'
+                WHEN s_fr = greatest(s_en, s_de, s_fr, s_es) THEN 'fr'
+                ELSE 'es' END AS lang_pred
+    FROM scored
+    """,
+)
+def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language ID via per-language stopword-hit argmax (deterministic
+    tie order en>de>fr>es)."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+    FROM documents
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: md5 over whitespace-normalized lowercase
+    text — the exact-dedup key."""
+    d = load(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
