@@ -40,17 +40,30 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors (cosine) of each query vector, self excluded.
     Ties broken by neighbor id — fully deterministic."""
+    from ..functions.vectors import norm
+
+    width = emb.sparkSession.sparkContext.defaultParallelism * 2
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
     )
-    c = emb.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cvec"))
+    # corpus side carries the parallelism of the nested-loop join (the
+    # small query set is broadcast); widen it and precompute norms once
+    c = emb.repartition(width).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
     scored = (
         q.crossJoin(c)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("qvec"), F.col("cvec")).alias("cos"),
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "cos"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
@@ -67,8 +80,10 @@ def lsh_bucket(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id",
     plane_rows = planes.select(
         F.col("plane_id"), F.col(vec_col).alias("pvec")
     )
+    width = emb.sparkSession.sparkContext.defaultParallelism * 2
     bits = (
-        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+        emb.repartition(width)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(plane_rows))
         .select(
             "id",

@@ -120,7 +120,9 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     set similarity >= 0.8 — the verify stage that makes MinHash output
     trustworthy (candidates are probabilistic, this is exact)."""
     d = load(spark, sf_dir, "documents")
-    sh = D.shingle_rows(d)
+    # shingle rows feed BOTH the signature and the verification joins;
+    # persisting avoids recomputing the tokenize/shingle derivation per branch
+    sh = D.shingle_rows(d).persist()
     cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
     return D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
 
@@ -209,16 +211,18 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_embedding_cosine_pairs",
     oracle="""
-    WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    WITH e AS (
+      SELECT vec_id, embedding,
+             sqrt(list_reduce(list_transform(list_zip(embedding, embedding),
+                x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))
+               AS nrm
+      FROM embeddings
+    ),
     pairs AS (
       SELECT a.vec_id AS id1, b.vec_id AS id2,
              (list_reduce(list_transform(list_zip(a.embedding, b.embedding),
                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v)
-              / (sqrt(list_reduce(list_transform(list_zip(a.embedding, a.embedding),
-                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))
-               * sqrt(list_reduce(list_transform(list_zip(b.embedding, b.embedding),
-                   x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (acc, v) -> acc + v))))
-             AS cos
+              / (a.nrm * b.nrm)) AS cos
       FROM e a JOIN e b ON a.vec_id < b.vec_id
     )
     SELECT id1, id2, cos FROM pairs WHERE cos >= 0.45
@@ -230,17 +234,28 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold is set to 0.45 to exercise value correctness; production
     near-dup uses ~0.95 with the LSH-bucketed path
     (operators/similarity.py) to avoid the quadratic join."""
-    from ..functions.vectors import cosine
+    from ..functions.vectors import dot, norm
 
-    e = load(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    a = e.alias("a")
-    b = e.alias("b")
+    # norms computed ONCE per vector before the pairwise join (3 folds per
+    # pair -> 1), and the compact single-file input widened so the O(n^2)
+    # scoring parallelizes across all cores
+    width = spark.sparkContext.defaultParallelism * 2
+    e = (
+        load(spark, sf_dir, "embeddings")
+        .repartition(width)
+        .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
+        .persist()
+    )
+    a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("id1"),
             F.col("b.vec_id").alias("id2"),
-            cosine(F.col("a.embedding"), F.col("b.embedding")).alias("cos"),
+            (
+                dot(F.col("a.embedding"), F.col("b.embedding"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= 0.45)
     )

@@ -417,6 +417,28 @@ def agg_count_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("agg_approx_count_distinct", oracle=None)  # sketch: no exact SQL twin
+def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts — the sketch path for
+    100 TB cardinality estimation (exact distinct shuffles every key;
+    the sketch is a bounded-size mergeable state). Accuracy vs the exact
+    count is asserted in tests (rsd=0.05)."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.approx_count_distinct("o_custkey", rsd=0.05).alias("approx_customers"),
+    )
+
+
+@register("grouped_custom_agg_order_gaps", oracle=None)  # applyInPandas surface
+def grouped_custom_agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouped aggregation via applyInPandas (UDAF surface):
+    per-customer order-gap stats. Validated in tests against the
+    equivalent window-function formulation."""
+    from ..operators.grouped import order_gap_stats
+
+    return order_gap_stats(load(spark, sf_dir, "orders"))
+
+
 @register(
     "rollup_status_priority",
     oracle=f"""

@@ -83,6 +83,53 @@ DLQ_HEADER_KEYS = (
     "timestamp",
 )
 
+_AVRO_TO_SPARK = {
+    "string": StringType(),
+    "int": IntegerType(),
+    "long": LongType(),
+    "float": FloatType(),
+    "double": None,  # filled below to avoid an import cycle in the table
+    "boolean": None,
+    "bytes": None,
+}
+
+
+def avro_schema_to_struct(schema: dict | str) -> StructType:
+    """S2 (reference consumer.py:46-48 / producer.py:32-34): load a
+    parsed .avsc record schema and derive the Spark StructType for the
+    raw-struct path. Supports the primitive subset the OCF codec
+    handles (functions/avro_ocf.py)."""
+    import json as _json
+
+    from pyspark.sql.types import BooleanType, DoubleType
+
+    mapping = dict(_AVRO_TO_SPARK)
+    mapping["double"] = DoubleType()
+    mapping["boolean"] = BooleanType()
+    mapping["bytes"] = BinaryType()
+
+    s = _json.loads(schema) if isinstance(schema, str) else schema
+    if s.get("type") != "record":
+        raise ValueError(f"unsupported top-level Avro type {s.get('type')!r}")
+    fields = []
+    for f in s["fields"]:
+        t = mapping.get(f["type"])
+        if t is None:
+            raise ValueError(f"unsupported Avro field type {f['type']!r}")
+        fields.append(StructField(f["name"], t, False))
+    return StructType(fields)
+
+
+def load_avsc(path: str) -> tuple[str, StructType]:
+    """Read an .avsc file (driver-side, once — like both reference
+    programs at startup) -> (schema JSON string, StructType)."""
+    import json as _json
+
+    with open(path, encoding="utf-8") as fh:
+        schema = _json.load(fh)
+    return _json.dumps(schema), avro_schema_to_struct(schema)
+
+
 # Routing statuses (reference consumer.py:253-270)
 STATUS_SUCCESS = "success"
 STATUS_TRANSIENT = "transient_failure"
