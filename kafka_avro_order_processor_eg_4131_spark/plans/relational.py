@@ -562,6 +562,56 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_json_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
+    FROM events
+    """,
+)
+def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON scalar functions over the events.props payload column."""
+    e = load(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k")
+    return e.select(
+        "event_id",
+        k.cast("int").alias("k_val"),
+        k.isNotNull().alias("has_k"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS INT)                 AS n_toks,
+           CAST(len(list_distinct(toks)) AS INT)  AS n_unique,
+           list_contains(toks, 'the')             AS has_the,
+           list_sort(toks)[1]                     AS first_sorted,
+           toks[1:3]                              AS first_three
+    FROM t
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array scalar functions: size/distinct/contains/sort/slice over the
+    tokenized documents."""
+    d = load(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_toks"),
+        F.size(F.array_distinct(toks)).alias("n_unique"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
+        F.slice(toks, 1, 3).alias("first_three"),
+    )
+
+
+@register(
     "scalar_date_funcs",
     oracle="""
     SELECT o_orderkey,

@@ -110,6 +110,35 @@ def doc_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "udtf_explode_words",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS toks FROM documents WHERE trim(text) <> ''
+    )
+    SELECT doc_id,
+           unnest(toks) AS word,
+           CAST(unnest(generate_series(0, len(toks) - 1)) AS INT) AS idx
+    FROM t
+    """,
+)
+def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join (operators/udtf_ops.py): tokenizer as
+    a table-valued function; oracle is the zipped-unnest equivalent."""
+    from ..operators.udtf_ops import register_udtfs
+
+    d = load(spark, sf_dir, "documents")
+    register_udtfs(spark)
+    d.createOrReplaceTempView("documents_udtf_src")
+    return spark.sql(
+        """
+        SELECT doc_id, word, idx
+        FROM documents_udtf_src, LATERAL explode_words(text)
+        WHERE trim(text) <> ''
+        """
+    )
+
+
+@register(
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
