@@ -147,6 +147,91 @@ def lsh_topk(
     )
 
 
+NUM_CELLS = 8
+NUM_PROBES = 2
+
+
+def ivf_assign(emb: DataFrame, centroids: DataFrame, n_probe: int = 1,
+               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """IVF cell assignment: each vector joins its ``n_probe`` highest-
+    cosine centroids. Centroids must be small (broadcast)."""
+    from ..functions.vectors import norm as vnorm
+
+    width = emb.sparkSession.sparkContext.defaultParallelism * 2
+    c = centroids.select(
+        F.col("cell_id"), F.col(vec_col).alias("cvec"), vnorm(F.col(vec_col)).alias("cnrm")
+    )
+    scored = (
+        emb.repartition(width)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+                vnorm(F.col(vec_col)).alias("vnrm"))
+        .crossJoin(F.broadcast(c))
+        .select(
+            "id", "vec",
+            "cell_id",
+            (dot(F.col("vec"), F.col("cvec")) / (F.col("vnrm") * F.col("cnrm"))).alias("aff"),
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cell_id"))
+    return (
+        scored.withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("id", "vec", "cell_id")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    num_cells: int = NUM_CELLS,
+    n_probe: int = NUM_PROBES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: corpus vectors indexed into their single
+    nearest cell; queries probe their ``n_probe`` nearest cells and rank
+    exactly within them. Centroids = the first ``num_cells`` corpus
+    vectors by id (deterministic, oracle-checkable; production would
+    k-means from a seed — the plan shape is identical)."""
+    from ..functions.vectors import norm as vnorm
+
+    centroids = (
+        emb.orderBy(id_col)
+        .limit(num_cells)
+        .select(
+            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell_id"),
+            F.col(vec_col),
+        )
+    )
+    corpus_cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+    query_cells = ivf_assign(
+        queries, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+    )
+    q = query_cells.select(
+        F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
+        vnorm(F.col("vec")).alias("qnrm"), "cell_id",
+    )
+    c = corpus_cells.select(
+        F.col("id").alias("neighbor_id"), F.col("vec").alias("cvec"),
+        vnorm(F.col("vec")).alias("cnrm"), "cell_id",
+    )
+    scored = (
+        q.join(c, "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+        )
+        .distinct()  # a neighbor can reach the query through both probed cells
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= k
+    )
+
+
 def numpy_topk_batch(
     emb: DataFrame,
     queries: DataFrame,

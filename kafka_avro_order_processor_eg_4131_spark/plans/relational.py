@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
+from ..catalog import bigcount_sql, bigsum_sql, dsum, dsum_sql, load, register
 from ..operators.joins import asof_join
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -304,6 +304,49 @@ def asof_join_latest_order_before_event(spark: SparkSession, sf_dir: str) -> Dat
 
 
 @register(
+    "skew_salted_join_lineitem_part",
+    oracle=f"""
+    SELECT p_brand, {bigcount_sql()} AS n_lines, {dsum_sql("l_extendedprice")} AS total
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_brand
+    """,
+)
+def skew_salted_join_lineitem_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted join (operators/skew.py): the fact side salted, the dim
+    replicated per salt — the hot-key spreading technique for skew that
+    outruns AQE's splitting. Results identical to the plain join (the
+    oracle IS the plain join)."""
+    from ..operators.skew import salted_join
+
+    # salted_join joins on a same-named key; align lineitem's key first
+    l = load(spark, sf_dir, "lineitem").withColumnRenamed("l_partkey", "p_partkey")
+    p = load(spark, sf_dir, "part")
+    joined = salted_join(l, p, "p_partkey", salt_n=4, unique_col="l_orderkey")
+    return joined.groupBy("p_brand").agg(
+        F.count("*").alias("n_lines"),
+        dsum(F.col("l_extendedprice")).alias("total"),
+    )
+
+
+@register(
+    "skew_salted_agg",
+    oracle=f"""
+    SELECT o_custkey, {dsum_sql("o_totalprice")} AS sum_value, {bigcount_sql()} AS n_rows
+    FROM orders GROUP BY o_custkey
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation (partial on (key,salt), final on key)
+    — decimal-exact, so the regrouping provably cannot change the sums."""
+    from ..operators.skew import salted_agg_sum
+
+    o = load(spark, sf_dir, "orders")
+    return salted_agg_sum(
+        o, "o_custkey", F.col("o_totalprice"), salt_n=4, unique_col="o_orderkey"
+    )
+
+
+@register(
     "topk_orders_by_price",
     oracle="""
     SELECT o_orderkey, o_totalprice
@@ -495,6 +538,87 @@ def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders JOIN customer ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment))
         """
+    )
+
+
+@register(
+    "q4_order_priority_checking",
+    oracle=f"""
+    SELECT o_orderpriority, {bigcount_sql()} AS order_count
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS (left-semi with a non-equi
+    conjunct) feeding a grouped count."""
+    o = load(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01").cast("timestamp_ntz"))
+    )
+    l = load(spark, sf_dir, "lineitem")
+    return (
+        o.join(
+            l,
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.col("o_orderdate")),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "correlated_above_brand_avg",
+    oracle="""
+    SELECT p_partkey, p_brand, p_retailprice
+    FROM part p
+    WHERE p_retailprice > (SELECT AVG(p2.p_retailprice) FROM part p2
+                           WHERE p2.p_brand = p.p_brand)
+    """,
+)
+def correlated_above_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (parts above their brand's average
+    price), decorrelated into a window-average comparison — the plan
+    Catalyst itself produces for such subqueries. AVG comparison only
+    (not output), so double averaging order cannot affect the rows."""
+    from pyspark.sql import Window
+
+    p = load(spark, sf_dir, "part")
+    w = Window.partitionBy("p_brand")
+    return (
+        p.withColumn("brand_avg", F.avg("p_retailprice").over(w))
+        .filter(F.col("p_retailprice") > F.col("brand_avg"))
+        .select("p_partkey", "p_brand", "p_retailprice")
+    )
+
+
+@register(
+    "pivot_priority_by_status",
+    oracle=f"""
+    SELECT o_orderpriority,
+           {bigsum_sql("CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END")} AS F,
+           {bigsum_sql("CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END")} AS O,
+           {bigsum_sql("CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END")} AS P
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order counts cross-tabulated priority x status (explicit
+    pivot values so the plan needs no extra distinct-values job)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))  # count("*") is rejected inside pivot
+        .na.fill(0)
     )
 
 

@@ -44,6 +44,51 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH centroids AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+             embedding
+      FROM embeddings ORDER BY vec_id LIMIT {S.NUM_CELLS}
+    ),
+    affinities AS (
+      SELECT e.vec_id AS id, e.embedding AS vec, c.cell_id,
+             {cosine_sql("e.embedding", "c.embedding")} AS aff
+      FROM embeddings e CROSS JOIN centroids c
+    ),
+    ranked_cells AS (
+      SELECT id, vec, cell_id,
+             ROW_NUMBER() OVER (PARTITION BY id ORDER BY aff DESC, cell_id) AS cell_rank
+      FROM affinities
+    ),
+    corpus_cells AS (SELECT id, vec, cell_id FROM ranked_cells WHERE cell_rank <= 1),
+    query_cells  AS (SELECT id, vec, cell_id FROM ranked_cells
+                     WHERE cell_rank <= {S.NUM_PROBES} AND id < {_N_QUERIES}),
+    scored AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+             {cosine_sql("q.vec", "c.vec")} AS cos
+      FROM query_cells q JOIN corpus_cells c
+        ON q.cell_id = c.cell_id AND q.id <> c.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {S.TOP_K}
+    """,
+)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN: corpus indexed into nearest-centroid cells, queries probe
+    their 2 nearest cells, exact ranking within the probed cells — the
+    inverted-file scale path (candidates ~ corpus/num_cells * probes)."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_topk(e, queries)
+
+
+@register(
     "ann_lsh_topk",
     oracle=f"""
     WITH planes AS (
