@@ -38,12 +38,21 @@ def _hash_unit(col, salt: str):
     return F.conv(F.substring(h, 1, 8), 16, 10).cast("double") / F.lit(4294967296.0)
 
 
-def synthetic_orders(
-    spark: SparkSession, n: int = 15, seed: int = 42, partitions: int | None = None
-) -> DataFrame:
-    """n synthetic Order rows: orderId string, product string, price float
-    (float32, matching order.avsc:14-17's Avro float)."""
-    base = spark.range(0, n, numPartitions=partitions or min(32, max(1, n // 1000 + 1)))
+def synthetic_orders_stream(spark: SparkSession, rows_per_second: int = 100, seed: int = 42):
+    """Streaming variant of the generator (SURVEY.md §2.1 S3 'streaming
+    variant: format(rate)'): the rate source's monotone ``value`` plays
+    the role of the row id, everything else derives identically to the
+    batch path — the stream twin produces the same order for the same id."""
+    rate = (
+        spark.readStream.format("rate")
+        .option("rowsPerSecond", str(rows_per_second))
+        .load()
+    )
+    return _order_columns(rate.select(F.col("value").alias("id")), seed)
+
+
+def _order_columns(base: DataFrame, seed: int) -> DataFrame:
+    """Derive (orderId, product, price) from an ``id`` column."""
     sid = F.col("id").cast("string")
     key = F.concat(F.lit(f"seed{seed}:"), sid)
     word = lambda salt: F.element_at(  # noqa: E731
@@ -65,3 +74,12 @@ def synthetic_orders(
         F.concat_ws(" ", word("w1:"), word("w2:")).alias("product"),
         price.cast("float").alias("price"),
     )
+
+
+def synthetic_orders(
+    spark: SparkSession, n: int = 15, seed: int = 42, partitions: int | None = None
+) -> DataFrame:
+    """n synthetic Order rows: orderId string, product string, price float
+    (float32, matching order.avsc:14-17's Avro float)."""
+    base = spark.range(0, n, numPartitions=partitions or min(32, max(1, n // 1000 + 1)))
+    return _order_columns(base, seed)
