@@ -3,10 +3,12 @@ surface, SURVEY.md §2.7): arbitrary per-group pandas logic with
 Arrow-batched transfer — the escape hatch for semantics Spark's
 built-in aggregates can't express.
 
-Used sparingly by design: the example below (per-customer order-gap
-statistics) is checkable against a pure window-function formulation in
-tests, demonstrating when NOT to reach for Python (the built-in path
-wins) while proving the plumbing for when you must.
+Group-shape guidance (measured): applyInPandas pays per-group pandas
+overhead, so it fits FEW LARGE groups (here: 15 status x priority
+segments over all orders). Keying it by a high-cardinality column
+(100k customers) cost 28 s where the built-in window formulation takes
+under a second — that anti-pattern is exactly why the test suite pins
+this operator against its window-function twin.
 """
 
 from __future__ import annotations
@@ -15,12 +17,14 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 GAP_STATS_SCHEMA = (
-    "o_custkey long, n_orders long, mean_gap_days double, max_gap_days double"
+    "o_orderstatus string, o_orderpriority string, n_orders long, "
+    "mean_gap_days double, max_gap_days double"
 )
 
 
 def order_gap_stats(orders: DataFrame) -> DataFrame:
-    """Per-customer statistics over the gaps between consecutive orders."""
+    """Per-(status, priority) statistics over gaps between consecutive
+    orders in the segment (ordered by date, then key)."""
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
@@ -28,7 +32,8 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         return pd.DataFrame(
             [
                 {
-                    "o_custkey": int(pdf["o_custkey"].iloc[0]),
+                    "o_orderstatus": pdf["o_orderstatus"].iloc[0],
+                    "o_orderpriority": pdf["o_orderpriority"].iloc[0],
                     "n_orders": len(pdf),
                     "mean_gap_days": float(gaps.mean()) if len(gaps) else float("nan"),
                     "max_gap_days": float(gaps.max()) if len(gaps) else float("nan"),
@@ -37,7 +42,7 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         )
 
     return (
-        orders.select("o_custkey", "o_orderkey", "o_orderdate")
-        .groupBy("o_custkey")
+        orders.select("o_orderstatus", "o_orderpriority", "o_orderkey", "o_orderdate")
+        .groupBy("o_orderstatus", "o_orderpriority")
         .applyInPandas(_stats, GAP_STATS_SCHEMA)
     )

@@ -150,7 +150,7 @@ def codec_roundtrip_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     enc = ocf_encode_udf(ORDER_AVRO_SCHEMA_JSON)
     dec = ocf_decode_udf(ORDER_AVRO_SCHEMA_JSON, "orderId string, product string, price float")
     # widen the single-file input so the Python codec runs on all cores
-    width = spark.sparkContext.defaultParallelism * 2
+    width = spark.sparkContext.defaultParallelism
     o = load(spark, sf_dir, "orders").repartition(width).select(
         F.col("o_orderkey").cast("string").alias("orderId"),
         F.col("o_orderpriority").alias("product"),

@@ -475,8 +475,9 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("grouped_custom_agg_order_gaps", oracle=None)  # applyInPandas surface
 def grouped_custom_agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregation via applyInPandas (UDAF surface):
-    per-customer order-gap stats. Validated in tests against the
-    equivalent window-function formulation."""
+    per-(status, priority) order-gap stats — few large groups, the shape
+    grouped-map is built for. Validated in tests against the equivalent
+    window-function formulation."""
     from ..operators.grouped import order_gap_stats
 
     return order_gap_stats(load(spark, sf_dir, "orders"))

@@ -85,24 +85,25 @@ def test_applyinpandas_gap_stats_matches_window_formulation(spark, sf_small):
     from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
 
     orders = load_table(spark, sf_small, "orders")
-    custom = {
-        r["o_custkey"]: r for r in order_gap_stats(orders).collect()
-    }
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    key = lambda r: (r["o_orderstatus"], r["o_orderpriority"])  # noqa: E731
+    custom = {key(r): r for r in order_gap_stats(orders).collect()}
+    w = Window.partitionBy("o_orderstatus", "o_orderpriority").orderBy(
+        "o_orderdate", "o_orderkey"
+    )
     gaps = (
         orders.withColumn("prev", F.lag("o_orderdate").over(w))
         .withColumn(
             "gap_days",
             (F.unix_timestamp("o_orderdate") - F.unix_timestamp("prev")) / 86400.0,
         )
-        .groupBy("o_custkey")
+        .groupBy("o_orderstatus", "o_orderpriority")
         .agg(
             F.count("*").alias("n_orders"),
             F.avg("gap_days").alias("mean_gap_days"),
             F.max("gap_days").alias("max_gap_days"),
         )
     )
-    builtin = {r["o_custkey"]: r for r in gaps.collect()}
+    builtin = {key(r): r for r in gaps.collect()}
     assert set(custom) == set(builtin)
     for k in custom:
         c, b = custom[k], builtin[k]
