@@ -687,6 +687,35 @@ def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_regex_funcs",
+    oracle=r"""
+    SELECT p_partkey,
+           regexp_extract(p_brand, '#(\d+)', 1)            AS brand_num,
+           regexp_matches(p_name, '^[a-m]')                AS starts_low,
+           regexp_replace(p_name, '[aeiou]', '_', 'g')     AS devoweled,
+           CAST(length(p_name)
+                - length(regexp_replace(p_name, '[aeiou]', '', 'g')) AS INT)
+                                                           AS n_vowels
+    FROM part
+    """,
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scalar functions: extract / rlike / replace (both engines
+    return '' for a non-matching extract, so semantics align)."""
+    p = load(spark, sf_dir, "part")
+    name, brand = F.col("p_name"), F.col("p_brand")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(brand, r"#(\d+)", 1).alias("brand_num"),
+        name.rlike("^[a-m]").alias("starts_low"),
+        F.regexp_replace(name, "[aeiou]", "_").alias("devoweled"),
+        (
+            F.length(name) - F.length(F.regexp_replace(name, "[aeiou]", ""))
+        ).cast("int").alias("n_vowels"),
+    )
+
+
+@register(
     "scalar_json_funcs",
     oracle="""
     SELECT event_id,
