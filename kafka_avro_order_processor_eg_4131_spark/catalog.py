@@ -67,12 +67,17 @@ DEC = "decimal(30,6)"
 
 
 def dsum(col: Column) -> Column:
-    """Order-independent SUM of a double column, returned as double."""
-    return F.sum(col.cast(DEC)).cast("double")
+    """Order-independent SUM of a double column, returned as double.
+
+    The decimal->double conversion goes THROUGH A STRING on both sides:
+    DuckDB's direct decimal->double cast double-rounds (int128 -> double,
+    then /10^scale) and can be 1 ulp off the true value; decimal->string
+    is exact and string->double is correctly rounded in both engines."""
+    return F.sum(col.cast(DEC)).cast("string").cast("double")
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS DOUBLE)"
+    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
 
 
 def davg(col: Column) -> Column:

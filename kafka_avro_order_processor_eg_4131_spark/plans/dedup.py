@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import bigcount_sql, load, register
 from ..operators import dedup as D
 from ..functions.text import fingerprint
+from .textops import _ALPHA, _AVGLEN, _STOPRATIO
 
 # shared SQL fragments --------------------------------------------------------
 
@@ -125,6 +126,69 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = D.shingle_rows(d).persist()
     cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
     return D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
+
+
+@register(
+    "pipeline_clean_corpus",
+    oracle=_SHINGLE_CTES + f"""
+    , sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS i
+      FROM cands c
+      JOIN sh s1 ON s1.id = c.id1
+      JOIN sh s2 ON s2.id = c.id2 AND s2.sh = s1.sh
+      GROUP BY c.id1, c.id2
+    ),
+    neardup_losers AS (
+      SELECT DISTINCT i.id2 AS id
+      FROM inter i JOIN sizes n1 ON n1.id = i.id1 JOIN sizes n2 ON n2.id = i.id2
+      WHERE CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) >= 0.8
+    ),
+    quality AS (
+      SELECT doc_id, (0.4 * {_STOPRATIO}
+            + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+            + 0.3 * {_ALPHA}) AS q
+      FROM documents
+    ),
+    exact_keepers AS (
+      SELECT MIN(doc_id) AS doc_id
+      FROM documents
+      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+    )
+    SELECT d.doc_id, q.q AS quality_score
+    FROM documents d
+    JOIN quality q ON q.doc_id = d.doc_id
+    JOIN exact_keepers k ON k.doc_id = d.doc_id
+    WHERE q.q >= 0.39
+      AND d.doc_id NOT IN (SELECT id FROM neardup_losers)
+    """,
+)
+def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite training-data cleaning pipeline: quality filter ->
+    exact dedup (min-id keeper) -> near-dup removal (higher id of every
+    >=0.8-jaccard LSH-verified pair dropped). One DataFrame chain; every
+    stage is a previously-verified operator composed end-to-end."""
+    from ..functions.text import fingerprint, quality_score
+
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d).persist()
+    cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
+    losers = (
+        D.jaccard_pairs(sh, cands)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    keepers = d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    return (
+        d.withColumn("quality_score", quality_score(F.col("text")))
+        .filter(F.col("quality_score") >= 0.39)
+        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .select("doc_id", "quality_score")
+    )
 
 
 # --- SimHash ------------------------------------------------------------------

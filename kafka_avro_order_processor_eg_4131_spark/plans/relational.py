@@ -647,6 +647,108 @@ def having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_argminmax",
+    oracle="""
+    SELECT o_orderstatus,
+           arg_min(o_orderkey, printf('%020.4f', o_totalprice) || '-'
+                               || printf('%012d', o_orderkey)) AS cheapest_order,
+           arg_max(o_orderkey, printf('%020.4f', o_totalprice) || '-'
+                               || printf('%012d', o_orderkey)) AS priciest_order
+    FROM orders GROUP BY o_orderstatus
+    """,
+)
+def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """min_by/max_by (arg-min/arg-max aggregation). Price ties exist in
+    the fixture, so the ordering key is a printf-encoded (price, key)
+    composite — lexicographic == numeric for the fixed-width encoding,
+    identical in both engines, fully deterministic."""
+    o = load(spark, sf_dir, "orders")
+    ordkey = F.concat(
+        F.format_string("%020.4f", F.col("o_totalprice")),
+        F.lit("-"),
+        F.format_string("%012d", F.col("o_orderkey")),
+    )
+    return o.groupBy("o_orderstatus").agg(
+        F.min_by(F.col("o_orderkey"), ordkey).alias("cheapest_order"),
+        F.max_by(F.col("o_orderkey"), ordkey).alias("priciest_order"),
+    )
+
+
+@register(
+    "agg_variance_exact",
+    oracle="""
+    WITH s AS (
+      SELECT o_orderstatus,
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             -- DECIMAL(19,4): forces int128 storage so DuckDB's multiply
+             -- cannot overflow; Spark side uses (18,4) so its product stays
+             -- within precision 38 without scale adjustment. Both exact.
+             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
+                      * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, n,
+           ((sxx - sx * sx / n) / (n - 1)) AS var_samp,
+           sqrt((sxx - sx * sx / n) / (n - 1)) AS stddev_samp
+    FROM s
+    """,
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev of the 4-dp-rounded price, via exact
+    decimal sums of x and x*x. The double->decimal cast happens ONCE at
+    a safe position (10 significant digits); the square is computed IN
+    decimal so both engines do exact integer arithmetic afterwards.
+    (Casting the double product x*x directly diverges: Spark's cast
+    goes through the 17-significant-digit shortest repr while DuckDB
+    converts exactly — a measured 3-ulp mismatch at sf0.01.)"""
+    o = load(spark, sf_dir, "orders")
+    xd = F.col("o_totalprice").cast("decimal(18,4)")
+    grouped = o.groupBy("o_orderstatus").agg(
+        F.sum(xd).cast("string").cast("double").alias("sx"),
+        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return grouped.select(
+        "o_orderstatus", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
+    )
+
+
+@register(
+    "funnel_click_to_purchase",
+    oracle="""
+    SELECT c.event_id AS click_id, p.event_id AS purchase_id, c.user_id
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click' AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL '5 minutes'
+    """,
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval (range) self-join: purchases within 5 minutes after a
+    click by the same user — the batch twin of the watermark-bounded
+    stream-stream join (streaming/joins.py). Equi-key + range residual,
+    so Catalyst plans a hash join with a post-filter, not a cartesian."""
+    e = load(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").alias("c")
+    p = e.filter(F.col("event_type") == "purchase").alias("p")
+    return (
+        c.join(
+            p,
+            (F.col("c.user_id") == F.col("p.user_id"))
+            & (F.col("p.ts") >= F.col("c.ts"))
+            & (F.col("p.ts") < F.col("c.ts") + F.expr("INTERVAL 5 MINUTES")),
+        )
+        .select(
+            F.col("c.event_id").alias("click_id"),
+            F.col("p.event_id").alias("purchase_id"),
+            F.col("c.user_id").alias("user_id"),
+        )
+    )
+
+
+@register(
     "agg_percentiles",
     oracle="""
     SELECT o_orderstatus,

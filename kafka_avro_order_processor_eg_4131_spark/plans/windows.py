@@ -102,11 +102,11 @@ def window_lag_lead_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
                 OVER (PARTITION BY o_custkey
                       ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS DOUBLE) AS running_spend
+                AS VARCHAR) AS DOUBLE) AS running_spend
     FROM orders
     """,
 )
@@ -121,7 +121,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double").alias("running_spend"),
+        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("string").cast("double").alias("running_spend"),
     )
 
 
@@ -129,7 +129,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_avg",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS DOUBLE)
+           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS VARCHAR) AS DOUBLE)
              / COUNT(*) OVER w AS moving_avg_4
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
@@ -149,7 +149,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         "o_orderkey",
         (
-            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("double")
+            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("string").cast("double")
             / F.count("*").over(w)
         ).alias("moving_avg_4"),
     )
