@@ -426,6 +426,75 @@ def setop_except_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "setop_union_all_counts",
+    oracle=f"""
+    SELECT custkey, {bigcount_sql()} AS n
+    FROM (
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+      UNION ALL
+      SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    )
+    GROUP BY custkey
+    """,
+)
+def setop_union_all_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNION ALL (bag union, duplicates preserved) + count per key."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.union(b).groupBy("custkey").agg(F.count("*").alias("n"))
+
+
+@register(
+    "setop_except_all_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    EXCEPT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_except_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL (multiset difference: multiplicities subtract)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.exceptAll(b)
+
+
+@register(
+    "setop_intersect_all_buyers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT ALL
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+)
+def setop_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT ALL (multiset intersection: min of multiplicities)."""
+    o = load(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = o.filter(F.col("o_orderstatus") == "F").select(F.col("o_custkey").alias("custkey"))
+    return a.intersectAll(b)
+
+
+@register("agg_percentile_approx", oracle=None)  # sketch: no exact SQL twin
+def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentile sketch (KLL/GK-style) — the bounded-memory
+    companion to agg_percentiles; accuracy vs the exact percentile is
+    asserted in tests."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("median_approx")
+    )
+
+
+@register(
     "distinct_status_priority",
     oracle="""
     SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders

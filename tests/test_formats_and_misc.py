@@ -114,3 +114,18 @@ def test_applyinpandas_gap_stats_matches_window_formulation(spark, sf_small):
                 assert cv is None or math.isnan(cv)
             else:
                 assert abs(cv - bv) < 1e-9, (k, col, cv, bv)
+
+
+def test_percentile_approx_accuracy(spark, sf_oracle):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    approx = {
+        r["o_orderstatus"]: r["median_approx"]
+        for r in REGISTRY["agg_percentile_approx"].fn(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["o_orderstatus"]: r["median_price"]
+        for r in REGISTRY["agg_percentiles"].fn(spark, sf_oracle).collect()
+    }
+    for k, ex in exact.items():
+        assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
