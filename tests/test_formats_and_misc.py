@@ -129,3 +129,17 @@ def test_percentile_approx_accuracy(spark, sf_oracle):
     }
     for k, ex in exact.items():
         assert abs(approx[k] - ex) / ex < 0.05, (k, approx[k], ex)
+
+
+def test_user_api_sql_and_named_queries(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark import api
+
+    df = api.sql(
+        spark,
+        sf_small,
+        "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY 1",
+    )
+    assert {r["o_orderstatus"] for r in df.collect()} == {"F", "O", "P"}
+    named = api.run_query(spark, sf_small, "route_status_agg").collect()
+    assert len(named) == 3
+    assert "route_status_agg" in api.list_queries()
