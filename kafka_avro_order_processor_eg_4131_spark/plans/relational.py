@@ -483,6 +483,30 @@ def setop_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return a.intersectAll(b)
 
 
+@register(
+    "agg_price_histogram",
+    oracle=f"""
+    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+           {bigcount_sql()} AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders
+    GROUP BY 1
+    """,
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric binning / histogram: fixed-width buckets via floor
+    division (exact double op), count + extrema per bucket."""
+    o = load(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+    ).agg(
+        F.count("*").alias("n"),
+        F.min("o_totalprice").alias("lo"),
+        F.max("o_totalprice").alias("hi"),
+    )
+
+
 @register("agg_percentile_approx", oracle=None)  # sketch: no exact SQL twin
 def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentile sketch (KLL/GK-style) — the bounded-memory
