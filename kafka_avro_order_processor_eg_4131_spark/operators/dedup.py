@@ -119,7 +119,13 @@ def candidate_pairs(buckets: DataFrame) -> DataFrame:
 
 
 def jaccard_pairs(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Exact shingle-set Jaccard for the given candidate pairs."""
+    """Exact shingle-set Jaccard for the given candidate pairs.
+
+    Deliberately NOT semi-join-pruned to candidate ids: A/B-measured at
+    sf0.1, the prefilter RECOMPUTES the candidate pipeline for its
+    broadcast and nearly doubles wall-clock (4.7s -> 9.1s). With a
+    persisted candidate relation (very large corpora) the prune pays;
+    at this shape the straight join wins."""
     sizes = sh_rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh_rows.alias("s1"), F.col("id1") == F.col("s1.id"))

@@ -693,6 +693,82 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q8_market_share",
+    oracle=f"""
+    SELECT o_year,
+           ({dsum_sql("CASE WHEN n_name = 'NATION_3' THEN volume ELSE 0.0 END")}
+            / {dsum_sql("volume")}) AS mkt_share
+    FROM (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+             l_extendedprice * (1 - l_discount) AS volume,
+             n_name
+      FROM lineitem
+      JOIN orders   ON o_orderkey = l_orderkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation   ON s_nationkey = n_nationkey
+    )
+    GROUP BY o_year
+    """,
+)
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: market share as a ratio of conditional decimal
+    sums per year (share of supplier NATION_3 volume)."""
+    l = load(spark, sf_dir, "lineitem")
+    o = load(spark, sf_dir, "orders")
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_volume = F.when(F.col("n_name") == "NATION_3", volume).otherwise(F.lit(0.0))
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg((dsum(nat_volume) / dsum(volume)).alias("mkt_share"))
+    )
+
+
+@register(
+    "scalar_null_funcs",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(o.o_orderkey, -1)            AS first_order_or_sentinel,
+           (o.o_orderkey IS NULL)                AS never_ordered,
+           NULLIF(c.c_mktsegment, 'BUILDING')    AS segment_or_null,
+           IFNULL(CAST(o.o_totalprice AS DOUBLE), 0.0) AS price_or_zero
+    FROM customer c
+    LEFT JOIN (
+      SELECT o_custkey, MIN(o_orderkey) AS o_orderkey,
+             MIN(o_totalprice) AS o_totalprice
+      FROM orders WHERE o_orderdate < TIMESTAMP '1995-03-01'
+      GROUP BY o_custkey
+    ) o ON o.o_custkey = c.c_custkey
+    """,
+)
+def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-handling functions (coalesce/nullif/ifnull/isnull) over the
+    nulls a LEFT JOIN actually produces."""
+    c = load(spark, sf_dir, "customer")
+    o = (
+        load(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") < F.lit("1995-03-01").cast("timestamp_ntz"))
+        .groupBy("o_custkey")
+        .agg(
+            F.min("o_orderkey").alias("o_orderkey"),
+            F.min("o_totalprice").alias("o_totalprice"),
+        )
+    )
+    j = c.join(o, F.col("o_custkey") == F.col("c_custkey"), "left")
+    return j.select(
+        "c_custkey",
+        F.coalesce(F.col("o_orderkey"), F.lit(-1)).alias("first_order_or_sentinel"),
+        F.col("o_orderkey").isNull().alias("never_ordered"),
+        F.nullif(F.col("c_mktsegment"), F.lit("BUILDING")).alias("segment_or_null"),
+        F.ifnull(F.col("o_totalprice").cast("double"), F.lit(0.0)).alias("price_or_zero"),
+    )
+
+
+@register(
     "q16_supplier_part_counts",
     oracle="""
     SELECT p_brand, p_type, p_size,

@@ -45,6 +45,13 @@ def test_semi_join_is_semi(spark, sf_small):
     assert "LeftSemi" in plan, plan[:1500]
 
 
+def test_funnel_interval_join_is_hash_not_cartesian(spark, sf_small):
+    plan = _plan(spark, "funnel_click_to_purchase", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # equi-key with range residual -> hash join (broadcast or shuffled)
+    assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+
+
 def test_minhash_join_is_on_buckets_not_all_pairs(spark, sf_small):
     plan = _plan(spark, "dedup_minhash_candidates", sf_small)
     # candidate generation must be an equi-join (hash join on band/bucket),
