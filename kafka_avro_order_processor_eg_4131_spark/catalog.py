@@ -124,6 +124,7 @@ def _populate() -> None:
         relational,
         similarity,
         textops,
+        tpch_extra,
         timeops,
         windows,
     )
