@@ -31,6 +31,17 @@ def main() -> None:
     # queries, not session bootstrap
     spark.read.parquet(os.path.join(sf_dir, "orders.parquet")).count()
 
+    # warm the Python worker pool + Arrow serialization path too —
+    # otherwise the first pandas-UDF query is charged ~1-2 s of
+    # per-executor worker spawn that belongs to the session, not the query
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    _noop = pandas_udf(lambda s: s, "long")
+    spark.range(spark.sparkContext.defaultParallelism * 2).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(_noop(F.col("id"))).count()
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):

@@ -88,27 +88,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, queries)
 
 
+@register("ann_ivf_kmeans_topk", oracle=None)  # iterative k-means: recall-tested
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with Lloyd-refined centroids (16 cells, 1 iteration,
+    3 probes, deterministic first-k seed) — finer, better-balanced
+    cells than ann_ivf_topk's 8 first-k centroids: recall@5 ~0.79 vs
+    ~0.64 while scanning FEWER candidates (~93 vs ~127 of 500).
+    Rows-only: iterative training has no SQL twin;
+    tests/test_extensions.py pins recall against brute force."""
+    e = load(spark, sf_dir, "embeddings")
+    queries = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.ivf_kmeans_topk(e, queries)
+
+
 @register(
     "ann_lsh_topk",
     oracle=f"""
-    WITH planes AS (
-      SELECT vec_id AS plane_id_src, embedding,
-             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS plane_id
-      FROM embeddings ORDER BY vec_id LIMIT {S.NUM_PLANES}
+    WITH lead AS (
+      SELECT embedding,
+             CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
+      FROM embeddings ORDER BY vec_id
+      LIMIT {2 * S.NUM_TABLES * S.BITS_PER_TABLE}
+    ),
+    planes AS (
+      SELECT CAST((a.rn // 2) // {S.BITS_PER_TABLE} AS INT) AS table_id,
+             CAST((a.rn // 2) % {S.BITS_PER_TABLE} AS INT) AS bit_id,
+             a.embedding AS p1, b.embedding AS p2
+      FROM lead a JOIN lead b ON b.rn = a.rn + 1
+      WHERE a.rn % 2 = 0
     ),
     bucketed AS (
-      SELECT e.vec_id AS id, e.embedding AS vec,
-             CAST(SUM(CASE WHEN {dot_sql("e.embedding", "p.embedding")} >= 0
-                      THEN CAST(POW(2.0, p.plane_id) AS BIGINT) ELSE 0 END) AS BIGINT)
+      SELECT e.vec_id AS id, e.embedding AS vec, p.table_id,
+             CAST(SUM(CASE WHEN {dot_sql("e.embedding", "p.p1")}
+                             - {dot_sql("e.embedding", "p.p2")} >= 0
+                      THEN CAST(POW(2.0, p.bit_id) AS BIGINT) ELSE 0 END) AS BIGINT)
                AS bucket
       FROM embeddings e CROSS JOIN planes p
-      GROUP BY e.vec_id, e.embedding
+      GROUP BY e.vec_id, e.embedding, p.table_id
     ),
     scored AS (
-      SELECT q.id AS query_id, c.id AS neighbor_id,
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
              {cosine_sql("q.vec", "c.vec")} AS cos
       FROM bucketed q JOIN bucketed c
-        ON q.bucket = c.bucket AND q.id <> c.id
+        ON q.table_id = c.table_id AND q.bucket = c.bucket AND q.id <> c.id
       WHERE q.id < {_N_QUERIES}
     ),
     ranked AS (
@@ -121,9 +143,11 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-5 via sign-LSH buckets (8 data-derived
-    hyperplanes): candidates restricted to the query's bucket — the
-    scale path replacing the quadratic cross join."""
+    """Approximate top-5 via multi-table sign-LSH (4 tables x 4 bits,
+    difference-pair hyperplanes): candidates are bucket collisions in
+    any table — the scale path replacing the quadratic cross join.
+    Recall@5 ~0.5 on the fixture embeddings vs ~0.01 for a single
+    8-bit table (pinned in tests/test_extensions.py)."""
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.lsh_topk(e, queries)

@@ -97,6 +97,55 @@ def test_lsh_topk_is_subset_quality(spark, sf_small):
         assert exact_scores[key] == r["cos"]
 
 
+def _recall_pairs(df):
+    return {(r["query_id"], r["neighbor_id"]) for r in df.collect()}
+
+
+def test_ann_recall_ladder(spark, sf_small):
+    """Pin the recall@5 ordering of the ANN variants against brute
+    force: k-means IVF > first-k IVF, and multi-table LSH well above
+    the useless single-table floor. Absolute floors are loose (the
+    fixture embeddings are fixed, so these are deterministic)."""
+    from kafka_avro_order_processor_eg_4131_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_kmeans_topk,
+        ivf_topk,
+        lsh_topk,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = _recall_pairs(brute_force_topk(emb, queries))
+
+    def recall(df):
+        return len(exact & _recall_pairs(df)) / len(exact)
+
+    r_ivf = recall(ivf_topk(emb, queries))
+    r_km = recall(ivf_kmeans_topk(emb, queries))
+    r_lsh = recall(lsh_topk(emb, queries))
+    assert r_km >= r_ivf, (r_km, r_ivf)
+    assert r_km >= 0.7, r_km
+    assert r_lsh >= 0.4, r_lsh
+
+
+def test_kmeans_centroids_deterministic_and_shaped(spark, sf_small):
+    """Two runs produce identical centroids (fixed seed = first-k init,
+    exact JVM arithmetic); every centroid keeps the embedding width."""
+    from kafka_avro_order_processor_eg_4131_spark.operators.similarity import (
+        kmeans_centroids,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    emb = load_table(spark, sf_small, "embeddings")
+    a = {r["cell_id"]: r["embedding"] for r in kmeans_centroids(emb).collect()}
+    b = {r["cell_id"]: r["embedding"] for r in kmeans_centroids(emb).collect()}
+    assert a == b
+    width = len(emb.first()["embedding"])
+    assert all(len(v) == width for v in a.values())
+    assert len(a) >= 2
+
+
 def test_simhash_similar_docs_close(spark):
     """Near-identical texts must land within small hamming distance;
     unrelated texts far."""
