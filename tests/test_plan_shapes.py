@@ -52,6 +52,42 @@ def test_funnel_interval_join_is_hash_not_cartesian(spark, sf_small):
     assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
 
 
+def test_q1_scan_pruned_to_agg_columns(spark, sf_small):
+    plan = _plan(spark, "q1_pricing_summary", sf_small)
+    # shipdate predicate pushed; only the 7 referenced columns read
+    assert "PushedFilters" in plan, plan[:1500]
+    assert "l_orderkey" not in plan.split("ReadSchema")[-1][:400]
+
+
+def test_q10_topk_is_take_ordered(spark, sf_small):
+    plan = _plan(spark, "q10_returned_items", sf_small)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "BroadcastHashJoin" in plan  # nation stays broadcast
+
+
+def test_q15_scalar_max_is_broadcast_not_collect(spark, sf_small):
+    plan = _plan(spark, "q15_top_supplier", sf_small)
+    # the 1-row max() aggregate joins back via broadcast — the whole query
+    # is one plan, no driver-side collect boundary
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan, plan[:2500]
+
+
+def test_q17_decorrelated_no_cartesian(spark, sf_small):
+    plan = _plan(spark, "q17_small_quantity_revenue", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2500]
+
+
+def test_q21_semi_anti_shape_no_cartesian(spark, sf_small):
+    plan = _plan(spark, "q21_waiting_suppliers", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2500]
+    assert "BroadcastHashJoin" in plan  # supplier dim broadcast
+
+
+def test_q22_anti_join_is_anti(spark, sf_small):
+    plan = _plan(spark, "q22_global_sales_opportunity", sf_small)
+    assert "LeftAnti" in plan, plan[:2500]
+
+
 def test_minhash_join_is_on_buckets_not_all_pairs(spark, sf_small):
     plan = _plan(spark, "dedup_minhash_candidates", sf_small)
     # candidate generation must be an equi-join (hash join on band/bucket),
