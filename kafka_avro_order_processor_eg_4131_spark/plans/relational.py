@@ -769,6 +769,48 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           ['bucket', 'priority', 'status'] AS keys_sorted,
+           o_orderstatus AS status_v,
+           CASE WHEN o_totalprice > 1000.0 THEN 'high' ELSE 'low' END AS bucket_v,
+           3 AS n_entries,
+           upper(o_orderpriority) AS prio_upper,
+           CASE WHEN o_totalprice <= 1000.0 THEN 1 ELSE 0 END AS n_low
+    FROM orders
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed expression surface: create_map / map_concat / map_keys /
+    element_at / transform_values / map_filter / size, verified by
+    collapsing every map back to plain scalars (the oracle computes the
+    same values with ordinary SQL — DuckDB's map accessors return lists,
+    so map-typed outputs don't hash-compare portably)."""
+    o = load(spark, sf_dir, "orders")
+    m1 = F.create_map(
+        F.lit("status"), F.col("o_orderstatus"),
+        F.lit("priority"), F.col("o_orderpriority"),
+    )
+    m2 = F.create_map(
+        F.lit("bucket"),
+        F.when(F.col("o_totalprice") > 1000.0, F.lit("high")).otherwise("low"),
+    )
+    merged = F.map_concat(m1, m2)
+    return o.select(
+        "o_orderkey",
+        F.array_sort(F.map_keys(merged)).alias("keys_sorted"),
+        F.element_at(merged, "status").alias("status_v"),
+        F.element_at(merged, "bucket").alias("bucket_v"),
+        F.size(merged).alias("n_entries"),
+        F.element_at(
+            F.transform_values(merged, lambda _, v: F.upper(v)), "priority"
+        ).alias("prio_upper"),
+        F.size(F.map_filter(merged, lambda _, v: v == "low")).alias("n_low"),
+    )
+
+
+@register(
     "q16_supplier_part_counts",
     oracle="""
     SELECT p_brand, p_type, p_size,

@@ -642,6 +642,104 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# full outer join — period-over-period customer activity
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "join_full_outer_activity",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_custkey, {bigcount_sql()} AS n_1995 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate <  TIMESTAMP '1996-01-01'
+      GROUP BY o_custkey
+    ),
+    b AS (
+      SELECT o_custkey, {bigcount_sql()} AS n_2000 FROM orders
+      WHERE o_orderdate >= TIMESTAMP '2000-01-01'
+        AND o_orderdate <  TIMESTAMP '2001-01-01'
+      GROUP BY o_custkey
+    )
+    SELECT COALESCE(a.o_custkey, b.o_custkey) AS custkey,
+           IFNULL(n_1995, 0) AS n_1995,
+           IFNULL(n_2000, 0) AS n_2000
+    FROM a FULL OUTER JOIN b ON a.o_custkey = b.o_custkey
+    """,
+)
+def join_full_outer_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one join type the rest of the catalog
+    doesn't exercise): customers active in 1995 vs 2000 — either side
+    can be null. Both inputs pre-aggregate on the join key, so the
+    outer join shuffles two already-reduced relations."""
+    o = load(spark, sf_dir, "orders")
+
+    def year_counts(y: int, out: str) -> DataFrame:
+        return (
+            o.filter(
+                (F.col("o_orderdate") >= _ts(f"{y}-01-01"))
+                & (F.col("o_orderdate") < _ts(f"{y + 1}-01-01"))
+            )
+            .groupBy("o_custkey")
+            .agg(F.count("*").alias(out))
+        )
+
+    a = year_counts(1995, "n_1995").withColumnRenamed("o_custkey", "ck_a")
+    b = year_counts(2000, "n_2000").withColumnRenamed("o_custkey", "ck_b")
+    return (
+        a.join(b, F.col("ck_a") == F.col("ck_b"), "full_outer")
+        .select(
+            F.coalesce(F.col("ck_a"), F.col("ck_b")).alias("custkey"),
+            F.ifnull(F.col("n_1995"), F.lit(0)).alias("n_1995"),
+            F.ifnull(F.col("n_2000"), F.lit(0)).alias("n_2000"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# unpivot — inverse of the pivot query (wide counts -> long)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "unpivot_status_priority_counts",
+    oracle=f"""
+    WITH wide AS (
+      SELECT o_orderstatus,
+             {bigsum_sql("CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END")} AS URGENT,
+             {bigsum_sql("CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END")} AS HIGH,
+             {bigsum_sql("CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END")} AS OTHER
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus, 'URGENT' AS priority_class, URGENT AS n_orders FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'HIGH', HIGH FROM wide
+    UNION ALL
+    SELECT o_orderstatus, 'OTHER', OTHER FROM wide
+    """,
+)
+def unpivot_status_priority_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide per-status priority counts back to long
+    (status, priority_class, n_orders) rows — the inverse of
+    pivot_priority_by_status. Narrow result; the wide input is an
+    already-reduced aggregate, so unpivot is a projection (no shuffle)."""
+    o = load(spark, sf_dir, "orders")
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)
+    high = F.when(F.col("o_orderpriority") == "2-HIGH", 1).otherwise(0)
+    other = F.when(
+        ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    wide = o.groupBy("o_orderstatus").agg(
+        F.sum(urgent).alias("URGENT"),
+        F.sum(high).alias("HIGH"),
+        F.sum(other).alias("OTHER"),
+    )
+    return wide.unpivot(
+        ["o_orderstatus"], ["URGENT", "HIGH", "OTHER"], "priority_class", "n_orders"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Q22 — anti-join + scalar-avg threshold over name-derived codes
 # ---------------------------------------------------------------------------
 

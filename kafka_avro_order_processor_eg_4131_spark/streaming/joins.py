@@ -30,10 +30,16 @@ def stream_stream_within(
     right_ts: str = "ts",
     watermark: str = "10 minutes",
     within: str = "5 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Inner join of two streams on ``key`` where the right event happens
+    """Join of two streams on ``key`` where the right event happens
     within [left_ts, left_ts + within). Both sides watermarked so join
-    state is bounded by watermark + within."""
+    state is bounded by watermark + within.
+
+    ``how="leftOuter"`` additionally emits unmatched left rows
+    (right columns null) — but only once the watermark passes the row's
+    join bound, because until then a matching right row could still
+    arrive; the time-bound condition is what makes that decidable."""
     l = left.withWatermark(left_ts, watermark).alias("l")
     r = right.withWatermark(right_ts, watermark).alias("r")
     cond = (
@@ -41,4 +47,4 @@ def stream_stream_within(
         & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
         & (F.col(f"r.{right_ts}") < F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner")
+    return l.join(r, cond, how)

@@ -48,6 +48,57 @@ def test_stream_static_enrichment(spark, sf_small, tmp_path):
     assert rows and all(r["c_mktsegment"] is not None for r in rows)
 
 
+def test_stream_stream_left_outer_emits_unmatched_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: clicks with no purchase within the
+    bound emit with null right columns once the watermark passes their
+    join window. Watermark progression is driven by a second batch of
+    much-later sentinel rows (maxFilesPerTrigger=1 keeps the batches
+    ordered)."""
+    import time
+
+    from kafka_avro_order_processor_eg_4131_spark.streaming.joins import (
+        stream_stream_within,
+    )
+
+    clicks_dir = str(tmp_path / "clicks")
+    buys_dir = str(tmp_path / "buys")
+    _write_events(spark, clicks_dir, [
+        (1, "2024-01-01 10:00:00", 7, "click"),   # matched by buy 101
+        (2, "2024-01-01 10:10:00", 8, "click"),   # never matched -> null row
+    ])
+    _write_events(spark, buys_dir, [
+        (101, "2024-01-01 10:03:00", 7, "purchase"),
+    ])
+    time.sleep(1.1)  # distinct mtimes so the sentinel files form batch 2
+    # sentinels push the watermark (10 min delay) far past every bound
+    _write_events(spark, clicks_dir, [(99, "2024-01-01 12:00:00", 99, "click")])
+    _write_events(spark, buys_dir, [(199, "2024-01-01 12:00:00", 98, "purchase")])
+
+    schema = "event_id long, user_id long, event_type string, ts timestamp"
+    clicks = spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(
+        clicks_dir
+    )
+    buys = spark.readStream.schema(schema).parquet(buys_dir)
+    joined = stream_stream_within(clicks, buys, key="user_id", how="leftOuter").select(
+        F.col("l.event_id").alias("click_id"),
+        F.col("r.event_id").alias("buy_id"),
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("click_buys_outer")
+        .option("checkpointLocation", str(tmp_path / "ck_outer"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["click_id"], r["buy_id"])
+        for r in spark.table("click_buys_outer").collect()
+    }
+    assert (1, 101) in got, got            # matched pair
+    assert (2, None) in got, got           # unmatched left, emitted via outer path
+
+
 def test_stream_stream_join_within_bound(spark, tmp_path):
     from kafka_avro_order_processor_eg_4131_spark.streaming.joins import stream_stream_within
 
