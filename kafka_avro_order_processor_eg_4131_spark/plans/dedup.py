@@ -191,6 +191,56 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "dedup_cluster_components",
+    # the recursive member requires the RECURSIVE keyword on the WHOLE
+    # CTE chain, so patch the shared prefix
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + """
+    , sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS i
+      FROM cands c
+      JOIN sh s1 ON s1.id = c.id1
+      JOIN sh s2 ON s2.id = c.id2 AND s2.sh = s1.sh
+      GROUP BY c.id1, c.id2
+    ),
+    edges AS (
+      SELECT i.id1, i.id2
+      FROM inter i
+      JOIN sizes n1 ON n1.id = i.id1
+      JOIN sizes n2 ON n2.id = i.id2
+      WHERE CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) >= 0.8
+    ),
+    nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+    undirected AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION SELECT id2, id1 FROM edges
+    ),
+    reach(id, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN undirected u ON u.a = r.id
+    )
+    SELECT id, MIN(root) AS component FROM reach GROUP BY id
+    """,
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-cluster assignment: connected components over the
+    >=0.8-Jaccard near-dup graph (pairwise dedup misses transitive
+    clusters A~B~C where A!~C; components give each cluster one keeper
+    = its min doc_id). Spark side is iterative min-label propagation
+    (operators/dedup.py::connected_components); the DuckDB oracle is a
+    recursive CTE computing min reachable id — one of the few iterative
+    operators with an exact SQL twin. Note the oracle needs WITH
+    RECURSIVE, which DuckDB supports; the prefix CTE is shared with
+    dedup_jaccard_verified."""
+    d = load(spark, sf_dir, "documents")
+    sh = D.shingle_rows(d).persist()
+    cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
+    edges = D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
+    return D.connected_components(edges)
+
+
 # --- SimHash ------------------------------------------------------------------
 
 _HEX = "0123456789abcdef"

@@ -146,6 +146,24 @@ def test_kmeans_centroids_deterministic_and_shaped(spark, sf_small):
     assert len(a) >= 2
 
 
+def test_connected_components_transitive_chain(spark):
+    """A~B, B~C, C~D must collapse into ONE component labeled min(id),
+    pairwise-disjoint clusters stay separate, and a self-pair is its
+    own singleton. Chain diameter 3 exercises multi-round propagation."""
+    from kafka_avro_order_processor_eg_4131_spark.operators.dedup import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 40), (50, 60), (70, 70)],
+        "id1 long, id2 long",
+    )
+    got = {
+        r["id"]: r["component"] for r in connected_components(edges).collect()
+    }
+    assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50, 70: 70}
+
+
 def test_simhash_similar_docs_close(spark):
     """Near-identical texts must land within small hamming distance;
     unrelated texts far."""
