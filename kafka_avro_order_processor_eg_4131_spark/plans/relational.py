@@ -811,6 +811,37 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_string_concat_ordered",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(COUNT(DISTINCT o_orderpriority) AS INT) AS n_priorities
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+)
+def agg_string_concat_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG/STRING_AGG semantics): the
+    distinct set is collected, sorted, then joined — collect_set +
+    array_sort + array_join is the deterministic formulation (raw
+    listagg/string_agg output order is engine-dependent; pinning the
+    ORDER BY on both sides makes it portable)."""
+    o = load(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderstatus")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_set("o_orderpriority")), ","
+            ).alias("priorities"),
+            F.size(F.collect_set("o_orderpriority")).alias("n_priorities"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "q16_supplier_part_counts",
     oracle="""
     SELECT p_brand, p_type, p_size,

@@ -143,3 +143,96 @@ def dedup_events_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("event_id").alias("first_event_id"),
         F.count("*").alias("n_duplicates"),
     )
+
+
+@register(
+    "cohort_weekly_retention",
+    oracle=f"""
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ),
+    activity AS (
+      SELECT DISTINCT user_id, date_trunc('week', ts) AS activity_week
+      FROM events
+    )
+    SELECT f.cohort_week,
+           CAST(date_diff('day', f.cohort_week, a.activity_week) // 7 AS INT)
+             AS week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM first_seen f JOIN activity a ON a.user_id = f.user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def cohort_weekly_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users bucketed by first-seen week, then
+    distinct active users per (cohort, weeks-since-cohort) — the
+    standard product-analytics shape. Two aggregates over the same
+    user_id shuffle key plus one broadcast-able join (first_seen is one
+    row per user, far smaller than events)."""
+    e = load(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    activity = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("activity_week")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            F.floor(
+                F.datediff(F.col("activity_week"), F.col("cohort_week")) / 7
+            ).cast("int").alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+@register(
+    "timeseries_dense_daily_counts",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM events WHERE event_type = 'purchase'
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM bounds
+    ),
+    actual AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT s.day, COALESCE(a.n, 0) AS n_purchases
+    FROM spine s LEFT JOIN actual a ON a.day = s.day
+    ORDER BY s.day
+    """,
+)
+def timeseries_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily counts (dense time series): a generated date
+    spine LEFT-joined to the actual per-day aggregate, zeros where no
+    events landed — the standard resample-with-fill shape. The spine is
+    F.sequence over the min/max bounds (one-row aggregate, exploded),
+    so no driver-side date arithmetic; at scale the spine is tiny and
+    broadcast while the aggregate side carries the data."""
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    actual = (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        spine.join(actual, "day", "left")
+        .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"))
+        .orderBy("day")
+    )
