@@ -615,6 +615,66 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_with_grouping_id",
+    oracle=f"""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+           CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+           {bigcount_sql()} AS n
+    FROM orders
+    GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    """,
+)
+def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP with GROUPING() indicator columns — how a consumer tells a
+    real NULL group key from a subtotal row. grouping() returns tinyint
+    in Spark and is cast to INT on both sides."""
+    o = load(spark, sf_dir, "orders")
+    return o.rollup("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count("*").alias("n"),
+    ).select("o_orderstatus", "o_orderpriority", "g_status", "g_priority", "n")
+
+
+@register(
+    "scalar_try_funcs",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN l_tax = 0.0 THEN NULL
+                ELSE l_extendedprice / l_tax END AS price_per_tax,
+           CASE WHEN l_quantity = CAST(l_quantity AS BIGINT)
+                THEN CAST(l_quantity AS BIGINT) ELSE NULL END AS qty_int,
+           CASE WHEN l_linenumber <= 2 THEN l_linenumber ELSE NULL END
+             AS second_or_null
+    FROM lineitem
+    WHERE l_orderkey < 500
+    """,
+)
+def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safe try_* family (this engine runs ANSI mode, where a bare
+    divide-by-zero or bad cast RAISES): try_divide / try_element_at
+    return NULL instead. The oracle states the same semantics with
+    CASE, since DuckDB's operators are null-returning already."""
+    l = load(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 500)
+    return l.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(
+            F.col("l_extendedprice"),
+            F.nullif(F.col("l_tax"), F.lit(0.0)),
+        ).alias("price_per_tax"),
+        F.when(
+            F.col("l_quantity") == F.col("l_quantity").cast("bigint"),
+            F.col("l_quantity").cast("bigint"),
+        ).alias("qty_int"),
+        F.try_element_at(
+            F.array(F.lit(1), F.lit(2)), F.col("l_linenumber")
+        ).alias("second_or_null"),
+    )
+
+
+@register(
     "grouping_sets_status_segment",
     oracle=f"""
     SELECT o_orderstatus, c_mktsegment, {bigcount_sql()} AS n

@@ -88,6 +88,21 @@ def test_q22_anti_join_is_anti(spark, sf_small):
     assert "LeftAnti" in plan, plan[:2500]
 
 
+def test_fact_fact_join_flips_to_sort_merge_at_scale(spark, sf_small):
+    """At fixture scale every join broadcasts; on a 100 TB cluster the
+    fact-fact joins exceed any broadcast threshold and must degrade to
+    shuffled SortMergeJoin — simulate by disabling the threshold and
+    assert the plan flips (and still contains no cartesian)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, "q12_priority_shipping", sf_small)
+        assert "SortMergeJoin" in plan, plan[:2500]
+        assert "CartesianProduct" not in plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
 def test_minhash_join_is_on_buckets_not_all_pairs(spark, sf_small):
     plan = _plan(spark, "dedup_minhash_candidates", sf_small)
     # candidate generation must be an equi-join (hash join on band/bucket),
