@@ -128,6 +128,57 @@ def read_datum(buf: io.BytesIO, schema: dict) -> dict[str, Any]:
     return rec
 
 
+# Avro spec §Schema Resolution: which writer->reader primitive
+# re-typings are legal (value passes through; Python numerics already
+# widen losslessly for these)
+_PROMOTIONS = {
+    "int": {"int", "long", "float", "double"},
+    "long": {"long", "float", "double"},
+    "float": {"float", "double"},
+    "double": {"double"},
+    "string": {"string", "bytes"},
+    "bytes": {"bytes", "string"},
+    "boolean": {"boolean"},
+}
+
+
+def read_datum_resolved(
+    buf: io.BytesIO, writer_schema: dict, reader_schema: dict
+) -> dict[str, Any]:
+    """Decode a datum written with ``writer_schema`` into the shape of
+    ``reader_schema`` (Avro spec §Schema Resolution, primitive-record
+    subset): fields match by name; writer-only fields are decoded and
+    discarded; reader-only fields take their declared ``default`` (an
+    error if absent — same as fastavro/the reference, consumer.py:50-65
+    where reader-schema resolution is implicit in ``fastavro.reader``);
+    primitive promotions per the spec table."""
+    reader_fields = {f["name"]: f for f in reader_schema["fields"]}
+    rec: dict[str, Any] = {}
+    for wf in writer_schema["fields"]:
+        wtype = wf["type"]
+        reader = _PRIMITIVE_READERS.get(wtype)
+        if reader is None:
+            raise ValueError(f"unsupported field type {wtype!r}")
+        value = reader(buf)
+        rf = reader_fields.get(wf["name"])
+        if rf is None:
+            continue  # writer-only field: consumed and dropped
+        rtype = rf["type"]
+        if rtype not in _PROMOTIONS.get(wtype, ()):  # pragma: no cover - guard
+            raise ValueError(f"cannot promote {wtype!r} -> {rtype!r}")
+        if wtype == "string" and rtype == "bytes":
+            value = value.encode("utf-8")
+        elif wtype == "bytes" and rtype == "string":
+            value = value.decode("utf-8")
+        rec[wf["name"]] = value
+    for name, rf in reader_fields.items():
+        if name not in rec:
+            if "default" not in rf:
+                raise ValueError(f"reader field {name!r} missing and has no default")
+            rec[name] = rf["default"]
+    return rec
+
+
 # ---------------------------------------------------------------------------
 # OCF container framing (Avro spec §Object Container Files)
 # ---------------------------------------------------------------------------
@@ -170,10 +221,18 @@ def ocf_encode(schema: dict | str, records: list[dict[str, Any]]) -> bytes:
     return out.getvalue()
 
 
-def ocf_decode(data: bytes, first_only: bool = True) -> dict[str, Any] | list[dict[str, Any]]:
-    """OCF container bytes -> decoded record(s), schema taken from the
-    container metadata (mirrors consumer.py:50-65: reader over BytesIO,
-    first record returned)."""
+def ocf_decode(
+    data: bytes,
+    first_only: bool = True,
+    reader_schema: dict | str | None = None,
+) -> dict[str, Any] | list[dict[str, Any]]:
+    """OCF container bytes -> decoded record(s), writer schema taken
+    from the container metadata (mirrors consumer.py:50-65: reader over
+    BytesIO, first record returned). Pass ``reader_schema`` to resolve
+    into an evolved schema (added-with-default / dropped fields,
+    primitive promotions) — the consumer can upgrade its schema without
+    coordinating with producers, which is the entire point of OCF
+    carrying the writer schema per message."""
     buf = io.BytesIO(data)
     if buf.read(4) != MAGIC:
         raise ValueError("not an Avro object container file (bad magic)")
@@ -192,6 +251,8 @@ def ocf_decode(data: bytes, first_only: bool = True) -> dict[str, Any] | list[di
         raise ValueError(f"unsupported codec {meta.get('avro.codec')!r}")
     schema = json.loads(meta["avro.schema"].decode("utf-8"))
     sync = buf.read(16)
+    if isinstance(reader_schema, str):
+        reader_schema = json.loads(reader_schema)
 
     records: list[dict[str, Any]] = []
     while True:
@@ -203,7 +264,10 @@ def ocf_decode(data: bytes, first_only: bool = True) -> dict[str, Any] | list[di
         if buf.read(16) != sync:
             raise ValueError("sync marker mismatch")
         for _ in range(n):
-            records.append(read_datum(block, schema))
+            if reader_schema is None:
+                records.append(read_datum(block, schema))
+            else:
+                records.append(read_datum_resolved(block, schema, reader_schema))
             if first_only:
                 return records[0]
     if first_only:

@@ -79,3 +79,64 @@ def test_float32_quantization_example():
     blob = ocf_encode(ORDER_AVRO_SCHEMA, [{"orderId": "x", "product": "y", "price": 822.13}])
     decoded = ocf_decode(blob)
     assert math.isclose(decoded["price"], 822.1300048828125, rel_tol=0, abs_tol=1e-12)
+
+
+def test_schema_evolution_added_field_default():
+    """Reader adds `currency` (default USD): resolution fills the
+    default without touching encoded values — consumers upgrade without
+    producer coordination (the point of OCF carrying writer schemas)."""
+    blob = ocf_encode(
+        ORDER_AVRO_SCHEMA, [{"orderId": "o1", "product": "p", "price": 9.5}]
+    )
+    reader = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "orderId", "type": "string"},
+            {"name": "product", "type": "string"},
+            {"name": "price", "type": "float"},
+            {"name": "currency", "type": "string", "default": "USD"},
+        ],
+    }
+    rec = ocf_decode(blob, reader_schema=reader)
+    assert rec["currency"] == "USD" and rec["orderId"] == "o1"
+
+
+def test_schema_evolution_dropped_field_and_promotion():
+    """Reader drops `product` and promotes price float->double; the
+    writer-only field is consumed (stream stays aligned) and the value
+    carries through."""
+    blob = ocf_encode(
+        ORDER_AVRO_SCHEMA, [{"orderId": "o2", "product": "gone", "price": 822.13}]
+    )
+    reader = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "orderId", "type": "string"},
+            {"name": "price", "type": "double"},
+        ],
+    }
+    rec = ocf_decode(blob, reader_schema=reader)
+    assert set(rec) == {"orderId", "price"}
+    assert math.isclose(rec["price"], 822.1300048828125, abs_tol=1e-12)
+
+
+def test_schema_evolution_missing_default_raises():
+    blob = ocf_encode(
+        ORDER_AVRO_SCHEMA, [{"orderId": "o3", "product": "p", "price": 1.0}]
+    )
+    reader = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "orderId", "type": "string"},
+            {"name": "warehouse", "type": "string"},  # no default
+        ],
+    }
+    try:
+        ocf_decode(blob, reader_schema=reader)
+        raised = False
+    except ValueError:
+        raised = True
+    assert raised
