@@ -1265,6 +1265,36 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_variant_funcs",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
+           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
+           CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
+           (json_extract_string(props, '$.k') IS NOT NULL)   AS has_k
+    FROM events
+    """,
+)
+def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 VARIANT surface for semi-structured columns: parse_json
+    once, then typed variant_get extractions (int/double), a
+    try_variant_get miss returning NULL, and a presence check. The
+    oracle states the same values via DuckDB's JSON accessors — the
+    comparison is on extracted scalars, since the variant binary itself
+    is engine-internal. At scale this is the shredded-access pattern:
+    parse once per row, extract many, no re-parse per path."""
+    e = load(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_int"),
+        F.variant_get(v, "$.k", "double").alias("k_double"),
+        F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
+        F.variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
+    )
+
+
+@register(
     "scalar_array_funcs",
     oracle="""
     WITH t AS (

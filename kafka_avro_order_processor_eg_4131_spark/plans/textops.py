@@ -5,7 +5,7 @@ trick."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register
@@ -151,3 +151,68 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     text — the exact-dedup key."""
     d = load(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "doc_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id AS id,
+             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks WHERE term <> '' GROUP BY id, term
+    ),
+    df AS (
+      SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT id) AS BIGINT) AS n_docs FROM tf),
+    scored AS (
+      SELECT tf.id AS doc_id, tf.term, tf.tf,
+             (CAST(tf.tf AS DOUBLE) * n.n_docs) / df.df AS score
+      FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+    )
+    SELECT doc_id, term, tf, score, rank FROM (
+      SELECT doc_id, term, tf, score,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 3
+    """,
+)
+def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by tf-idf-style score.
+    The idf factor is the LINEAR rarity N/df, not log(N/df): same
+    ranking monotonicity, but no transcendental — ln() is not
+    bit-portable across engines (catalog.py determinism rules). Two
+    aggregations (term-frequency, document-frequency) over the same
+    exploded token rows, a broadcast 1-row corpus count, and a
+    windowed top-k."""
+    from ..functions.text import normalize, tokens
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents"))
+    tok_rows = d.select(
+        F.col("doc_id").alias("id"),
+        F.explode(tokens(normalize(F.col("text")))).alias("term"),
+    ).filter(F.col("term") != "")
+    tf = tok_rows.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    n = tf.agg(F.count_distinct("id").alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
+    return (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            F.col("id").alias("doc_id"),
+            "term",
+            "tf",
+            ((F.col("tf").cast("double") * F.col("n_docs")) / F.col("df")).alias(
+                "score"
+            ),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )
