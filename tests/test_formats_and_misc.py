@@ -143,3 +143,31 @@ def test_user_api_sql_and_named_queries(spark, sf_small):
     named = api.run_query(spark, sf_small, "route_status_agg").collect()
     assert len(named) == 3
     assert "route_status_agg" in api.list_queries()
+
+
+def test_hll_sketch_partial_union_equals_direct(spark, sf_small):
+    """Mergeable-sketch pattern (the at-scale distinct-count story:
+    sketch per partition/day, union later): unioning per-segment HLL
+    sketches must estimate the same value as sketching the whole
+    column directly, and both must be within HLL error of the exact
+    count."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_small, "orders")
+    exact = o.select("o_custkey").distinct().count()
+
+    direct = o.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("o_custkey")).alias("est")
+    ).first()["est"]
+
+    per_segment = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk")
+    )
+    merged = per_segment.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    ).first()["est"]
+
+    assert merged == direct  # same sketch algebra, same buckets
+    assert abs(merged - exact) / exact < 0.05, (merged, exact)
