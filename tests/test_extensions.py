@@ -164,6 +164,56 @@ def test_connected_components_transitive_chain(spark):
     assert got == {10: 10, 20: 10, 30: 10, 40: 10, 50: 50, 60: 50, 70: 70}
 
 
+def test_connected_components_random_graphs_match_union_find(spark):
+    """30 seeded random graphs (disjoint id ranges, batched into ONE
+    Spark run) must match a pure-Python union-find reference exactly —
+    including component relabeling to min member id."""
+    import random
+
+    from kafka_avro_order_processor_eg_4131_spark.operators.dedup import (
+        connected_components,
+    )
+
+    rng = random.Random(42)
+    edges = []
+    for g in range(30):
+        base = g * 1000
+        n = rng.randint(2, 25)
+        for _ in range(rng.randint(1, 40)):
+            a, b = rng.randint(0, n - 1), rng.randint(0, n - 1)
+            edges.append((base + a, base + b))
+
+    # reference union-find
+    parent: dict[int, int] = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+
+    for a, b in edges:
+        union(a, b)
+    roots: dict[int, list[int]] = {}
+    for node in parent:
+        roots.setdefault(find(node), []).append(node)
+    expected = {}
+    for members in roots.values():
+        lo = min(members)
+        for m in members:
+            expected[m] = lo
+
+    df = spark.createDataFrame(edges, "id1 long, id2 long")
+    got = {r["id"]: r["component"] for r in connected_components(df).collect()}
+    assert got == expected
+
+
 def test_simhash_similar_docs_close(spark):
     """Near-identical texts must land within small hamming distance;
     unrelated texts far."""
