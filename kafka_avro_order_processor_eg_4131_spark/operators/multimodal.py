@@ -114,6 +114,94 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(_decode, DECODE_SCHEMA)
 
 
+RESIZE_SCHEMA = (
+    "doc_id long, width int, height int, resized_payload binary, resized_sha string"
+)
+
+FEATURE_SCHEMA = "doc_id long, features array<float>"
+
+
+def resize_images(payloads: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
+    """Resize stage: binary payload -> binary payload at target dims.
+
+    STUB: without Pillow the "resized" bytes are a deterministic
+    digest-stream of (payload, dims) — the binary-in/binary-out Arrow
+    contract, output schema, and downstream hashability are real; with
+    Pillow the actual ``Image.resize`` path runs. Target dims ride
+    along so a training pipeline can assert uniformity downstream."""
+    use_pillow = _pillow_available()
+
+    def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(blob)
+                if use_pillow:  # pragma: no cover - not available in CI
+                    import io
+
+                    from PIL import Image
+
+                    try:
+                        img = Image.open(io.BytesIO(raw)).resize((target_w, target_h))
+                        buf = io.BytesIO()
+                        img.save(buf, format="PNG")
+                        resized = buf.getvalue()
+                    except Exception:
+                        resized = b""
+                else:
+                    # deterministic fake resize (STUB): digest-stream sized
+                    # proportionally to the target pixel count
+                    seed = hashlib.sha256(
+                        raw + f"|{target_w}x{target_h}".encode()
+                    ).digest()
+                    reps = max(1, (target_w * target_h) // (32 * 256))
+                    resized = (seed * reps)[: 32 * reps]
+                out.append(
+                    {
+                        "doc_id": int(doc_id),
+                        "width": target_w,
+                        "height": target_h,
+                        "resized_payload": resized,
+                        "resized_sha": hashlib.sha256(resized).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["doc_id", "width", "height", "resized_payload", "resized_sha"],
+            )
+
+    return payloads.mapInPandas(_resize, RESIZE_SCHEMA)
+
+
+def extract_features(payloads: DataFrame, dim: int = 16) -> DataFrame:
+    """Feature-extract stage: binary payload -> float embedding.
+
+    NOT a stub: the byte-value histogram pooled into ``dim`` buckets and
+    L2-normalized is a real, library-free content feature (usable for
+    embedding-cosine near-dup on arbitrary binary columns). A neural
+    encoder would replace the inner function; the Arrow-batch shape and
+    array<float> output contract are exactly what it would use."""
+    import numpy as np
+
+    def _extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
+                arr = np.frombuffer(bytes(blob), dtype=np.uint8)
+                if arr.size:
+                    hist = np.bincount(arr >> (8 - dim.bit_length() + 1), minlength=dim)[
+                        :dim
+                    ].astype(np.float64)
+                    nrm = np.linalg.norm(hist)
+                    feats = (hist / nrm if nrm else hist).astype(np.float32)
+                else:
+                    feats = np.zeros(dim, dtype=np.float32)
+                out.append({"doc_id": int(doc_id), "features": feats.tolist()})
+            yield pd.DataFrame(out, columns=["doc_id", "features"])
+
+    return payloads.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
 def sample_frames(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stage shape: one payload -> N "frames" (rows).
     STUB: frames are byte-slices of the payload; a video decoder would

@@ -48,3 +48,22 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage: one payload row -> N frame rows."""
     d = load(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_payload(d))
+
+
+@register("multimodal_resize", oracle=None)  # rows-only: mapInPandas stub stage
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage: binary -> binary at uniform target dims (STUBBED
+    resample, real binary-in/binary-out Arrow contract; exact pytest
+    coverage in tests/test_extensions.py)."""
+    d = load(spark, sf_dir, "documents")
+    return M.resize_images(M.attach_payload(d)).drop("resized_payload")
+
+
+@register("multimodal_features", oracle=None)  # rows-only: pandas-twin-tested
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-extract stage: byte-histogram embedding (REAL features,
+    no stub — L2-normalized 16-bucket byte histogram), the array<float>
+    contract a neural encoder would fill. Twin-tested against a pure
+    numpy reference in tests/test_extensions.py."""
+    d = load(spark, sf_dir, "documents")
+    return M.extract_features(M.attach_payload(d))
