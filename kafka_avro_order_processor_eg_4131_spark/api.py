@@ -40,3 +40,20 @@ def list_queries() -> list[str]:
     from .catalog import REGISTRY
 
     return sorted(REGISTRY)
+
+
+def describe_query(name: str) -> str:
+    """The query's docstring (what it computes, scale notes)."""
+    from .catalog import REGISTRY
+
+    return REGISTRY[name].doc
+
+
+def explain(spark: SparkSession, sf_dir: str, name: str, mode: str = "formatted") -> str:
+    """The physical plan of a named catalog query — the tool for
+    checking pushdown/broadcast/shuffle shape before running at scale
+    (docs/PLANS.md records the reviewed baselines)."""
+    df = run_query(spark, sf_dir, name)
+    return df._sc._jvm.PythonSQLUtils.explainString(  # noqa: SLF001
+        df._jdf.queryExecution(), mode
+    )

@@ -216,3 +216,71 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
     )
+
+
+# Rabin-Karp-style rolling fingerprint: token code = first 8 hex digits
+# of md5(token) as an integer (portable: DuckDB reconstructs it digit by
+# digit, Spark uses conv(hex,16,10)); window hash = code[i]*B^2 +
+# code[i+1]*B + code[i+2] with B=31 (max ~4e9*961*3 < 2^63, no overflow,
+# no modulus needed); fingerprint = min over windows.
+_RK_B = 31
+_RK_K = 3
+
+
+def _code_sql(tok_expr: str) -> str:
+    terms = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substring(md5({tok_expr}), {p + 1}, 1)) - 1)"
+        f" AS BIGINT) * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    return f"({terms})"
+
+
+@register(
+    "doc_rolling_fingerprint",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    )
+    SELECT doc_id,
+           list_min(list_transform(
+             generate_series(1, greatest(len(toks) - {_RK_K - 1}, 0)),
+             i -> {_code_sql("toks[i]")} * {_RK_B ** 2}
+                + {_code_sql("toks[i+1]")} * {_RK_B}
+                + {_code_sql("toks[i+2]")}
+           )) AS rolling_fp,
+           CAST(greatest(len(toks) - {_RK_K - 1}, 0) AS INT) AS n_windows
+    FROM t
+    """,
+)
+def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint (Rabin-Karp over 3-token
+    windows, min-sampled): robust to content shifts in a way the
+    whole-text md5 (doc_fingerprint) is not — a one-word edit changes
+    only the windows containing it, so the min survives unless the
+    minimal window itself was edited. All JVM array expressions; docs
+    shorter than 3 tokens fingerprint as NULL."""
+    from ..functions.text import normalize, tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(normalize(F.col("text")))
+
+    def code(tok):
+        return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
+
+    def window_hash(toks_col, i):
+        return (
+            code(F.element_at(toks_col, (i + 1).cast("int"))) * (_RK_B ** 2)
+            + code(F.element_at(toks_col, (i + 2).cast("int"))) * _RK_B
+            + code(F.element_at(toks_col, (i + 3).cast("int")))
+        )
+
+    idx = F.sequence(F.lit(0), F.size(toks) - _RK_K)
+    hashes = F.when(F.size(toks) >= _RK_K, F.transform(idx, lambda i: window_hash(toks, i)))
+    return d.select(
+        "doc_id",
+        F.array_min(hashes).alias("rolling_fp"),
+        F.greatest(F.size(toks) - (_RK_K - 1), F.lit(0)).cast("int").alias("n_windows"),
+    )

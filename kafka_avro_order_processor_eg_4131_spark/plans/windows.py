@@ -208,3 +208,26 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_orderkey").over(w).alias("first_order"),
         F.last("o_orderkey").over(wfull).alias("last_order"),
     )
+
+
+@register(
+    "window_nth_value",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           NTH_VALUE(o_orderkey, 2) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS second_order
+    FROM orders
+    """,
+)
+def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTH_VALUE with the default running frame: NULL until the
+    partition's 2nd row (by date, unique-key tiebreak) enters the
+    frame, then that key thereafter."""
+    o = load(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
