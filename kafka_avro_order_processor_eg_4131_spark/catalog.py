@@ -122,6 +122,7 @@ def _populate() -> None:
         multimodal,
         parity,
         relational,
+        sampling,
         similarity,
         textops,
         tpch_extra,

@@ -1351,3 +1351,56 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit("1995-01-01").cast("date"),
         ).alias("days_since_epoch95"),
     )
+
+
+@register(
+    "agg_corr_covar",
+    oracle=f"""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(COUNT(*) AS DOUBLE) AS n,
+             {dsum_sql("l_quantity")} AS sx,
+             {dsum_sql("l_extendedprice")} AS sy,
+             {dsum_sql("l_quantity * l_extendedprice")} AS sxy,
+             {dsum_sql("l_quantity * l_quantity")} AS sx2,
+             {dsum_sql("l_extendedprice * l_extendedprice")} AS sy2
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           ((sxy - (sx * sy) / n) / n) AS covar_pop_qty_price,
+           ((n * sxy - sx * sy)
+            / (sqrt(n * sx2 - sx * sx) * sqrt(n * sy2 - sy * sy))) AS corr_qty_price
+    FROM m
+    """,
+)
+def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + population covariance per return flag,
+    built from exact decimal moments (sum x, y, xy, x^2, y^2) instead
+    of the engines' native corr()/covar_pop() — whose streaming
+    update formulas differ between Spark and DuckDB in the last ulps.
+    From identical exact moments, the finishing arithmetic is the same
+    IEEE expression on both sides, so the oracle is bit-exact. The
+    moment sums are one map-side-combined aggregation over the scan —
+    the same single-pass shape the native functions use, at 100 TB
+    just one shuffle of 3 groups x 5 decimals."""
+    li = load(spark, sf_dir, "lineitem")
+    x, y = F.col("l_quantity"), F.col("l_extendedprice")
+    m = li.groupBy("l_returnflag").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum(x).alias("sx"),
+        dsum(y).alias("sy"),
+        dsum(x * y).alias("sxy"),
+        dsum(x * x).alias("sx2"),
+        dsum(y * y).alias("sy2"),
+    )
+    n, sx, sy, sxy, sx2, sy2 = (F.col(c) for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"])
+    return m.select(
+        "l_returnflag",
+        n.cast("bigint").alias("n_rows"),
+        ((sxy - (sx * sy) / n) / n).alias("covar_pop_qty_price"),
+        (
+            (n * sxy - sx * sy)
+            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        ).alias("corr_qty_price"),
+    )

@@ -284,3 +284,56 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(hashes).alias("rolling_fp"),
         F.greatest(F.size(toks) - (_RK_K - 1), F.lit(0)).cast("int").alias("n_windows"),
     )
+
+
+@register(
+    "doc_bigram_counts",
+    oracle="""
+    WITH t AS (
+      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      FROM documents
+    ), grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1]
+             )) AS bigram
+      FROM t
+    )
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n
+    FROM grams
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+)
+def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide top-20 bigram counts — the n-gram language-model
+    statistic (and the shingle histogram a dedup pipeline profiles
+    first). The bigram list is built per row with JVM array
+    expressions (no UDF, no self-join), exploded, and hash-aggregated;
+    Spark's partial aggregation means the shuffle carries one row per
+    distinct bigram per task, and TakeOrderedAndProject caps the
+    result. Tie at the cutoff broken by bigram text."""
+    from ..functions.text import normalize, tokens
+
+    d = load(spark, sf_dir, "documents")
+    toks = tokens(normalize(F.col("text")))
+    idx = F.sequence(F.lit(0), F.size(toks) - 2)
+    bigrams = F.when(  # guard: sequence(0, negative) would run descending
+        F.size(toks) >= 2,
+        F.transform(
+            idx,
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    )
+    return (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "bigram")
+        .limit(20)
+    )
