@@ -318,6 +318,9 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     toks = tokens(normalize(F.col("text")))
+    from ..operators.dedup import _widen
+
+    d = _widen(d)
     idx = F.sequence(F.lit(0), F.size(toks) - 2)
     bigrams = F.when(  # guard: sequence(0, negative) would run descending
         F.size(toks) >= 2,
@@ -337,3 +340,158 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "bigram")
         .limit(20)
     )
+
+
+@register(
+    "doc_repetition_stats",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({_TOKENS}) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), tc AS (
+      SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY doc_id, tok
+    ), per AS (
+      SELECT doc_id,
+             CAST(SUM(c) AS BIGINT) AS n_tok,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             CAST(MAX(c) AS BIGINT) AS top_c
+      FROM tc GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(per.n_tok, 0) AS n_tokens,
+           CAST(COALESCE(per.n_distinct, 0) AS DOUBLE)
+             / CAST(greatest(COALESCE(per.n_tok, 0), 1) AS DOUBLE) AS distinct_ratio,
+           CAST(COALESCE(per.top_c, 0) AS DOUBLE)
+             / CAST(greatest(COALESCE(per.n_tok, 0), 1) AS DOUBLE) AS top_token_ratio
+    FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+    """,
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-
+    token ratio (low => boilerplate) and the fraction of tokens taken by
+    the single most frequent token. Shape: explode -> two hash
+    aggregations keyed by doc_id -> left join back so empty docs keep a
+    row. Both aggs are map-side-combinable and share the (doc_id, tok)
+    shuffle key; at 100 TB this is one shuffle of per-doc vocabularies,
+    never a per-doc Python loop. Ratios are bigint/bigint -> double, the
+    same IEEE divide on both engines, so the oracle is bit-exact."""
+    d = load(spark, sf_dir, "documents")
+    toks = d.filter(F.trim("text") != "").select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")
+    )
+    per = (
+        toks.groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_tok"),
+            F.count("*").alias("n_distinct"),
+            F.max("c").alias("top_c"),
+        )
+    )
+    n_tok = F.coalesce(F.col("n_tok"), F.lit(0)).cast("bigint")
+    denom = F.greatest(n_tok, F.lit(1)).cast("double")
+    return d.select("doc_id").join(per, "doc_id", "left").select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        (F.coalesce(F.col("n_distinct"), F.lit(0)).cast("double") / denom).alias(
+            "distinct_ratio"
+        ),
+        (F.coalesce(F.col("top_c"), F.lit(0)).cast("double") / denom).alias(
+            "top_token_ratio"
+        ),
+    )
+
+
+# benchmark-decontamination parameters: every 97th doc plays the role of
+# an eval/benchmark document; a training doc is contaminated when >= 50%
+# of its distinct trigrams appear in ANY benchmark doc
+_DECON_MOD = 97
+_DECON_THRESHOLD = 0.5
+
+
+@register(
+    "decontam_trigram_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+               AS toks
+      FROM documents
+    ), grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 2, 0)),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+             )) AS gram
+      FROM toks
+    ), bench AS (
+      SELECT DISTINCT gram FROM grams WHERE doc_id % {_DECON_MOD} = 0
+    ), train AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_grams,
+             CAST(COUNT(*) FILTER (WHERE bench.gram IS NOT NULL) AS BIGINT)
+               AS n_shared
+      FROM grams LEFT JOIN bench USING (gram)
+      WHERE doc_id % {_DECON_MOD} <> 0
+      GROUP BY doc_id
+    )
+    SELECT doc_id, n_grams, n_shared,
+           CAST(n_shared AS DOUBLE) / CAST(greatest(n_grams, 1) AS DOUBLE)
+             AS overlap_frac
+    FROM train
+    WHERE CAST(n_shared AS DOUBLE) / CAST(greatest(n_grams, 1) AS DOUBLE)
+          >= {_DECON_THRESHOLD}
+    """,
+)
+def decontam_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents whose distinct
+    normalized-trigram set overlaps a held-out benchmark set (doc_id %
+    97 == 0 stands in for the eval suite) by >= 0.5. The benchmark
+    gram set is tiny relative to the corpus, so Spark broadcasts it and
+    the contamination check is a map-side hash probe per trigram — no
+    shuffle of the 100 TB side beyond the per-doc distinct/count agg.
+    Counts are exact on both engines; the final divide is the same IEEE
+    op, so the oracle is bit-exact."""
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents"))
+    toks = T.tokens(T.normalize(F.col("text")))
+    tri = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+                F.element_at(toks, (i + 3).cast("int")),
+            ),
+        ),
+    )
+    # per-row array_distinct == global DISTINCT(doc_id, gram), minus the
+    # corpus-wide shuffle the latter would cost; rows arrive pre-deduped
+    grams = d.select(
+        "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
+    )
+    bench = (
+        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select("gram")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    train = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    agg = (
+        train.join(F.broadcast(bench), "gram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+    )
+    frac = F.col("n_shared").cast("double") / F.greatest(
+        F.col("n_grams"), F.lit(1)
+    ).cast("double")
+    return agg.select(
+        "doc_id", "n_grams", "n_shared", frac.alias("overlap_frac")
+    ).filter(F.col("overlap_frac") >= _DECON_THRESHOLD)

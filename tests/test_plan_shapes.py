@@ -110,3 +110,46 @@ def test_minhash_join_is_on_buckets_not_all_pairs(spark, sf_small):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, (
         plan[:2000]
     )
+
+
+def test_hash_sample_filter_is_pushed_scan_not_shuffle(spark, sf_small):
+    """Deterministic sampling must be a plain filter over the scan —
+    no shuffle, no sort, no sample operator with partition coupling."""
+    plan = _plan(spark, "sample_hash_bernoulli", sf_small)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Sample" not in plan
+
+
+def test_fixed_k_sample_is_take_ordered(spark, sf_small):
+    """k-of-n hash-rank sampling must run as TakeOrderedAndProject
+    (per-task heaps merged at the driver), never a global sort."""
+    plan = _plan(spark, "sample_fixed_k_hash_rank", sf_small)
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
+    assert "Sort " not in plan
+
+
+def test_decontam_benchmark_side_is_broadcast(spark, sf_small):
+    """The benchmark trigram set is tiny; the contamination probe must
+    broadcast it so the corpus side never shuffles for the join."""
+    plan = _plan(spark, "decontam_trigram_overlap", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2500]
+    assert "CartesianProduct" not in plan
+
+
+def test_edit_distance_blocking_is_equi_join(spark, sf_small):
+    """Blocked edit-distance dedup must hash-join on the (brand, size)
+    block key with levenshtein as a post-join filter — never the
+    quadratic cross product."""
+    plan = _plan(spark, "dedup_edit_distance_pairs", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_pack_sequences_window_is_partitioned(spark, sf_small):
+    """The packing cumsum must window per source, never collapse to a
+    single partition (the WindowExec all-to-one warning path)."""
+    df = REGISTRY["pack_sequences_by_budget"].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan, plan[:2000]
+    assert "hashpartitioning(source" in plan, plan[:2500]
