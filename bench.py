@@ -42,6 +42,38 @@ def main() -> None:
         spark.sparkContext.defaultParallelism
     ).select(_noop(F.col("id"))).count()
 
+    # the Arrow-eval path (struct serialization, JVM Arrow writers, JIT of
+    # the hot loops) only fully warms under volume — run the real codec
+    # UDFs over a synthetic 150k-row stream so that one-time session cost
+    # isn't charged to the first codec query
+    from kafka_avro_order_processor_eg_4131_spark.functions.avro_ocf import (
+        ocf_decode_udf,
+        ocf_encode_udf,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.schemas import (
+        ORDER_AVRO_SCHEMA_JSON,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.shipping import ship_package
+
+    ship_package(spark)
+    _enc = ocf_encode_udf(ORDER_AVRO_SCHEMA_JSON)
+    _dec = ocf_decode_udf(
+        ORDER_AVRO_SCHEMA_JSON, "orderId string, product string, price float"
+    )
+    spark.range(150_000).repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        _dec(
+            _enc(
+                F.struct(
+                    F.col("id").cast("string").alias("orderId"),
+                    F.lit("warm product").alias("product"),
+                    (F.col("id") % 1495 + 5).cast("float").alias("price"),
+                )
+            )
+        ).alias("o")
+    ).select(F.sum("o.price")).collect()
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):

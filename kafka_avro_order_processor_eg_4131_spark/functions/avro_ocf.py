@@ -280,18 +280,55 @@ def ocf_decode(
 # ---------------------------------------------------------------------------
 
 
+def _varint_bytes(n: int) -> bytes:
+    out = io.BytesIO()
+    write_long(out, n)
+    return out.getvalue()
+
+
+def _encode_ctx(schema_json: str):
+    """Per-schema encode context: the container header + sync marker are
+    identical for every row (same schema, deterministic marker), so they
+    are assembled once per batch instead of once per row — the per-row
+    work reduces to the datum bytes plus three concatenations."""
+    schema_dict = json.loads(schema_json)
+    schema_json_norm = json.dumps(schema_dict)
+    sync = _sync_marker(schema_json_norm)
+    head = io.BytesIO()
+    head.write(MAGIC)
+    write_long(head, 2)
+    write_bytes(head, b"avro.schema")
+    write_bytes(head, schema_json_norm.encode("utf-8"))
+    write_bytes(head, b"avro.codec")
+    write_bytes(head, b"null")
+    write_long(head, 0)
+    head.write(sync)
+    prefix = head.getvalue() + _varint_bytes(1)  # header + record count 1
+    writers = [
+        (f["name"], _PRIMITIVE_WRITERS[f["type"]]) for f in schema_dict["fields"]
+    ]
+    return prefix, sync, writers
+
+
 def ocf_encode_udf(schema_json: str):
-    """pandas UDF: struct column -> OCF container bytes per row."""
+    """pandas UDF: struct column -> OCF container bytes per row. The
+    produced bytes are identical to ``ocf_encode(schema, [row])``."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    schema_dict = json.loads(schema_json)
+    prefix, sync, writers = _encode_ctx(schema_json)
+    names = [n for n, _ in writers]
 
     def _encode(rows):
-        return pd.Series(
-            [ocf_encode(schema_dict, [row]) for row in rows.to_dict("records")],
-            dtype=object,
-        )
+        cols = [rows[n] for n in names]
+        out = []
+        for vals in zip(*cols):
+            body = io.BytesIO()
+            for (_, writer), v in zip(writers, vals):
+                writer(body, v)
+            payload = body.getvalue()
+            out.append(prefix + _varint_bytes(len(payload)) + payload + sync)
+        return pd.Series(out, dtype=object)
 
     # hint-less form: PySpark 4 rejects DataFrame/struct signatures as
     # type hints but accepts them with an explicit returnType
@@ -303,19 +340,80 @@ def ocf_decode_udf(schema_json: str, spark_type: str):
     string, e.g. ``orderId string, product string, price float``).
     Corrupt input decodes to null — the DataFrame-level null check routes
     it to the DLQ branch exactly like the reference's catch-all
-    (consumer.py:272-276)."""
+    (consumer.py:272-276).
+
+    Fast path: in a homogeneous stream every container shares the exact
+    same header bytes (same embedded writer schema, codec, and sync
+    marker), so after fully parsing the first container the header is
+    matched by one prefix compare and the cursor jumps straight to the
+    data block. Any row whose prefix differs (evolved schema, corrupt
+    bytes) falls back to the general parser."""
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
     field_names = [f["name"] for f in json.loads(schema_json)["fields"]]
 
     def _decode(col):
-        out = []
+        columns: dict[str, list] = {n: [] for n in field_names}
+        known_prefix: bytes | None = None
+        known_readers = None
+        known_sync = b""
         for blob in col:
             try:
-                out.append(ocf_decode(bytes(blob)))
+                b = bytes(blob)
+                if known_prefix is not None and b.startswith(known_prefix):
+                    buf = io.BytesIO(b)
+                    buf.seek(len(known_prefix))
+                    n_rec = read_long(buf)
+                    block = io.BytesIO(read_bytes(buf))
+                    if buf.read(16) != known_sync:
+                        raise ValueError("sync marker mismatch")
+                    if n_rec >= 1:
+                        rec = {
+                            name: reader(block) for name, reader in known_readers
+                        }
+                    else:  # empty first block: general multi-block parser
+                        rec = ocf_decode(b)
+                else:
+                    buf = io.BytesIO(b)
+                    if buf.read(4) != MAGIC:
+                        raise ValueError("bad magic")
+                    meta: dict[str, bytes] = {}
+                    while True:
+                        count = read_long(buf)
+                        if count == 0:
+                            break
+                        if count < 0:
+                            read_long(buf)
+                            count = -count
+                        for _ in range(count):
+                            k = read_bytes(buf).decode("utf-8")
+                            meta[k] = read_bytes(buf)
+                    if meta.get("avro.codec", b"null") not in (b"null", b""):
+                        raise ValueError("unsupported codec")
+                    schema = json.loads(meta["avro.schema"].decode("utf-8"))
+                    sync = buf.read(16)
+                    header_end = buf.tell()
+                    readers = [
+                        (f["name"], _PRIMITIVE_READERS[f["type"]])
+                        for f in schema["fields"]
+                    ]
+                    n_rec = read_long(buf)
+                    block = io.BytesIO(read_bytes(buf))
+                    if buf.read(16) != sync:
+                        raise ValueError("sync marker mismatch")
+                    if n_rec >= 1:
+                        rec = {name: reader(block) for name, reader in readers}
+                    else:  # empty first block: general multi-block parser
+                        rec = ocf_decode(b)
+                    known_prefix = b[:header_end]
+                    known_readers = readers
+                    known_sync = sync
+                for n in field_names:
+                    columns[n].append(rec.get(n))
             except Exception:
-                out.append({})  # all-null row -> DLQ branch downstream
-        return pd.DataFrame(out, columns=field_names)
+                for n in field_names:  # all-null row -> DLQ branch downstream
+                    columns[n].append(None)
+        return pd.DataFrame(columns)
 
     return pandas_udf(_decode, spark_type)

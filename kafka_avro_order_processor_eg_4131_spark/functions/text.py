@@ -35,6 +35,16 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text)).cast("bigint")
 
 
+def norm_tokens(text: Column) -> Column:
+    """Fused ``tokens(normalize(text))``: one regex pass instead of a
+    whitespace-collapse pass followed by a split pass. Exactly equivalent
+    Spark-side — splitting on ``\\s+`` makes the collapse redundant — so
+    oracles written against the two-pass form are unaffected."""
+    return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
+        F.split(F.lower(F.trim(text)), r"\s+")
+    )
+
+
 def stopword_hits(text: Column, words: tuple[str, ...]) -> Column:
     """Number of tokens (with multiplicity) in the stopword set."""
     wordset = F.array(*[F.lit(w) for w in words])

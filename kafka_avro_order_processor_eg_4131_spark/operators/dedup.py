@@ -27,7 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import normalize, tokens
+from ..functions.text import norm_tokens
 
 NUM_HASHES = 8
 BANDS = 4  # rows-per-band = 2
@@ -37,7 +37,7 @@ SIMHASH_BITS = 16
 def shingles(text, k: int = 3):
     """Distinct k-word shingles of the normalized text (array column).
     Documents shorter than k tokens yield an empty array."""
-    toks = tokens(normalize(text))
+    toks = norm_tokens((text))
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
     return F.array_distinct(
         F.transform(
@@ -247,7 +247,7 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     materialized ONCE per token row (a projection below the aggregate)
     instead of once per bit — Catalyst does not CSE the 16 copies."""
     tok_rows = _widen(docs).select(
-        F.col(id_col).alias("id"), F.explode(tokens(normalize(F.col(text_col)))).alias("tok")
+        F.col(id_col).alias("id"), F.explode(norm_tokens((F.col(text_col)))).alias("tok")
     ).select("id", F.md5(F.col("tok")).alias("h"))
     votes = [
         F.sum(_hash_bit(F.col("h"), j) * 2 - 1).alias(f"v{j}") for j in range(bits)

@@ -190,13 +190,13 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregations (term-frequency, document-frequency) over the same
     exploded token rows, a broadcast 1-row corpus count, and a
     windowed top-k."""
-    from ..functions.text import normalize, tokens
+    from ..functions.text import norm_tokens
     from ..operators.dedup import _widen
 
     d = _widen(load(spark, sf_dir, "documents"))
     tok_rows = d.select(
         F.col("doc_id").alias("id"),
-        F.explode(tokens(normalize(F.col("text")))).alias("term"),
+        F.explode(norm_tokens((F.col("text")))).alias("term"),
     ).filter(F.col("term") != "")
     tf = tok_rows.groupBy("id", "term").agg(F.count("*").alias("tf"))
     df_ = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
@@ -262,10 +262,10 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the windows containing it, so the min survives unless the
     minimal window itself was edited. All JVM array expressions; docs
     shorter than 3 tokens fingerprint as NULL."""
-    from ..functions.text import normalize, tokens
+    from ..functions.text import norm_tokens
 
     d = load(spark, sf_dir, "documents")
-    toks = tokens(normalize(F.col("text")))
+    toks = norm_tokens((F.col("text")))
 
     def code(tok):
         return F.conv(F.substring(F.md5(tok), 1, 8), 16, 10).cast("long")
@@ -314,10 +314,10 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark's partial aggregation means the shuffle carries one row per
     distinct bigram per task, and TakeOrderedAndProject caps the
     result. Tie at the cutoff broken by bigram text."""
-    from ..functions.text import normalize, tokens
+    from ..functions.text import norm_tokens
 
     d = load(spark, sf_dir, "documents")
-    toks = tokens(normalize(F.col("text")))
+    toks = norm_tokens((F.col("text")))
     from ..operators.dedup import _widen
 
     d = _widen(d)
@@ -470,17 +470,23 @@ def decontam_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     # per-row array_distinct == global DISTINCT(doc_id, gram), minus the
-    # corpus-wide shuffle the latter would cost; rows arrive pre-deduped
-    grams = d.select(
-        "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
-    )
+    # corpus-wide shuffle the latter would cost; rows arrive pre-deduped.
+    # The benchmark and training doc sets are disjoint (doc_id % 97), so
+    # filtering BEFORE tokenize/explode means every document is tokenized
+    # exactly once across the two branches — no cache, and the doc_id
+    # predicate reaches the parquet scan.
+    def _grams(pred):
+        return d.filter(pred).select(
+            "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
+        )
+
     bench = (
-        grams.filter(F.col("doc_id") % _DECON_MOD == 0)
+        _grams(F.col("doc_id") % _DECON_MOD == 0)
         .select("gram")
         .distinct()
         .withColumn("hit", F.lit(1))
     )
-    train = grams.filter(F.col("doc_id") % _DECON_MOD != 0)
+    train = _grams(F.col("doc_id") % _DECON_MOD != 0)
     agg = (
         train.join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
