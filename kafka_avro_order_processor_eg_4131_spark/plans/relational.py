@@ -1404,3 +1404,42 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
         ).alias("corr_qty_price"),
     )
+
+
+@register(
+    "lateral_top2_lineitems",
+    oracle="""
+    SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+    FROM orders o, LATERAL (
+      SELECT l_linenumber, l_extendedprice
+      FROM lineitem
+      WHERE l_orderkey = o.o_orderkey
+      ORDER BY l_extendedprice DESC, l_linenumber
+      LIMIT 2
+    ) l
+    WHERE o.o_totalprice > 450000.0
+    """,
+)
+def lateral_top2_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery (SQL-standard per-row table
+    expression): the two highest-value lineitems of every big order.
+    Spark decorrelates the LIMIT-per-key subquery rather than running a
+    nested loop, so the plan is a join + per-key top-k, not O(n*m);
+    the windowed row_number form (window_top3_orders_per_customer) is
+    the same shape written by hand. Exercises Spark's lateral-join
+    planner, which none of the other catalog entries touch."""
+    load(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders_v")
+    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem_v")
+    return spark.sql(
+        """
+        SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
+        FROM lat_orders_v o JOIN LATERAL (
+          SELECT l_linenumber, l_extendedprice
+          FROM lat_lineitem_v
+          WHERE l_orderkey = o.o_orderkey
+          ORDER BY l_extendedprice DESC, l_linenumber
+          LIMIT 2
+        ) l
+        WHERE o.o_totalprice > 450000.0
+        """
+    )

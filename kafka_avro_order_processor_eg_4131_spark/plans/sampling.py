@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import load, register
+from ..catalog import bigcount_sql, load, register
 
 # first-hex-digit gate: digit < threshold keeps (threshold/16) of rows
 _UNIFORM_HEX_LT = "4"  # 4/16 = 25%
@@ -192,4 +192,111 @@ def sample_fixed_k_hash_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank_key", "doc_id")
         .limit(_TOPK_K)
+    )
+
+
+# corpus-mixture epoch weights per source group: high-quality sources
+# (src0-4) repeated ~2.5x, mid (src5-9) kept at 1x, the tail (src10+)
+# downsampled to 0.25x — the standard "data mixture" knob of LLM
+# pretraining, expressed as deterministic per-row arithmetic
+_MIX_HI_EPOCHS = 2       # whole epochs for src0-4
+_MIX_HI_FRAC_HEX = "8"   # +0.5 epoch via hash gate (8/16)
+_MIX_LO_FRAC_HEX = "4"   # src10+: 0.25 epoch
+
+
+@register(
+    "corpus_mix_epoch_weights",
+    oracle=f"""
+    WITH w AS (
+      SELECT doc_id, source,
+             CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_idx,
+             substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS gate
+      FROM documents
+    ), copies AS (
+      SELECT doc_id, source,
+             (CASE WHEN src_idx < 5
+                   THEN {_MIX_HI_EPOCHS} + (CASE WHEN gate < '{_MIX_HI_FRAC_HEX}' THEN 1 ELSE 0 END)
+                   WHEN src_idx < 10 THEN 1
+                   ELSE (CASE WHEN gate < '{_MIX_LO_FRAC_HEX}' THEN 1 ELSE 0 END)
+              END) AS n_copies
+      FROM w
+    )
+    SELECT doc_id, source, CAST(unnest(generate_series(1, n_copies)) AS INT) AS epoch
+    FROM copies WHERE n_copies > 0
+    """,
+)
+def corpus_mix_epoch_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted corpus mixing with epoch repetition: each source group
+    gets a target weight (2.5x / 1x / 0.25x); whole epochs duplicate the
+    row via explode(sequence), the fractional epoch is a deterministic
+    md5 hash gate. The output is the physical training mixture — one
+    row per (doc, epoch). Pure per-row arithmetic + explode: no
+    shuffle at all, so the mixture materializes at scan speed at any
+    scale, and reruns reproduce the identical mixture (no rand())."""
+    d = load(spark, sf_dir, "documents")
+    src_idx = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    n_copies = (
+        F.when(
+            src_idx < 5,
+            F.lit(_MIX_HI_EPOCHS)
+            + (gate < _MIX_HI_FRAC_HEX).cast("int"),
+        )
+        .when(src_idx < 10, F.lit(1))
+        .otherwise((gate < _MIX_LO_FRAC_HEX).cast("int"))
+    )
+    return (
+        d.select("doc_id", "source", n_copies.alias("n_copies"))
+        .filter(F.col("n_copies") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_copies"))
+            ).alias("epoch"),
+        )
+    )
+
+
+# train/val/test gates over the first two hex digits (256 buckets):
+# train < 'f0' (240/256), val < 'f8' (8/256), test = rest (8/256)
+_SPLIT_TRAIN_LT = "f0"
+_SPLIT_VAL_LT = "f8"
+
+
+@register(
+    "split_train_val_test",
+    oracle=f"""
+    SELECT CASE WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_TRAIN_LT}' THEN 'train'
+                WHEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '{_SPLIT_VAL_LT}' THEN 'val'
+                ELSE 'test' END AS split,
+           {bigcount_sql()} AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           MIN(doc_id) AS min_doc,
+           MAX(doc_id) AS max_doc
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (93.75% / 3.125% / 3.125%)
+    keyed on two md5 hex digits of doc_id — a pure function of the key,
+    so membership is stable across reruns, partitionings, and engines,
+    and a document can never leak between splits. One scan + a 3-group
+    aggregate."""
+    d = load(spark, sf_dir, "documents")
+    b = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (
+        F.when(b < _SPLIT_TRAIN_LT, "train")
+        .when(b < _SPLIT_VAL_LT, "val")
+        .otherwise("test")
+    )
+    return (
+        d.groupBy(split.alias("split"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+        )
     )

@@ -236,3 +236,60 @@ def timeseries_dense_daily_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         .select("day", F.coalesce(F.col("n"), F.lit(0)).alias("n_purchases"))
         .orderBy("day")
     )
+
+
+# bucketed range self-join: pairs of events from the same user within
+# this window of each other
+_PAIR_WINDOW_MICROS = 300_000_000  # 5 minutes
+
+
+@register(
+    "range_join_user_event_pairs",
+    oracle=f"""
+    SELECT a.event_id AS id1, b.event_id AS id2,
+           CAST(date_diff('microsecond', a.ts, b.ts) AS BIGINT) AS gap_micros
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id
+     AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def range_join_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (interval) self-join, bucketed for scale: pairs of events
+    by the same user at most 5 minutes apart. A naive theta join is
+    O(per-user-events^2) with no equi-key for the time axis; bucketing
+    timestamps into window-sized cells and exploding the left side to
+    (cell, cell+1) makes it an EQUI-join on (user_id, bucket) — each
+    pair meets in exactly one bucket (the right row's own cell), so no
+    distinct pass is needed. The residual range predicate then filters
+    within buckets. Shuffle volume is 2x events, never the cross
+    product; this is the standard interval-join kernel (Flink/KDB asof
+    cousins) expressed in pure DataFrame ops."""
+    # ts is TIMESTAMP_NTZ; timestampdiff from a fixed NTZ epoch gives
+    # monotonic microseconds independent of the session timezone
+    e = load(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '2024-01-01 00:00:00', ts)"
+        ).alias("t"),
+    )
+    w = _PAIR_WINDOW_MICROS
+    cell = F.expr(f"t div {w}")
+    left = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id1"),
+        F.col("t").alias("t1"),
+        F.explode(F.array(cell, cell + 1)).alias("bucket"),
+    )
+    right = e.select(
+        F.col("user_id"),
+        F.col("event_id").alias("id2"),
+        F.col("t").alias("t2"),
+        cell.alias("bucket"),
+    )
+    return (
+        left.join(right, ["user_id", "bucket"])
+        .filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + w))
+        .select("id1", "id2", (F.col("t2") - F.col("t1")).alias("gap_micros"))
+    )

@@ -153,3 +153,30 @@ def test_pack_sequences_window_is_partitioned(spark, sf_small):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan, plan[:2000]
     assert "hashpartitioning(source" in plan, plan[:2500]
+
+
+def test_lateral_topk_is_decorrelated_window_limit(spark, sf_small):
+    # the LATERAL ... ORDER BY ... LIMIT 2 subquery must decorrelate to a
+    # per-key WindowGroupLimit + hash join, never a per-row nested loop
+    plan = _plan(spark, "lateral_top2_lineitems", sf_small)
+    assert "WindowGroupLimit" in plan, plan[:2000]
+    assert "NestedLoop" not in plan, plan[:2000]
+    # the orders-side filter reaches the scan
+    assert "GreaterThan(o_totalprice" in plan, plan[:2000]
+
+
+def test_range_join_is_bucketed_equi_not_cartesian(spark, sf_small):
+    # the interval self-join must meet on (user_id, bucket) as an
+    # equi-join; the time predicate is a residual filter, not a
+    # cartesian/broadcast-nested-loop condition
+    plan = _plan(spark, "range_join_user_event_pairs", sf_small)
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan, plan[:2000]
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_corpus_mix_has_no_shuffle(spark, sf_small):
+    # the mixture materializes map-side: scan -> project -> explode; a
+    # shuffle here would mean the weights were implemented as a join
+    plan = _plan(spark, "corpus_mix_epoch_weights", sf_small)
+    assert "Exchange" not in plan, plan[:2000]
+    assert "Generate explode" in plan, plan[:2000]
