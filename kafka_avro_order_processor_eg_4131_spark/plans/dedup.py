@@ -432,3 +432,43 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.cast("int").alias("dist"),
         )
     )
+
+
+# prefix-fingerprint dedup: docs sharing the first K normalized tokens
+_PREFIX_K = 30
+
+
+@register(
+    "dedup_prefix_fingerprint",
+    oracle=f"""
+    WITH fp AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice({_TOKS}, 1, {_PREFIX_K}), ' ')) AS prefix_fp
+      FROM documents
+      WHERE trim(text) <> ''
+    )
+    SELECT prefix_fp,
+           MIN(doc_id) AS keeper_doc_id,
+           {bigcount_sql()} AS group_size
+    FROM fp
+    GROUP BY prefix_fp
+    HAVING COUNT(*) > 1
+    """,
+)
+def dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-fingerprint dedup: md5 over the first 30 normalized tokens
+    catches truncation duplicates (same head, different tail) that
+    whole-text hashing misses and full near-dup machinery is overkill
+    for. One slice + hash + hash-aggregate — scan-speed at any scale;
+    only groups with >1 member are emitted."""
+    from ..functions.text import norm_tokens
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    fp = F.md5(
+        F.concat_ws(" ", F.slice(norm_tokens(F.col("text")), 1, _PREFIX_K))
+    )
+    return (
+        d.groupBy(fp.alias("prefix_fp"))
+        .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("group_size"))
+        .filter(F.col("group_size") > 1)
+    )

@@ -1443,3 +1443,29 @@ def lateral_top2_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o.o_totalprice > 450000.0
         """
     )
+
+
+@register(
+    "agg_bitwise_funcs",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(bit_and(l_orderkey) AS BIGINT) AS key_and,
+           CAST(bit_or(l_orderkey) AS BIGINT) AS key_or,
+           CAST(bit_xor(l_orderkey) AS BIGINT) AS key_xor,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise aggregate family (BIT_AND / BIT_OR / BIT_XOR) — exact
+    integer semantics, order-independent by construction, so no decimal
+    discipline needed. Used in practice for permission masks and
+    feature-flag rollups."""
+    li = load(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.bit_and("l_orderkey").alias("key_and"),
+        F.bit_or("l_orderkey").alias("key_or"),
+        F.bit_xor("l_orderkey").alias("key_xor"),
+        F.count("*").alias("n"),
+    )

@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import load, register
+from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
 from ..functions.vectors import cosine_sql, dot_sql
 from ..operators import similarity as S
 
@@ -151,3 +151,51 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "embeddings")
     queries = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.lsh_topk(e, queries)
+
+
+@register(
+    "embedding_centroid_by_label",
+    oracle=f"""
+    WITH u AS (
+      SELECT label,
+             unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(generate_series(1, len(embedding))) AS pos
+      FROM embeddings
+    ), m AS (
+      SELECT label, pos,
+             ({dsum_sql('v')} / COUNT(*)) AS mv
+      FROM u GROUP BY label, pos
+    ), cent AS (
+      SELECT label, list(mv ORDER BY pos) AS centroid
+      FROM m GROUP BY label
+    ), n AS (
+      SELECT label, {bigcount_sql()} AS n_vectors FROM embeddings GROUP BY label
+    )
+    SELECT cent.label, cent.centroid, n.n_vectors
+    FROM cent JOIN n ON n.label = cent.label
+    """,
+)
+def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed vector mean per class label — the centroid-update
+    kernel of k-means / class-prototype computation. posexplode turns
+    the array column into (label, dim, value) rows so the mean is an
+    ordinary two-key aggregate with map-side partial sums — each
+    component sum is decimal-exact (order-independent, catalog.py
+    discipline) — then the per-dim means reassemble into an ordered
+    array via sort-by-position. At 100 TB this is one explode (x dim)
+    + one shuffle on (label, dim): no driver-side vectors, no UDF, and
+    dimension parallelism means even a single giant label distributes
+    across dim-many tasks."""
+    e = load(spark, sf_dir, "embeddings")
+    u = e.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
+    m = u.groupBy("label", "pos").agg(
+        (dsum(F.col("v").cast("double")) / F.count("*")).alias("mv")
+    )
+    cent = m.groupBy("label").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
+            lambda s: s.mv,
+        ).alias("centroid")
+    )
+    n = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
+    return cent.join(n, "label").select("label", "centroid", "n_vectors")
