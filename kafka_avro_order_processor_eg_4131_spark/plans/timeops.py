@@ -293,3 +293,54 @@ def range_join_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("t2") > F.col("t1")) & (F.col("t2") <= F.col("t1") + w))
         .select("id1", "id2", (F.col("t2") - F.col("t1")).alias("gap_micros"))
     )
+
+
+@register(
+    "events_anomaly_zscore",
+    oracle="""
+    WITH s AS (
+      SELECT event_type,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))
+                      * CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type
+    ), st AS (
+      SELECT event_type,
+             (sx / n) AS mean_v,
+             sqrt((sxx - sx * sx / n) / (n - 1)) AS std_v
+      FROM s
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ((e.value - st.mean_v) / st.std_v) AS z
+    FROM events e JOIN st ON st.event_type = e.event_type
+    WHERE abs((e.value - st.mean_v) / st.std_v) >= 3.0
+    """,
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-pass anomaly flagging: per-type mean/std from exact decimal
+    sums (agg_variance_exact discipline), broadcast back onto the event
+    stream, keep |z| >= 3. The stats side is a handful of rows at any
+    scale, so the second pass is a map-side broadcast probe — the whole
+    operator is one shuffle (the stats aggregate) + one scan."""
+    e = load(spark, sf_dir, "events")
+    xd = F.col("value").cast("decimal(18,4)")
+    s = e.groupBy("event_type").agg(
+        F.sum(xd).cast("string").cast("double").alias("sx"),
+        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+        F.count("*").alias("n"),
+    )
+    st = s.select(
+        "event_type",
+        (F.col("sx") / F.col("n")).alias("mean_v"),
+        F.sqrt(
+            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std_v"),
+    )
+    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    return (
+        e.join(F.broadcast(st), "event_type")
+        .filter(F.abs(z) >= 3.0)
+        .select("event_id", "event_type", "value", z.alias("z"))
+    )
