@@ -501,3 +501,52 @@ def decontam_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.select(
         "doc_id", "n_grams", "n_shared", frac.alias("overlap_frac")
     ).filter(F.col("overlap_frac") >= _DECON_THRESHOLD)
+
+
+@register(
+    "doc_quality_deciles",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, lang,
+             (0.4 * {_STOPRATIO}
+              + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+              + 0.3 * {_ALPHA}) AS quality
+      FROM documents
+    ),
+    d AS (
+      SELECT lang, quality,
+             CAST(NTILE(10) OVER (PARTITION BY lang
+                                  ORDER BY quality, doc_id) AS INT) AS decile
+      FROM q
+    )
+    SELECT lang, decile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MIN(quality) AS min_q,
+           MAX(quality) AS max_q
+    FROM d GROUP BY lang, decile
+    """,
+)
+def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language quality deciles (NTILE partitioned by lang — no
+    global sort; each language sorts independently) with per-decile
+    doc counts and quality bounds: the threshold table a pipeline uses
+    to pick 'keep the top-k deciles per language'. (doc_id tiebreak
+    pins NTILE's bucket boundaries under equal scores.)"""
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id", "lang", quality_score(F.col("text")).alias("quality")
+    )
+    w = Window.partitionBy("lang").orderBy("quality", "doc_id")
+    return (
+        q.withColumn("decile", F.ntile(10).over(w).cast("int"))
+        .groupBy("lang", "decile")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("quality").alias("min_q"),
+            F.max("quality").alias("max_q"),
+        )
+    )

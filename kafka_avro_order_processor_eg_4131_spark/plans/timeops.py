@@ -344,3 +344,87 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.abs(z) >= 3.0)
         .select("event_id", "event_type", "value", z.alias("z"))
     )
+
+
+# event-path mining: first N event types per session, top paths
+_PATH_LEN = 5
+_PATH_TOP = 20
+
+
+@register(
+    "session_event_paths",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL '{GAP}'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts, event_id, event_type,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    paths AS (
+      SELECT user_id, session_id,
+             array_to_string(
+               list_slice(list(event_type ORDER BY ts, event_id), 1, {_PATH_LEN}),
+               '>') AS path
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT path, {bigcount_sql()} AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path
+    LIMIT {_PATH_TOP}
+    """,
+)
+def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session path mining: sessionize per user (2 h inactivity gap,
+    gaps-and-islands — both windows partition by user, so no global
+    sort), take each session's first 5 event types in time order as the
+    path string, and count the corpus-wide top-20 paths. The final
+    top-k is TakeOrdered (no global sort); (ts, event_id) ordering
+    makes the survivor path deterministic under timestamp ties."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lag_ts = F.lag("ts").over(w)
+    new_session = (
+        lag_ts.isNull()
+        | ((F.col("ts") - lag_ts) > F.expr(f"INTERVAL '{GAP}'"))
+    ).cast("int")
+    sess = (
+        e.select("user_id", "ts", "event_id", "event_type")
+        .withColumn("new_session", new_session)
+        .withColumn(
+            "session_id",
+            F.sum("new_session").over(
+                w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ),
+        )
+    )
+    paths = sess.groupBy("user_id", "session_id").agg(
+        F.concat_ws(
+            ">",
+            F.slice(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                    ),
+                    lambda s: s.event_type,
+                ),
+                1,
+                _PATH_LEN,
+            ),
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count("*").alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), "path")
+        .limit(_PATH_TOP)
+    )

@@ -180,3 +180,23 @@ def test_corpus_mix_has_no_shuffle(spark, sf_small):
     plan = _plan(spark, "corpus_mix_epoch_weights", sf_small)
     assert "Exchange" not in plan, plan[:2000]
     assert "Generate explode" in plan, plan[:2000]
+
+
+def test_zscore_stats_side_is_broadcast(spark, sf_small):
+    # the per-type stats table is tiny — it must come back as a broadcast
+    # probe, so the operator costs one shuffle (the stats agg), not two
+    plan = _plan(spark, "events_anomaly_zscore", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_session_paths_windows_are_partitioned(spark, sf_small):
+    # both sessionization windows partition by user_id; a global (empty
+    # partition-by) window would funnel the corpus into one task
+    plan = _plan(spark, "session_event_paths", sf_small)
+    assert "windowspecdefinition(user_id" in plan, plan[:3000]
+    assert "TakeOrderedAndProject" in plan  # top-20 paths, no global sort
+
+
+def test_quality_deciles_ntile_is_partitioned(spark, sf_small):
+    plan = _plan(spark, "doc_quality_deciles", sf_small)
+    assert "windowspecdefinition(lang" in plan, plan[:3000]
