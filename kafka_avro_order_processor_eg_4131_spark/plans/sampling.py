@@ -300,3 +300,38 @@ def split_train_val_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("max_doc"),
         )
     )
+
+
+# eval-holdout construction: fixed k docs per language stratum
+_HOLDOUT_K = 10
+
+
+@register(
+    "sample_fixed_k_per_stratum",
+    oracle=f"""
+    SELECT doc_id, lang, rk FROM (
+      SELECT doc_id, lang,
+             CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                                     ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                  AS INT) AS rk
+      FROM documents
+    ) WHERE rk <= {_HOLDOUT_K}
+    """,
+)
+def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-k-per-stratum sample (eval-holdout construction): the k
+    smallest md5(doc_id) per language — uniform within each stratum,
+    reproducible everywhere, and executed as a per-partition
+    WindowGroupLimit (each task keeps k rows per group), no global
+    sort."""
+    from pyspark.sql import Window
+
+    d = load(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        d.select("doc_id", "lang")
+        .withColumn("rk", F.row_number().over(w).cast("int"))
+        .filter(F.col("rk") <= _HOLDOUT_K)
+    )

@@ -550,3 +550,119 @@ def doc_quality_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("quality").alias("max_q"),
         )
     )
+
+
+# fixed-token chunking for context assembly: 64-token chunks, stride 48
+# (16-token overlap between consecutive chunks)
+_CHUNK_LEN = 64
+_CHUNK_STRIDE = 48
+
+
+@register(
+    "doc_chunk_fixed_tokens",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKENS} AS toks, len({_TOKENS}) AS n
+      FROM documents WHERE trim(text) <> ''
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             CAST(unnest(generate_series(0, (n - 1) // {_CHUNK_STRIDE})) AS INT)
+               AS chunk_idx
+      FROM t
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                               chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}))
+                AS BIGINT) AS n_chunk_tokens,
+           array_to_string(list_slice(toks, chunk_idx * {_CHUNK_STRIDE} + 1,
+                                      chunk_idx * {_CHUNK_STRIDE} + {_CHUNK_LEN}),
+                           ' ') AS chunk_text
+    FROM c
+    """,
+)
+def doc_chunk_fixed_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (64-token chunks, stride
+    48) — the context-window preparation step of a RAG / pretraining
+    pipeline. chunk starts are a per-row integer sequence, so the whole
+    operator is project + explode at scan speed: no shuffle, no UDF,
+    and chunk boundaries are a pure function of the token array
+    (identical on re-runs and engines)."""
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    # raw-case whitespace tokenizer (chunk text preserves original case)
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(toks)
+    c = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(
+            F.sequence(F.lit(0), ((n - 1) / _CHUNK_STRIDE).cast("int"))
+        ).alias("chunk_idx"),
+    )
+    sl = F.slice(
+        F.col("toks"),
+        F.col("chunk_idx") * _CHUNK_STRIDE + 1,
+        _CHUNK_LEN,
+    )
+    return c.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(sl).cast("bigint").alias("n_chunk_tokens"),
+        F.concat_ws(" ", sl).alias("chunk_text"),
+    )
+
+
+# per-source token budget for quality-ranked corpus selection
+_SELECT_BUDGET = 600
+
+
+@register(
+    "corpus_select_token_budget",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             (0.4 * {_STOPRATIO}
+              + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+              + 0.3 * {_ALPHA}) AS quality,
+             CAST({_NTOK} AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, quality, n_tok,
+             CAST(SUM(n_tok) OVER (PARTITION BY source
+                                   ORDER BY quality DESC, doc_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+      FROM q
+    )
+    SELECT doc_id, source, quality, n_tok, cum_tokens
+    FROM c WHERE cum_tokens <= {_SELECT_BUDGET}
+    """,
+)
+def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-ranked corpus selection under a token budget: within each
+    source, take documents best-first until the running token count
+    hits the budget — 'give me the best ~3k tokens per source'. The
+    window partitions by source, so there is no global sort; each
+    source ranks independently (the per-stratum budget is also what a
+    real mixture wants). doc_id tiebreak keeps the cut deterministic
+    under equal quality scores."""
+    from pyspark.sql import Window
+
+    from ..functions.text import quality_score, token_count
+
+    d = load(spark, sf_dir, "documents")
+    q = d.select(
+        "doc_id",
+        "source",
+        quality_score(F.col("text")).alias("quality"),
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        q.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
+        .filter(F.col("cum_tokens") <= _SELECT_BUDGET)
+    )
