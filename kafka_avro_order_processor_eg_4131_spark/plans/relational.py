@@ -1469,3 +1469,57 @@ def agg_bitwise_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bit_xor("l_orderkey").alias("key_xor"),
         F.count("*").alias("n"),
     )
+
+
+@register(
+    "scan_format_twins",
+    oracle="""
+    SELECT n_nationkey, n_name AS name_csv, n_name AS name_json,
+           n_name AS name_orc, n_regionkey
+    FROM nation
+    """,
+)
+def scan_format_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """File-format scan surface (SURVEY.md §2.7 row 1): the nation table
+    round-trips through CSV (header + quoting), JSON lines, and ORC,
+    and the three reads are equi-joined back together — if any format's
+    writer/reader pair corrupted a value the join or the value hash
+    would break. Explicit schemas on read (no inference) — the
+    production posture, since inference costs an extra scan and can
+    mis-type empty partitions."""
+    import os
+    import re
+
+    n = load(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
+    base = os.path.join("/tmp", "spark_graft_formats", tag)
+    n.coalesce(1).write.mode("overwrite").option("header", True).csv(
+        os.path.join(base, "nation_csv")
+    )
+    n.coalesce(1).write.mode("overwrite").json(os.path.join(base, "nation_json"))
+    n.coalesce(1).write.mode("overwrite").orc(os.path.join(base, "nation_orc"))
+    schema = n.schema
+    c = (
+        spark.read.schema(schema)
+        .option("header", True)
+        .csv(os.path.join(base, "nation_csv"))
+    )
+    j = spark.read.schema(schema).json(os.path.join(base, "nation_json"))
+    o = spark.read.schema(schema).orc(os.path.join(base, "nation_orc"))
+    return (
+        c.select("n_nationkey", F.col("n_name").alias("name_csv"))
+        .join(
+            j.select("n_nationkey", F.col("n_name").alias("name_json")),
+            "n_nationkey",
+        )
+        .join(
+            o.select(
+                "n_nationkey",
+                F.col("n_name").alias("name_orc"),
+                "n_regionkey",
+            ),
+            "n_nationkey",
+        )
+    )
