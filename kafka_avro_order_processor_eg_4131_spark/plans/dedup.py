@@ -38,6 +38,21 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         _SHINGLE_CACHE[key] = df
     return df
 
+
+# same move for the SimHash signature relation: the signature and
+# near-pair queries both need it, and the token-vote aggregation is its
+# dominant cost
+_SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    df = _SIMHASH_CACHE.get(key)
+    if df is None:
+        df = D.simhash(load(spark, sf_dir, "documents")).persist()
+        _SIMHASH_CACHE[key] = df
+    return df
+
 # shared SQL fragments --------------------------------------------------------
 
 _NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
@@ -295,8 +310,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: token hash bits vote ±1 per position,
     sign of each sum sets the bit. All integer arithmetic — JVM-side and
     bit-identical to the oracle."""
-    d = load(spark, sf_dir, "documents")
-    return D.simhash(d)
+    return _simhash_cached(spark, sf_dir)
 
 
 @register(
@@ -330,8 +344,7 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via 4-bit band LSH — the
     banding guarantees recall for hamming < 4 by pigeonhole while keeping
     the join linear in practice."""
-    d = load(spark, sf_dir, "documents")
-    return D.simhash_near_pairs(D.simhash(d))
+    return D.simhash_near_pairs(_simhash_cached(spark, sf_dir))
 
 
 # --- embedding cosine near-dup -------------------------------------------------

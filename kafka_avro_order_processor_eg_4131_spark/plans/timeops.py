@@ -428,3 +428,44 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_sessions").desc(), "path")
         .limit(_PATH_TOP)
     )
+
+
+@register(
+    "timeseries_daily_ohlc",
+    oracle=f"""
+    WITH r AS (
+      SELECT date_trunc('day', ts) AS day, value,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts, event_id) AS rn_a,
+             ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
+                                ORDER BY ts DESC, event_id DESC) AS rn_d
+      FROM events
+    )
+    SELECT day,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open_v,
+           MAX(value) AS high_v,
+           MIN(value) AS low_v,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close_v,
+           {bigcount_sql()} AS n_events
+    FROM r GROUP BY day
+    """,
+)
+def timeseries_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily OHLC bars over the event stream: open/close via
+    MIN_BY/MAX_BY on a (ts, event_id) struct key (deterministic under
+    timestamp ties), high/low as plain MIN/MAX — one hash aggregate,
+    no window, no sort. The oracle takes the row-number route because
+    DuckDB's arg_min has no composite-key overload; both compute the
+    identical first/last row."""
+    e = load(spark, sf_dir, "events")
+    key = F.struct("ts", "event_id")
+    return (
+        e.groupBy(F.date_trunc("day", F.col("ts")).alias("day"))
+        .agg(
+            F.min_by("value", key).alias("open_v"),
+            F.max("value").alias("high_v"),
+            F.min("value").alias("low_v"),
+            F.max_by("value", key).alias("close_v"),
+            F.count("*").alias("n_events"),
+        )
+    )
