@@ -140,3 +140,103 @@ def test_schema_evolution_missing_default_raises():
     except ValueError:
         raised = True
     assert raised
+
+
+def test_decode_udf_mixed_schema_batch_falls_back(spark):
+    """The decode UDF's header-prefix fast path must fall back to the
+    general parser whenever a row's container header differs (evolved
+    writer schema mid-stream) — mixed batches decode every row
+    correctly, not just rows matching the first header seen."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.functions.avro_ocf import (
+        ocf_decode_udf,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.schemas import (
+        ORDER_AVRO_SCHEMA_JSON,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.shipping import ship_package
+
+    ship_package(spark)
+    evolved = {
+        "type": "record",
+        "name": "Order",
+        "fields": [
+            {"name": "orderId", "type": "string"},
+            {"name": "product", "type": "string"},
+            {"name": "price", "type": "float"},
+            {"name": "warehouse", "type": "string"},  # writer-only field
+        ],
+    }
+    blobs = []
+    for i in range(20):
+        if i % 3 == 0:
+            blobs.append(
+                (i, ocf_encode(evolved, [{
+                    "orderId": f"e{i}", "product": "evolved", "price": float(i),
+                    "warehouse": "W1",
+                }]))
+            )
+        else:
+            blobs.append(
+                (i, ocf_encode(ORDER_AVRO_SCHEMA, [{
+                    "orderId": f"o{i}", "product": "plain", "price": float(i),
+                }]))
+            )
+    df = spark.createDataFrame(blobs, "i int, value binary").repartition(1)
+    dec = ocf_decode_udf(
+        ORDER_AVRO_SCHEMA_JSON, "orderId string, product string, price float"
+    )
+    rows = {
+        r["i"]: r
+        for r in df.select(
+            "i", dec(F.col("value")).alias("o")
+        ).select("i", "o.*").collect()
+    }
+    assert len(rows) == 20
+    for i in range(20):
+        r = rows[i]
+        if i % 3 == 0:
+            assert r["orderId"] == f"e{i}" and r["product"] == "evolved"
+        else:
+            assert r["orderId"] == f"o{i}" and r["product"] == "plain"
+        assert math.isclose(r["price"], float(i), rel_tol=1e-6)
+
+
+def test_decode_udf_empty_first_block_falls_back(spark):
+    """A container whose first data block holds zero records must still
+    decode (general multi-block parser) instead of nulling out."""
+    import io
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.functions import avro_ocf as A
+    from kafka_avro_order_processor_eg_4131_spark.schemas import (
+        ORDER_AVRO_SCHEMA_JSON,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.shipping import ship_package
+
+    ship_package(spark)
+    # build a container with an EMPTY first block then a 1-record block
+    normal = ocf_encode(ORDER_AVRO_SCHEMA, [{"orderId": "x", "product": "p", "price": 2.5}])
+    prefix, sync, writers = A._encode_ctx(ORDER_AVRO_SCHEMA_JSON)
+    header = prefix[: -len(A._varint_bytes(1))]
+    body = io.BytesIO()
+    for (_, w), v in zip(writers, ["x", "p", 2.5]):
+        w(body, v)
+    payload = body.getvalue()
+    weird = (
+        header
+        + A._varint_bytes(0) + A._varint_bytes(0) + sync  # empty block
+        + A._varint_bytes(1) + A._varint_bytes(len(payload)) + payload + sync
+    )
+    df = spark.createDataFrame([(normal,), (weird,)], "value binary").repartition(1)
+    dec = A.ocf_decode_udf(
+        ORDER_AVRO_SCHEMA_JSON, "orderId string, product string, price float"
+    )
+    got = sorted(
+        df.select(dec(F.col("value")).alias("o")).select("o.orderId").collect()
+    )
+    assert [r["orderId"] for r in got] == ["x", "x"]
