@@ -456,7 +456,7 @@ def decontam_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _widen
 
     d = _widen(load(spark, sf_dir, "documents"))
-    toks = T.tokens(T.normalize(F.col("text")))
+    toks = T.norm_tokens(F.col("text"))
     tri = F.when(
         F.size(toks) >= 3,
         F.transform(
@@ -472,29 +472,33 @@ def decontam_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-row array_distinct == global DISTINCT(doc_id, gram), minus the
     # corpus-wide shuffle the latter would cost; rows arrive pre-deduped.
     # The benchmark and training doc sets are disjoint (doc_id % 97), so
-    # filtering BEFORE tokenize/explode means every document is tokenized
-    # exactly once across the two branches — no cache, and the doc_id
-    # predicate reaches the parquet scan.
-    def _grams(pred):
-        return d.filter(pred).select(
-            "doc_id", F.explode(F.array_distinct(tri)).alias("gram")
-        )
-
+    # filtering BEFORE tokenize means each document is tokenized exactly
+    # once across the two branches, with the doc_id predicate at the scan.
     bench = (
-        _grams(F.col("doc_id") % _DECON_MOD == 0)
-        .select("gram")
+        d.filter(F.col("doc_id") % _DECON_MOD == 0)
+        .select(F.explode(F.array_distinct(tri)).alias("gram"))
         .distinct()
-        .withColumn("hit", F.lit(1))
     )
-    train = _grams(F.col("doc_id") % _DECON_MOD != 0)
-    agg = (
-        train.join(F.broadcast(bench), "gram", "left")
+    # a doc with ZERO benchmark hits can never reach the 0.5 threshold,
+    # so only gram rows that survive the broadcast INNER probe are ever
+    # aggregated — the shuffle carries contamination suspects only, not
+    # the corpus. n_grams comes from a separate map-side projection
+    # (each expression referenced ONCE: referencing the trigram array
+    # from two expressions in one projection makes Catalyst inline and
+    # re-evaluate the whole higher-order transform per reference — a
+    # measured 5x blowup), and the tiny hit aggregate broadcasts back
+    # onto it.
+    train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
+    n_shared = (
+        train.select("doc_id", F.explode(F.array_distinct(tri)).alias("gram"))
+        .join(F.broadcast(bench), "gram")
         .groupBy("doc_id")
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.count("hit").alias("n_shared"),
-        )
+        .agg(F.count("*").alias("n_shared"))
     )
+    sizes = train.select(
+        "doc_id", F.size(F.array_distinct(tri)).cast("bigint").alias("n_grams")
+    )
+    agg = sizes.join(F.broadcast(n_shared), "doc_id")
     frac = F.col("n_shared").cast("double") / F.greatest(
         F.col("n_grams"), F.lit(1)
     ).cast("double")
