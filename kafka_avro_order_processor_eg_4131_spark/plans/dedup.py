@@ -44,6 +44,32 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # dominant cost
 _SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
 
+# and for the LSH-candidate + exact-jaccard relations: candidates feed
+# one query directly and the jaccard scores feed three (verify, clean
+# pipeline, cluster components)
+_CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
+_JACCARD_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    df = _CAND_CACHE.get(key)
+    if df is None:
+        sh = _shingles_cached(spark, sf_dir)
+        df = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh))).persist()
+        _CAND_CACHE[key] = df
+    return df
+
+
+def _jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    df = _JACCARD_CACHE.get(key)
+    if df is None:
+        sh = _shingles_cached(spark, sf_dir)
+        df = D.jaccard_pairs(sh, _candidates_cached(spark, sf_dir)).persist()
+        _JACCARD_CACHE[key] = df
+    return df
+
 
 def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
@@ -126,8 +152,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> 8-hash signature ->
     4 bands -> bucket equi-join. Only bucket-colliding docs ever meet —
     the candidate set is ~linear in corpus size, not quadratic."""
-    sh = _shingles_cached(spark, sf_dir)
-    return D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
+    return _candidates_cached(spark, sf_dir)
 
 
 @register(
@@ -154,9 +179,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     set similarity >= 0.8 — the verify stage that makes MinHash output
     trustworthy (candidates are probabilistic, this is exact)."""
     # shingle rows feed BOTH the signature and the verification joins
-    sh = _shingles_cached(spark, sf_dir)
-    cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
-    return D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
+    return _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
 
 
 @register(
@@ -202,10 +225,8 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import fingerprint, quality_score
 
     d = load(spark, sf_dir, "documents")
-    sh = _shingles_cached(spark, sf_dir)
-    cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
     losers = (
-        D.jaccard_pairs(sh, cands)
+        _jaccard_cached(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.8)
         .select(F.col("id2").alias("doc_id"))
         .distinct()
@@ -265,9 +286,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators with an exact SQL twin. Note the oracle needs WITH
     RECURSIVE, which DuckDB supports; the prefix CTE is shared with
     dedup_jaccard_verified."""
-    sh = _shingles_cached(spark, sf_dir)
-    cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
-    edges = D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
+    edges = _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
     return D.connected_components(edges)
 
 
