@@ -1523,3 +1523,26 @@ def scan_format_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_nationkey",
         )
     )
+
+
+@register(
+    "join_right_outer_nation_suppliers",
+    oracle=f"""
+    SELECT n_name, {bigcount_sql("s_suppkey")} AS n_suppliers
+    FROM supplier
+    RIGHT JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_right_outer_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT OUTER join preserving nations with zero suppliers —
+    completes the join-type surface (inner/left/right/full/semi/anti/
+    cross all demonstrated). Catalyst plans it as the mirrored left
+    outer with the small side broadcast."""
+    s = load(spark, sf_dir, "supplier")
+    n = load(spark, sf_dir, "nation")
+    return (
+        s.join(n, F.col("s_nationkey") == F.col("n_nationkey"), "right")
+        .groupBy("n_name")
+        .agg(F.count("s_suppkey").alias("n_suppliers"))
+    )
