@@ -1546,3 +1546,83 @@ def join_right_outer_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataF
         .groupBy("n_name")
         .agg(F.count("s_suppkey").alias("n_suppliers"))
     )
+
+
+@register(
+    "agg_skewness_kurtosis",
+    oracle="""
+    WITH s AS (
+      SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(q) AS BIGINT) AS s1,
+             CAST(SUM(q * q) AS BIGINT) AS s2,
+             CAST(SUM(q * q * q) AS BIGINT) AS s3,
+             CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+      FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
+      GROUP BY l_returnflag
+    ), m AS (
+      SELECT l_returnflag, n,
+             CAST(s1 AS DOUBLE) / n AS m1,
+             CAST(s2 AS DOUBLE) / n AS e2,
+             CAST(s3 AS DOUBLE) / n AS e3,
+             CAST(s4 AS DOUBLE) / n AS e4
+      FROM s
+    )
+    SELECT l_returnflag, n,
+           m1 AS mean_qty,
+           (e2 - m1 * m1) AS var_pop,
+           ((e3 - 3.0 * m1 * e2 + 2.0 * m1 * m1 * m1)
+             / ((e2 - m1 * m1) * sqrt(e2 - m1 * m1))) AS skewness,
+           ((e4 - 4.0 * m1 * e3 + 6.0 * m1 * m1 * e2 - 3.0 * m1 * m1 * m1 * m1)
+             / ((e2 - m1 * m1) * (e2 - m1 * m1)) - 3.0) AS kurtosis_excess
+    FROM m
+    """,
+)
+def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact population skewness and excess kurtosis of l_quantity per
+    return flag, from raw integer power sums: l_quantity is integral
+    (1..50), so SUM(q), SUM(q^2), SUM(q^3), SUM(q^4) are exact BIGINTs
+    (max ~4e12, far inside 2^63 AND 2^53 so the final double conversion
+    is exact too) — order-independent with map-side combine, unlike
+    Spark's built-in skewness()/kurtosis() whose streaming central-
+    moment updates are partition-order-dependent and formula-divergent
+    from DuckDB's. The standardized moments are then identical row-level
+    double arithmetic on both engines. One aggregate, no window."""
+    l = load(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("long")
+    s = l.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum("q").alias("s1"),
+        F.sum(F.col("q") * F.col("q")).alias("s2"),
+        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
+        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+    )
+    m = s.select(
+        "l_returnflag",
+        "n",
+        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("double") / F.col("n")).alias("e2"),
+        (F.col("s3").cast("double") / F.col("n")).alias("e3"),
+        (F.col("s4").cast("double") / F.col("n")).alias("e4"),
+    )
+    m1, e2, e3, e4 = F.col("m1"), F.col("e2"), F.col("e3"), F.col("e4")
+    var = e2 - m1 * m1
+    return m.select(
+        "l_returnflag",
+        "n",
+        m1.alias("mean_qty"),
+        var.alias("var_pop"),
+        (
+            (e3 - F.lit(3.0) * m1 * e2 + F.lit(2.0) * m1 * m1 * m1)
+            / (var * F.sqrt(var))
+        ).alias("skewness"),
+        (
+            (
+                e4
+                - F.lit(4.0) * m1 * e3
+                + F.lit(6.0) * m1 * m1 * e2
+                - F.lit(3.0) * m1 * m1 * m1 * m1
+            )
+            / (var * var)
+            - F.lit(3.0)
+        ).alias("kurtosis_excess"),
+    )

@@ -335,3 +335,50 @@ def sample_fixed_k_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rk", F.row_number().over(w).cast("int"))
         .filter(F.col("rk") <= _HOLDOUT_K)
     )
+
+
+_BATCH_SIZE = 64
+
+
+@register(
+    "corpus_shuffle_batches",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, n_chars,
+             ROW_NUMBER() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+               AS rn
+      FROM documents
+    )
+    SELECT CAST(FLOOR((rn - 1) / {_BATCH_SIZE}) AS INT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY 1
+    """,
+)
+def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle + fixed-size batch assignment: docs
+    are ordered by md5(doc_id) (a reproducible permutation — same
+    batches on every rerun, unlike rand()), cut into 64-doc batches,
+    and summarized per batch. This is the epoch-shuffle step of a
+    training dataloader. Fixture-scale uses one global ROW_NUMBER; at
+    100 TB the identical assignment comes from the two-pass form —
+    range-partition by the md5 key, count rows per partition, broadcast
+    the per-partition offsets, add them to per-partition row_numbers —
+    which this operator's key choice (hash order = uniform range
+    bounds) is designed for."""
+    d = load(spark, sf_dir, "documents")
+    w = Window.orderBy(F.col("shuffle_key"), F.col("doc_id"))
+    ranked = d.select(
+        "doc_id",
+        "n_chars",
+        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+    ).withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(
+            F.floor((F.col("rn") - 1) / _BATCH_SIZE).cast("int").alias("batch_id")
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )

@@ -670,3 +670,69 @@ def corpus_select_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         q.withColumn("cum_tokens", F.sum("n_tok").over(w).cast("bigint"))
         .filter(F.col("cum_tokens") <= _SELECT_BUDGET)
     )
+
+
+@register(
+    "pii_mask_customers",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '#', 'g') AS masked_name,
+           CAST(length(c_name)
+                - length(regexp_replace(c_name, '[0-9]', '', 'g')) AS INT)
+             AS n_digits_masked
+    FROM customer
+    """,
+)
+def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-redaction kernel: mask every digit in the customer name and
+    count how many characters were redacted. The fixture has no real
+    PII (emails/phones), so digits stand in for the sensitive class;
+    a production pipeline swaps the character class for email/phone/
+    SSN regexes (still one JVM-side regexp_replace per pattern — the
+    plumbing, pushdown behavior, and audit-count output are what this
+    operator pins). Pure per-row projection: no shuffle at any scale."""
+    c = load(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace(name, "[0-9]", "#").alias("masked_name"),
+        (
+            F.length(name) - F.length(F.regexp_replace(name, "[0-9]", ""))
+        ).cast("int").alias("n_digits_masked"),
+    )
+
+
+@register(
+    "doc_postings_lists",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+               AS term
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           list_slice(list(doc_id ORDER BY doc_id), 1, 100) AS postings
+    FROM tok GROUP BY term
+    """,
+)
+def doc_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per term, its document frequency and the
+    first 100 postings (doc_ids, ascending) — the search/retrieval twin
+    of doc_top_terms. explode(distinct tokens) -> one hash aggregate on
+    term; the postings cap bounds per-term state the way a real indexer
+    segments long postings lists, so a scale-up changes row width, not
+    memory behavior. collect_list is safe HERE because the cap is
+    applied immediately after sorting; unbounded collect_list over a
+    100 TB corpus would not be (the uncapped form should write postings
+    segments instead)."""
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    tok = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(T.norm_tokens(F.col("text")))).alias("term"),
+    )
+    return tok.groupBy("term").agg(
+        F.count("*").alias("doc_freq"),
+        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 100).alias("postings"),
+    )

@@ -15,7 +15,7 @@ Oracle notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
@@ -468,4 +468,95 @@ def timeseries_daily_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max_by("value", key).alias("close_v"),
             F.count("*").alias("n_events"),
         )
+    )
+
+
+@register(
+    "events_interarrival_stats",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+               PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS gap_us
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           CAST(SUM(gap_us) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_gap_s,
+           CAST(MIN(gap_us) AS DOUBLE) / 1000000.0 AS min_gap_s,
+           CAST(MAX(gap_us) AS DOUBLE) / 1000000.0 AS max_gap_s
+    FROM g WHERE gap_us IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-time statistics per event type: the gap between each
+    event and the SAME USER's previous event (any type), grouped by the
+    later event's type — the workload-characterization kernel behind
+    rate limiting and session-gap tuning. Gap arithmetic is exact BIGINT
+    microseconds (unix_micros / epoch_us); only the final /1e6 goes
+    through doubles, identically on both engines. One shuffle on
+    user_id for the lag window, one on event_type for the aggregate —
+    both keys well-spread, so the plan survives scale-up."""
+    e = load(spark, sf_dir, "events")
+    # parquet ts is TIMESTAMP_NTZ; unix_micros needs an instant. The cast
+    # applies the session timezone, which cancels in the gap differences.
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("us"), F.col("event_id"))
+    g = (
+        e.select("user_id", "event_type", "event_id", us.alias("us"))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return g.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        (F.sum("gap_us").cast("double") / F.count("*") / F.lit(1000000.0)).alias(
+            "avg_gap_s"
+        ),
+        (F.min("gap_us").cast("double") / F.lit(1000000.0)).alias("min_gap_s"),
+        (F.max("gap_us").cast("double") / F.lit(1000000.0)).alias("max_gap_s"),
+    )
+
+
+@register(
+    "rollup_order_date_hierarchy",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS yr,
+             CAST(EXTRACT(month FROM o_orderdate) AS INT) AS mth,
+             o_totalprice
+      FROM orders
+    )
+    SELECT yr, mth,
+           CAST(GROUPING(yr) AS INT) AS g_yr,
+           CAST(GROUPING(mth) AS INT) AS g_mth,
+           {bigcount_sql()} AS n_orders,
+           {dsum_sql("o_totalprice")} AS total_price
+    FROM b GROUP BY ROLLUP(yr, mth)
+    """,
+)
+def rollup_order_date_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hypertable-style time rollup: order totals at day->month->year
+    granularity in ONE pass via GROUP BY ROLLUP(year, month) — subtotal
+    rows (month=NULL) and the grand total (year=NULL) come from the same
+    partial aggregates, with GROUPING() indicators to tell a subtotal
+    from a real NULL key. At 100 TB this replaces three separate
+    aggregation jobs with one shuffle; sums ride the decimal discipline
+    (catalog.py)."""
+    from ..catalog import dsum
+
+    o = load(spark, sf_dir, "orders").select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.month("o_orderdate").cast("int").alias("mth"),
+        "o_totalprice",
+    )
+    return (
+        o.rollup("yr", "mth")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("mth").cast("int").alias("g_mth"),
+            F.count("*").alias("n_orders"),
+            dsum(F.col("o_totalprice")).alias("total_price"),
+        )
+        .select("yr", "mth", "g_yr", "g_mth", "n_orders", "total_price")
     )

@@ -295,3 +295,94 @@ def test_multimodal_features_match_numpy_twin(spark, sf_small):
         assert got[doc_id] == expected.tolist()
         if nrm:
             assert abs(np.linalg.norm(got[doc_id]) - 1.0) < 1e-6
+
+
+# --- session additions: batching, moments, redaction, postings, gaps --------
+
+
+def test_shuffle_batches_fixed_size_and_total(spark, sf_small):
+    """Every batch holds exactly _BATCH_SIZE docs except the last, ids are
+    contiguous from 0, and the batch totals add back to the corpus."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.plans.sampling import _BATCH_SIZE
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = sorted(
+        REGISTRY["corpus_shuffle_batches"].fn(spark, sf_small).collect(),
+        key=lambda r: r["batch_id"],
+    )
+    n_docs_total = load_table(spark, sf_small, "documents").count()
+    assert [r["batch_id"] for r in rows] == list(range(len(rows)))
+    assert all(r["n_docs"] == _BATCH_SIZE for r in rows[:-1])
+    assert 1 <= rows[-1]["n_docs"] <= _BATCH_SIZE
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+
+
+def test_skewness_kurtosis_matches_numpy_twin(spark, sf_small):
+    """Moment formulas agree with a direct numpy computation (population
+    skewness / excess kurtosis) to float tolerance."""
+    import numpy as np
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    got = {r["l_returnflag"]: r
+           for r in REGISTRY["agg_skewness_kurtosis"].fn(spark, sf_small).collect()}
+    pdf = load_table(spark, sf_small, "lineitem").select(
+        "l_returnflag", "l_quantity"
+    ).toPandas()
+    for flag, grp in pdf.groupby("l_returnflag"):
+        q = grp["l_quantity"].to_numpy(dtype=np.float64)
+        m = q.mean()
+        m2 = ((q - m) ** 2).mean()
+        skew = ((q - m) ** 3).mean() / m2**1.5
+        kurt = ((q - m) ** 4).mean() / m2**2 - 3.0
+        r = got[flag]
+        assert r["n"] == len(q)
+        assert abs(r["mean_qty"] - m) < 1e-9
+        assert abs(r["var_pop"] - m2) < 1e-6
+        assert abs(r["skewness"] - skew) < 1e-9
+        assert abs(r["kurtosis_excess"] - kurt) < 1e-9
+
+
+def test_pii_mask_removes_every_digit(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["pii_mask_customers"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert not any(ch.isdigit() for ch in r["masked_name"])
+        assert r["masked_name"].count("#") >= r["n_digits_masked"]  # '#' may pre-exist
+        assert r["n_digits_masked"] >= 0
+
+
+def test_postings_sorted_capped_and_consistent(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["doc_postings_lists"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        p = r["postings"]
+        assert p == sorted(p) and len(p) <= 100
+        if r["doc_freq"] <= 100:
+            assert len(p) == r["doc_freq"]
+        else:
+            assert len(p) == 100
+
+
+def test_interarrival_gap_count_identity(spark, sf_small):
+    """Sum of per-type gap counts == total events - users with >=1 event
+    (each user's first event contributes no gap), and all stats are
+    non-negative with min <= avg <= max."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = REGISTRY["events_interarrival_stats"].fn(spark, sf_small).collect()
+    e = load_table(spark, sf_small, "events")
+    total = e.count()
+    users = e.select(F.countDistinct("user_id")).first()[0]
+    assert sum(r["n_gaps"] for r in rows) == total - users
+    for r in rows:
+        assert 0.0 <= r["min_gap_s"] <= r["avg_gap_s"] <= r["max_gap_s"]
