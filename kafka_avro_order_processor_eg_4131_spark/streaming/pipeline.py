@@ -144,11 +144,37 @@ def process_batch(batch: DataFrame, batch_id: int, sinks: PipelineSinks) -> None
         batch.unpersist()
 
 
+OBSERVE_NAME = "route_metrics"
+
+
+def observe_routing(routed: DataFrame) -> DataFrame:
+    """The reference's in-memory counters (consumer.py:137-145) as
+    Spark observed metrics: message_count, order_count, transient/
+    permanent failure counts and the success-price sum are computed
+    ON the stream per micro-batch — accumulator-style, no extra job,
+    no shuffle — and surface in every ``StreamingQueryProgress`` under
+    ``observedMetrics[OBSERVE_NAME]``. The reference prints these after
+    each message; the engine reports them at each batch boundary, where
+    the running totals coincide (SURVEY.md §2.5 A1-A5)."""
+    s = F.col("status")
+    return routed.observe(
+        OBSERVE_NAME,
+        F.count(F.lit(1)).alias("message_count"),
+        F.count(F.when(s == STATUS_SUCCESS, 1)).alias("order_count"),
+        F.count(F.when(s == STATUS_TRANSIENT, 1)).alias("transient_failure_count"),
+        F.count(F.when(s == STATUS_PERMANENT, 1)).alias("permanent_failure_count"),
+        F.sum(
+            F.when(s == STATUS_SUCCESS, F.col("order.price").cast("double"))
+        ).alias("total_price"),
+    )
+
+
 def run_order_pipeline(
     spark: SparkSession,
     input_dir: str,
     work_dir: str,
     available_now: bool = True,
+    observed_metrics: list | None = None,
 ) -> PipelineSinks:
     """Broker-free flagship pipeline: parquet envelope stream in
     ``input_dir`` (columns: key binary, value binary, topic string,
@@ -172,7 +198,7 @@ def run_order_pipeline(
         )
         .parquet(input_dir)
     )
-    routed = route_orders(decode_orders(envelope))
+    routed = observe_routing(route_orders(decode_orders(envelope)))
     writer = (
         routed.writeStream.foreachBatch(
             lambda df, bid: process_batch(df, bid, sinks)
@@ -182,6 +208,11 @@ def run_order_pipeline(
     if available_now:
         q = writer.trigger(availableNow=True).start()
         q.awaitTermination()
+        if observed_metrics is not None:
+            for p in q.recentProgress:
+                m = (p.get("observedMetrics") or {}).get(OBSERVE_NAME)
+                if m is not None:
+                    observed_metrics.append(m)
     else:
         writer.start()
     return sinks

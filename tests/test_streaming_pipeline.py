@@ -141,3 +141,37 @@ def test_synthetic_generator_matches_reference_distribution(spark):
     ids = {r["orderId"] for r in rows}
     assert len(ids) == 2000
     assert all(len(r["product"].split(" ")) == 2 for r in rows)
+
+
+def test_observed_metrics_match_reference_counters(spark, tmp_path, envelope_dir):
+    """The observe() metrics reproduce the reference's in-memory counters
+    (consumer.py:137-145) exactly: message/order/transient/permanent
+    counts and the float32-faithful success price sum, summed across
+    micro-batches."""
+    from kafka_avro_order_processor_eg_4131_spark.streaming.pipeline import (
+        run_order_pipeline,
+    )
+
+    observed: list = []
+    run_order_pipeline(
+        spark, envelope_dir, str(tmp_path / "work"), observed_metrics=observed
+    )
+    assert observed, "no observed metrics surfaced in query progress"
+    tot = {
+        k: sum(m[k] for m in observed)
+        for k in (
+            "message_count",
+            "order_count",
+            "transient_failure_count",
+            "permanent_failure_count",
+        )
+    }
+    assert tot["message_count"] == len(FROZEN_ORDERS) + 1  # + corrupt blob
+    assert tot["order_count"] == 4
+    assert tot["transient_failure_count"] == 3
+    assert tot["permanent_failure_count"] == 4  # 3 over-threshold + corrupt
+    total_price = sum(m["total_price"] for m in observed if m["total_price"])
+    expected = sum(
+        f32(p) for _, _, p in FROZEN_ORDERS if not (5.0 <= p <= 50.0) and p <= 1000.0
+    )
+    assert abs(total_price - expected) < 1e-9
