@@ -30,18 +30,32 @@ from ..functions.vectors import cosine, dot
 TOP_K = 5
 
 
+def _spread(df: DataFrame, width: int | None) -> DataFrame:
+    """Repartition to ``width`` (default: cluster parallelism x2) unless
+    the relation already has that layout — lets a family-level cached
+    relation (plans/similarity.py) flow through without a redundant
+    shuffle. Plans size ``width`` to the data (rows/250, capped at the
+    cluster default), the same adaptive-parts move as
+    operators/dedup.py::connected_components: at 100 TB the cap rules,
+    at fixture scale task-scheduling overhead stops dominating."""
+    target = width or df.sparkSession.sparkContext.defaultParallelism * 2
+    if df.rdd.getNumPartitions() == target:
+        return df
+    return df.repartition(target)
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
     k: int = TOP_K,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """Exact top-k neighbors (cosine) of each query vector, self excluded.
     Ties broken by neighbor id — fully deterministic."""
     from ..functions.vectors import norm
 
-    width = emb.sparkSession.sparkContext.defaultParallelism * 2
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qvec"),
@@ -49,7 +63,7 @@ def brute_force_topk(
     )
     # corpus side carries the parallelism of the nested-loop join (the
     # small query set is broadcast); widen it and precompute norms once
-    c = emb.repartition(width).select(
+    c = _spread(emb, width).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("cvec"),
         norm(F.col(vec_col)).alias("cnrm"),
@@ -111,13 +125,12 @@ def lsh_planes(emb: DataFrame, num_tables: int, bits_per_table: int,
 
 
 def lsh_bucket(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding") -> DataFrame:
+               vec_col: str = "embedding", width: int | None = None) -> DataFrame:
     """Assign each vector one bucket per hash table: bit j of table t is
     (dot(v, p1) - dot(v, p2) >= 0). ``planes`` must be small (broadcast,
     one row per (table, bit)). Returns (id, vec, table_id, bucket)."""
-    width = emb.sparkSession.sparkContext.defaultParallelism * 2
     bits = (
-        emb.repartition(width)
+        _spread(emb, width)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
         .crossJoin(F.broadcast(planes))
         .select(
@@ -147,6 +160,7 @@ def lsh_topk(
     bits_per_table: int = BITS_PER_TABLE,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """Approximate top-k via multi-table sign-LSH: candidates are pairs
     sharing a bucket in ANY of the ``num_tables`` hash tables (union —
@@ -160,7 +174,7 @@ def lsh_topk(
     planes = lsh_planes(emb, num_tables, bits_per_table, id_col, vec_col)
     # persisted: the bucketed relation feeds BOTH sides of the
     # candidate join; without it the num_tables-dot bucketing runs twice
-    bucketed = lsh_bucket(emb, planes, id_col, vec_col).persist()
+    bucketed = lsh_bucket(emb, planes, id_col, vec_col, width).persist()
     q = queries.select(F.col(id_col).alias("query_id")).join(
         bucketed.select(
             F.col("id").alias("query_id"),
@@ -201,17 +215,17 @@ NUM_PROBES = 2
 
 
 def ivf_assign(emb: DataFrame, centroids: DataFrame, n_probe: int = 1,
-               id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               width: int | None = None) -> DataFrame:
     """IVF cell assignment: each vector joins its ``n_probe`` highest-
     cosine centroids. Centroids must be small (broadcast)."""
     from ..functions.vectors import norm as vnorm
 
-    width = emb.sparkSession.sparkContext.defaultParallelism * 2
     c = centroids.select(
         F.col("cell_id"), F.col(vec_col).alias("cvec"), vnorm(F.col(vec_col)).alias("cnrm")
     )
     scored = (
-        emb.repartition(width)
+        _spread(emb, width)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
                 vnorm(F.col(vec_col)).alias("vnrm"))
         .crossJoin(F.broadcast(c))
@@ -237,6 +251,7 @@ def ivf_topk(
     n_probe: int = NUM_PROBES,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) ANN: corpus vectors indexed into their single
     nearest cell; queries probe their ``n_probe`` nearest cells and rank
@@ -253,9 +268,11 @@ def ivf_topk(
             F.col(vec_col),
         )
     )
-    corpus_cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+    corpus_cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col,
+                              vec_col=vec_col, width=width)
     query_cells = ivf_assign(
-        queries, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+        queries, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        width=width,
     )
     q = query_cells.select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"),
@@ -295,6 +312,7 @@ def kmeans_centroids(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """Lloyd-refined IVF centroids, deterministic end to end: init = the
     first ``num_cells`` vectors by id (a fixed "seed"), then ``iters``
@@ -318,7 +336,8 @@ def kmeans_centroids(
         )
     )
     for _ in range(iters):
-        assigned = ivf_assign(emb, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+        assigned = ivf_assign(emb, centroids, n_probe=1, id_col=id_col,
+                              vec_col=vec_col, width=width)
         centroids = (
             assigned.select("cell_id", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cell_id", "dim")
@@ -347,6 +366,7 @@ def ivf_kmeans_topk(
     iters: int = KMEANS_ITERS,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    width: int | None = None,
 ) -> DataFrame:
     """IVF ANN over k-means-refined centroids. Same probe/rank plan as
     ``ivf_topk``; only the centroid table differs. Iterative training
@@ -354,10 +374,12 @@ def ivf_kmeans_topk(
     brute-force baseline instead of a DuckDB oracle."""
     from ..functions.vectors import norm as vnorm
 
-    centroids = kmeans_centroids(emb, num_cells, iters, id_col, vec_col)
-    corpus_cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col, vec_col=vec_col)
+    centroids = kmeans_centroids(emb, num_cells, iters, id_col, vec_col, width)
+    corpus_cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col,
+                              vec_col=vec_col, width=width)
     query_cells = ivf_assign(
-        queries, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col
+        queries, centroids, n_probe=n_probe, id_col=id_col, vec_col=vec_col,
+        width=width,
     )
     q = query_cells.select(
         F.col("id").alias("query_id"), F.col("vec").alias("qvec"),

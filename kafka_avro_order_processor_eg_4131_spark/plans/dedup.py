@@ -396,13 +396,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup uses ~0.95 with the LSH-bucketed path
     (operators/similarity.py) to avoid the quadratic join."""
     from ..functions.vectors import dot, norm
+    from .similarity import _emb_cached
 
     # norms computed ONCE per vector before the pairwise join (3 folds per
-    # pair -> 1), and the compact single-file input widened so the O(n^2)
-    # scoring parallelizes across all cores
+    # pair -> 1). Unlike the ANN family (which shares the narrow cached
+    # layout), the O(n^2) scoring here is genuinely compute-bound, so the
+    # cached relation is re-widened to full cluster parallelism first.
     width = spark.sparkContext.defaultParallelism * 2
     e = (
-        load(spark, sf_dir, "embeddings")
+        _emb_cached(spark, sf_dir)[0]
         .repartition(width)
         .select("vec_id", "embedding", norm(F.col("embedding")).alias("nrm"))
         .persist()
