@@ -198,12 +198,16 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("id"),
         F.explode(norm_tokens((F.col("text")))).alias("term"),
     ).filter(F.col("term") != "")
-    tf = tok_rows.groupBy("id", "term").agg(F.count("*").alias("tf"))
+    # tf feeds THREE consumers (df, the corpus count, and the scored
+    # join); persisted so the explode+aggregate pipeline runs once, and
+    # the per-term/corpus-level aggregates broadcast back onto it
+    # (A/B at sf0.1: 6.3s -> 3.6s cold, neutral warm)
+    tf = tok_rows.groupBy("id", "term").agg(F.count("*").alias("tf")).persist()
     df_ = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
     n = tf.agg(F.count_distinct("id").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
     return (
-        tf.join(df_, "term")
+        tf.join(F.broadcast(df_), "term")
         .crossJoin(F.broadcast(n))
         .select(
             F.col("id").alias("doc_id"),
@@ -478,27 +482,26 @@ def decontam_trigram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.filter(F.col("doc_id") % _DECON_MOD == 0)
         .select(F.explode(F.array_distinct(tri)).alias("gram"))
         .distinct()
+        .withColumn("hit", F.lit(1))
     )
-    # a doc with ZERO benchmark hits can never reach the 0.5 threshold,
-    # so only gram rows that survive the broadcast INNER probe are ever
-    # aggregated — the shuffle carries contamination suspects only, not
-    # the corpus. n_grams comes from a separate map-side projection
-    # (each expression referenced ONCE: referencing the trigram array
-    # from two expressions in one projection makes Catalyst inline and
-    # re-evaluate the whole higher-order transform per reference — a
-    # measured 5x blowup), and the tiny hit aggregate broadcasts back
-    # onto it.
+    # single tokenize pass over the training side: explode the distinct
+    # grams once, LEFT-probe the broadcast benchmark set, and take BOTH
+    # n_grams (count of all rows) and n_shared (count of probe hits)
+    # from the same map-side-combining aggregate — explode preserves
+    # row locality, so the shuffle carries ~one partial row per doc.
+    # (The earlier two-pass form — hits-only INNER aggregate plus a
+    # separate size projection — tokenized the corpus twice; A/B at
+    # sf0.1: 2.4s -> 1.7s warm, 6.7s -> 2.3s cold.)
     train = d.filter(F.col("doc_id") % _DECON_MOD != 0)
-    n_shared = (
+    agg = (
         train.select("doc_id", F.explode(F.array_distinct(tri)).alias("gram"))
-        .join(F.broadcast(bench), "gram")
+        .join(F.broadcast(bench), "gram", "left")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_shared"))
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
     )
-    sizes = train.select(
-        "doc_id", F.size(F.array_distinct(tri)).cast("bigint").alias("n_grams")
-    )
-    agg = sizes.join(F.broadcast(n_shared), "doc_id")
     frac = F.col("n_shared").cast("double") / F.greatest(
         F.col("n_grams"), F.lit(1)
     ).cast("double")
