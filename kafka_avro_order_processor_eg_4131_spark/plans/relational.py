@@ -1626,3 +1626,140 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.lit(3.0)
         ).alias("kurtosis_excess"),
     )
+
+
+@register(
+    "profile_orders_columns",
+    oracle="""
+    WITH a AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(COUNT(o_orderkey) AS BIGINT) AS c0,
+             CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS d0,
+             CAST(MIN(o_orderkey) AS VARCHAR) AS mn0,
+             CAST(MAX(o_orderkey) AS VARCHAR) AS mx0,
+             CAST(COUNT(o_custkey) AS BIGINT) AS c1,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS d1,
+             CAST(MIN(o_custkey) AS VARCHAR) AS mn1,
+             CAST(MAX(o_custkey) AS VARCHAR) AS mx1,
+             CAST(COUNT(o_orderstatus) AS BIGINT) AS c2,
+             CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS d2,
+             MIN(o_orderstatus) AS mn2,
+             MAX(o_orderstatus) AS mx2,
+             CAST(COUNT(o_totalprice) AS BIGINT) AS c3,
+             CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d3,
+             printf('%.2f', MIN(o_totalprice)) AS mn3,
+             printf('%.2f', MAX(o_totalprice)) AS mx3,
+             CAST(COUNT(o_orderdate) AS BIGINT) AS c4,
+             CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d4,
+             CAST(epoch_us(MIN(o_orderdate)) AS VARCHAR) AS mn4,
+             CAST(epoch_us(MAX(o_orderdate)) AS VARCHAR) AS mx4,
+             CAST(COUNT(o_orderpriority) AS BIGINT) AS c5,
+             CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS d5,
+             MIN(o_orderpriority) AS mn5,
+             MAX(o_orderpriority) AS mx5
+      FROM orders
+    )
+    SELECT 'o_orderkey' AS col_name, n AS n_rows, n - c0 AS n_nulls,
+           d0 AS n_distinct, mn0 AS min_repr, mx0 AS max_repr FROM a
+    UNION ALL SELECT 'o_custkey', n, n - c1, d1, mn1, mx1 FROM a
+    UNION ALL SELECT 'o_orderstatus', n, n - c2, d2, mn2, mx2 FROM a
+    UNION ALL SELECT 'o_totalprice', n, n - c3, d3, mn3, mx3 FROM a
+    UNION ALL SELECT 'o_orderdate', n, n - c4, d4, mn4, mx4 FROM a
+    UNION ALL SELECT 'o_orderpriority', n, n - c5, d5, mn5, mx5 FROM a
+    """,
+)
+def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-profiling summary (the engine's DESCRIBE/df.summary twin,
+    deterministic enough to oracle-check): per column, null count,
+    exact distinct count, and min/max in a portable string repr —
+    BIGINTs via CAST, doubles via printf (catalog.py formatting
+    discipline), timestamps as epoch microseconds. ONE scan computes
+    every column's metrics (Catalyst expands the multi-DISTINCT into
+    one pass per distinct set, all sharing the scan), then the single
+    aggregate row unfolds into one row per column via inline explode —
+    no per-column jobs, unlike a naive profiler loop."""
+    o = load(spark, sf_dir, "orders")
+    n = F.count("*")
+
+    def m(c, reprer):
+        col = F.col(c)
+        return [
+            (n - F.count(col)).alias(f"nn_{c}"),
+            F.count_distinct(col).alias(f"nd_{c}"),
+            reprer(F.min(col)).alias(f"mn_{c}"),
+            reprer(F.max(col)).alias(f"mx_{c}"),
+        ]
+
+    as_str = lambda x: x.cast("string")
+    as_2f = lambda x: F.format_string("%.2f", x)
+    as_us = lambda x: F.unix_micros(x.cast("timestamp")).cast("string")
+    ident = lambda x: x
+    specs = [
+        ("o_orderkey", as_str),
+        ("o_custkey", as_str),
+        ("o_orderstatus", ident),
+        ("o_totalprice", as_2f),
+        ("o_orderdate", as_us),
+        ("o_orderpriority", ident),
+    ]
+    aggs = [n.alias("n_rows")]
+    for c, r in specs:
+        aggs.extend(m(c, r))
+    one = o.agg(*aggs)
+    rows = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"nn_{c}").alias("n_nulls"),
+                F.col(f"nd_{c}").alias("n_distinct"),
+                F.col(f"mn_{c}").alias("min_repr"),
+                F.col(f"mx_{c}").alias("max_repr"),
+            )
+            for c, _ in specs
+        ]
+    )
+    return one.select(F.explode(rows).alias("p")).select("p.*")
+
+
+@register(
+    "agg_winsorized_mean",
+    oracle=f"""
+    WITH th AS (
+      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
+             quantile_cont(o_totalprice, 0.95) AS hi
+      FROM orders
+    )
+    SELECT lo, hi, {bigcount_sql()} AS n_orders,
+           ({dsum_sql("least(greatest(o_totalprice, lo), hi)")} / COUNT(*))
+             AS winsorized_mean
+    FROM orders CROSS JOIN th
+    GROUP BY lo, hi
+    """,
+)
+def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean — the outlier-robust aggregate a feature pipeline
+    uses before normalization: clip to the exact [p5, p95] band, then
+    average. Two passes by necessity (thresholds, then clip): the 1-row
+    threshold relation broadcasts onto the scan, the clip is a per-row
+    least/greatest (identical IEEE ops both engines), and the clipped
+    sum rides the decimal discipline. Spark `percentile` == DuckDB
+    `quantile_cont` bit-for-bit (same interpolation, see
+    agg_percentiles)."""
+    from ..catalog import dsum
+
+    o = load(spark, sf_dir, "orders")
+    th = o.agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
+    return (
+        o.crossJoin(F.broadcast(th))
+        .groupBy("lo", "hi")
+        .agg(
+            F.count("*").alias("n_orders"),
+            (dsum(clipped) / F.count("*")).alias("winsorized_mean"),
+        )
+        .select("lo", "hi", "n_orders", "winsorized_mean")
+    )

@@ -739,3 +739,107 @@ def doc_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("doc_freq"),
         F.slice(F.array_sort(F.collect_list("doc_id")), 1, 100).alias("postings"),
     )
+
+
+@register(
+    "vocab_term_ids",
+    oracle="""
+    WITH toks AS (
+      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, term) - 1 AS INT)
+             AS term_id
+    FROM toks GROUP BY term
+    """,
+)
+def vocab_term_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction: dense integer ids assigned by corpus
+    frequency (most frequent term = id 0; ties by term text) — the
+    token->id table every training pipeline builds before
+    numericalization, and the seed ranking a BPE trainer starts from.
+    One explode + hash aggregate; the final ranking window runs over
+    the VOCABULARY (post-aggregation), which is orders of magnitude
+    smaller than the corpus, so the single-partition id assignment is
+    bounded by vocab size at any corpus scale."""
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    from ..operators.dedup import _widen
+
+    counts = (
+        _widen(d)
+        .select(F.explode(T.norm_tokens(F.col("text"))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n_occurrences"))
+    )
+    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
+    return counts.withColumn(
+        "term_id", (F.row_number().over(w) - 1).cast("int")
+    )
+
+
+@register(
+    "bigram_next_word_top3",
+    oracle="""
+    WITH t AS (
+      SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ), grams AS (
+      SELECT unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> toks[i] || ' ' || toks[i+1]
+             )) AS bigram
+      FROM t
+    ), counts AS (
+      SELECT split_part(bigram, ' ', 1) AS w1,
+             split_part(bigram, ' ', 2) AS w2,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM grams GROUP BY 1, 2
+    )
+    SELECT w1, w2, n_pairs, rank FROM (
+      SELECT w1, w2, n_pairs,
+             CAST(ROW_NUMBER() OVER (PARTITION BY w1
+                                     ORDER BY n_pairs DESC, w2) AS INT) AS rank
+      FROM counts
+    ) WHERE rank <= 3
+    """,
+)
+def bigram_next_word_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional next-word table: for every leading word, its top-3
+    successors by corpus bigram count — the backbone statistic of an
+    n-gram language model (P(w2|w1) numerators) and a quick data-quality
+    lens (degenerate corpora have near-deterministic successors). Bigram
+    build is the doc_bigram_counts kernel; the ranking window partitions
+    by w1 over the aggregated pair table, so parallelism is vocab-wide
+    and per-partition state is each word's successor list, not the
+    corpus."""
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    toks = T.norm_tokens(F.col("text"))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, (i + 1).cast("int")),
+                F.element_at(toks, (i + 2).cast("int")),
+            ),
+        ),
+    )
+    counts = (
+        d.select(F.explode(bigrams).alias("bigram"))
+        .select(
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
+            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
+        )
+        .groupBy("w1", "w2")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+    w = Window.partitionBy("w1").orderBy(F.col("n_pairs").desc(), "w2")
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+    )

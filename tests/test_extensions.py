@@ -386,3 +386,52 @@ def test_interarrival_gap_count_identity(spark, sf_small):
     assert sum(r["n_gaps"] for r in rows) == total - users
     for r in rows:
         assert 0.0 <= r["min_gap_s"] <= r["avg_gap_s"] <= r["max_gap_s"]
+
+
+def test_profile_orders_columns_semantics(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = {r["col_name"]: r
+            for r in REGISTRY["profile_orders_columns"].fn(spark, sf_small).collect()}
+    n = load_table(spark, sf_small, "orders").count()
+    assert set(rows) == {"o_orderkey", "o_custkey", "o_orderstatus",
+                         "o_totalprice", "o_orderdate", "o_orderpriority"}
+    for r in rows.values():
+        assert r["n_rows"] == n and r["n_nulls"] == 0
+        assert r["min_repr"] <= r["max_repr"] or r["col_name"] == "o_totalprice"
+    assert rows["o_orderkey"]["n_distinct"] == n  # primary key
+
+
+def test_vocab_term_ids_dense_and_ordered(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = sorted(
+        REGISTRY["vocab_term_ids"].fn(spark, sf_small).collect(),
+        key=lambda r: r["term_id"],
+    )
+    assert [r["term_id"] for r in rows] == list(range(len(rows)))  # dense 0..V-1
+    counts = [r["n_occurrences"] for r in rows]
+    assert counts == sorted(counts, reverse=True)  # frequency-ranked
+
+
+def test_bigram_next_word_ranked_per_leading_word(spark, sf_small):
+    from collections import defaultdict
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    by_w1 = defaultdict(list)
+    for r in REGISTRY["bigram_next_word_top3"].fn(spark, sf_small).collect():
+        by_w1[r["w1"]].append(r)
+    for w1, rs in by_w1.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        counts = [r["n_pairs"] for r in rs]
+        assert counts == sorted(counts, reverse=True)
+
+
+def test_winsorized_mean_bounds(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    r = REGISTRY["agg_winsorized_mean"].fn(spark, sf_small).first()
+    assert r["lo"] <= r["winsorized_mean"] <= r["hi"]
