@@ -1763,3 +1763,87 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("lo", "hi", "n_orders", "winsorized_mean")
     )
+
+
+@register(
+    "copurchase_part_pairs_lift",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+             CAST(COUNT(*) AS BIGINT) AS pair_n
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT p1, p2, pair_n FROM pairs
+      ORDER BY pair_n DESC, p1, p2 LIMIT 20
+    ),
+    item AS (
+      SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS item_n FROM li GROUP BY 1
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM li)
+    SELECT t.p1, t.p2, t.pair_n,
+           (CAST(t.pair_n AS DOUBLE) * n.n_orders)
+             / (CAST(i1.item_n AS DOUBLE) * i2.item_n) AS lift
+    FROM top t
+    JOIN item i1 ON i1.l_partkey = t.p1
+    JOIN item i2 ON i2.l_partkey = t.p2
+    CROSS JOIN n
+    """,
+)
+def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket affinity: top-20 co-purchased part pairs by support,
+    with lift = P(a,b) / (P(a) P(b)) from exact order-level counts. The
+    pair generation is an equi-self-join on the order key — pairs only
+    form WITHIN an order, so output is sum(k_i^2) over basket sizes,
+    never corpus-quadratic — and the lift enrichment joins the tiny
+    top-20 relation against broadcast item counts AFTER the TakeOrdered
+    cap, not before. Exact integer counts; one double expression at the
+    end, identical both engines."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    top = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .agg(F.count("*").alias("pair_n"))
+        .orderBy(F.desc("pair_n"), "p1", "p2")
+        .limit(20)
+    )
+    item = li.groupBy("l_partkey").agg(F.count("*").alias("item_n"))
+    n = li.agg(F.count_distinct("l_orderkey").alias("n_orders"))
+    return (
+        top.join(
+            F.broadcast(item.withColumnRenamed("l_partkey", "p1")
+                        .withColumnRenamed("item_n", "i1")),
+            "p1",
+        )
+        .join(
+            F.broadcast(item.withColumnRenamed("l_partkey", "p2")
+                        .withColumnRenamed("item_n", "i2")),
+            "p2",
+        )
+        .crossJoin(F.broadcast(n))
+        .select(
+            "p1",
+            "p2",
+            "pair_n",
+            (
+                (F.col("pair_n").cast("double") * F.col("n_orders"))
+                / (F.col("i1").cast("double") * F.col("i2"))
+            ).alias("lift"),
+        )
+    )

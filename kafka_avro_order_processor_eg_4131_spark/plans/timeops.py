@@ -560,3 +560,40 @@ def rollup_order_date_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("yr", "mth", "g_yr", "g_mth", "n_orders", "total_price")
     )
+
+
+@register(
+    "daily_new_customers_cumulative",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey, date_trunc('day', MIN(o_orderdate)) AS day
+      FROM orders GROUP BY o_custkey
+    ),
+    daily AS (
+      SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+      FROM first_order GROUP BY day
+    )
+    SELECT day, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_customers
+    FROM daily
+    """,
+)
+def daily_new_customers_cumulative(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The new-customer acquisition curve: each customer's first order
+    day, bucketed daily, with the running total — the growth chart every
+    product dashboard opens with. Two hash aggregates (per-customer min,
+    per-day count) shrink the data to one row per DAY before the global
+    cumulative window, so the single-partition window scans calendar-
+    sized input at any order volume. Integer counts throughout — no
+    float discipline needed."""
+    o = load(spark, sf_dir, "orders")
+    first = o.groupBy("o_custkey").agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("day")
+    )
+    daily = first.groupBy("day").agg(F.count("*").alias("n_new"))
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.withColumn(
+        "cum_customers", F.sum("n_new").over(w).cast("bigint")
+    )

@@ -435,3 +435,29 @@ def test_winsorized_mean_bounds(spark, sf_small):
 
     r = REGISTRY["agg_winsorized_mean"].fn(spark, sf_small).first()
     assert r["lo"] <= r["winsorized_mean"] <= r["hi"]
+
+
+def test_copurchase_lift_positive_and_capped(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["copurchase_part_pairs_lift"].fn(spark, sf_small).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r["p1"] < r["p2"] and r["pair_n"] >= 1 and r["lift"] > 0.0
+
+
+def test_daily_new_customers_monotone_total(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = sorted(
+        REGISTRY["daily_new_customers_cumulative"].fn(spark, sf_small).collect(),
+        key=lambda r: r["day"],
+    )
+    cums = [r["cum_customers"] for r in rows]
+    assert cums == sorted(cums)  # monotone running total
+    n_customers = (
+        load_table(spark, sf_small, "orders").select("o_custkey").distinct().count()
+    )
+    assert cums[-1] == n_customers  # every ordering customer appears once
+    assert sum(r["n_new"] for r in rows) == n_customers
