@@ -200,3 +200,36 @@ def test_session_paths_windows_are_partitioned(spark, sf_small):
 def test_quality_deciles_ntile_is_partitioned(spark, sf_small):
     plan = _plan(spark, "doc_quality_deciles", sf_small)
     assert "windowspecdefinition(lang" in plan, plan[:3000]
+
+
+def test_copurchase_pair_join_is_equi_not_cartesian(spark, sf_small):
+    plan = _plan(spark, "copurchase_part_pairs_lift", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # pairs form via an equi-join on the order key with the < residual
+    assert "SortMergeJoin" in plan or "HashJoin" in plan, plan[:2000]
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_profile_is_single_scan(spark, sf_small):
+    plan = _plan(spark, "profile_orders_columns", sf_small)
+    # one parquet scan feeds every column's metrics (Expand for the
+    # multi-DISTINCT), not one scan per column
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Expand" in plan
+
+
+def test_interarrival_windows_are_partitioned(spark, sf_small):
+    plan = _plan(spark, "events_interarrival_stats", sf_small)
+    # the lag window must be keyed by user_id, never a global window
+    assert "user_id" in plan.split("Window")[1][:300], plan[:2000]
+
+
+def test_winsorized_thresholds_are_broadcast(spark, sf_small):
+    plan = _plan(spark, "agg_winsorized_mean", sf_small)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan, plan[:2000]
+
+
+def test_postings_is_one_aggregate_no_join(spark, sf_small):
+    plan = _plan(spark, "doc_postings_lists", sf_small)
+    assert "Join" not in plan, plan[:2000]
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
