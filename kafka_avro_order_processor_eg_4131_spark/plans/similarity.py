@@ -222,3 +222,45 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
     return cent.join(n, "label").select("label", "centroid", "n_vectors")
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH amax AS (
+      SELECT MAX(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))))) AS a
+      FROM embeddings
+    )
+    SELECT vec_id,
+           a AS scale,
+           list_transform(embedding,
+             x -> CAST(floor(CAST(x AS DOUBLE) / a * 127.0 + 0.5) AS INT))
+             AS qvec
+    FROM embeddings CROSS JOIN amax
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of the embedding column — the 4x
+    storage/bandwidth reduction an ANN serving layer applies before
+    indexing. One pass finds the corpus max-abs (a 1-row broadcast),
+    one projection maps every component to round(v/amax*127), written
+    as floor(x+0.5) because THAT is bit-identical across engines
+    (round()'s half-case tie rule is not guaranteed portable). Per-row
+    array transform, no shuffle beyond the scalar broadcast."""
+    e, _ = _emb_cached(spark, sf_dir)
+    amax = e.agg(
+        F.max(
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+        ).alias("a")
+    )
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") / F.col("a") * 127.0 + 0.5).cast("int"),
+    )
+    return (
+        e.crossJoin(F.broadcast(amax))
+        .select("vec_id", F.col("a").alias("scale"), q.alias("qvec"))
+    )

@@ -843,3 +843,51 @@ def bigram_next_word_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "doc_feature_hashing",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+      FROM documents WHERE trim(text) <> ''
+    ), b AS (
+      SELECT doc_id, CAST({_code_sql("tok")} % {_FH_BUCKETS} AS INT) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM tok GROUP BY 1, 2
+    )
+    SELECT doc_id,
+           list(bucket ORDER BY bucket) AS buckets,
+           list(c ORDER BY bucket) AS counts
+    FROM b GROUP BY doc_id
+    """,
+)
+def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick: each document as a sparse 64-bucket hashed
+    bag-of-words — (sorted bucket ids, aligned counts) parallel arrays,
+    the fixed-width featurization that needs NO vocabulary pass (and
+    therefore no global state) no matter the corpus size. Bucket =
+    md5-derived integer mod 64, portable across engines via the
+    rolling-fingerprint code helper. explode -> two hash aggregates,
+    both keyed by doc_id: the second's state is bounded by the bucket
+    count, and sparse output keeps row width at distinct-buckets, not
+    table width."""
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    code = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
+    b = (
+        d.select("doc_id", F.explode(T.norm_tokens(F.col("text"))).alias("tok"))
+        .select("doc_id", (code % _FH_BUCKETS).cast("int").alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("c"))
+    )
+    pairs = F.array_sort(F.collect_list(F.struct("bucket", "c")))
+    return b.groupBy("doc_id").agg(
+        F.transform(pairs, lambda s: s.bucket).alias("buckets"),
+        F.transform(pairs, lambda s: s.c).alias("counts"),
+    )

@@ -461,3 +461,36 @@ def test_daily_new_customers_monotone_total(spark, sf_small):
     )
     assert cums[-1] == n_customers  # every ordering customer appears once
     assert sum(r["n_new"] for r in rows) == n_customers
+
+
+def test_feature_hashing_conserves_token_mass(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.plans.textops import _FH_BUCKETS
+
+    rows = REGISTRY["doc_feature_hashing"].fn(spark, sf_small).collect()
+    tok_counts = {
+        r["doc_id"]: r["n_tokens"]
+        for r in REGISTRY["doc_token_stats"].fn(spark, sf_small).collect()
+    }
+    assert rows
+    for r in rows:
+        b, c = r["buckets"], r["counts"]
+        assert b == sorted(set(b)) and all(0 <= x < _FH_BUCKETS for x in b)
+        assert len(b) == len(c)
+        assert sum(c) == tok_counts[r["doc_id"]]  # no token lost or invented
+
+
+def test_int8_quantization_bounds_and_error(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = REGISTRY["embedding_quantize_int8"].fn(spark, sf_small).collect()
+    orig = {r["vec_id"]: r["embedding"]
+            for r in load_table(spark, sf_small, "embeddings").collect()}
+    assert rows
+    scale = rows[0]["scale"]
+    step = scale / 127.0
+    for r in rows[:50]:
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+        for v, q in zip(orig[r["vec_id"]], r["qvec"]):
+            assert abs(q * step - v) <= step / 2 + 1e-9  # within half a step
