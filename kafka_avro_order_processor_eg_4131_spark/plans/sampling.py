@@ -382,3 +382,62 @@ def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_chars").alias("total_chars"),
         )
     )
+
+
+# md5-derived uniform fraction in [0,1): first 8 hex digits as a 32-bit
+# integer over 2^32 — the keyed uniform variate every weighted gate uses
+_U32 = 4294967296.0
+_FRAC_SQL = (
+    "(("
+    + " + ".join(
+        f"CAST((strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)),"
+        f" {pp + 1}, 1)) - 1) AS BIGINT) * {16 ** (7 - pp)}"
+        for pp in range(8)
+    )
+    + f") / {_U32})"
+)
+
+_QUALITY_SQL = (
+    "(0.4 * (CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it'))) END AS DOUBLE) "
+    "/ CAST(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE)) "
+    "+ 0.3 * least((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "/ CAST(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE "
+    "len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE)) / 10.0, 1.0) "
+    "+ 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) "
+    "/ CAST(greatest(length(text), 1) AS DOUBLE)))"
+)
+
+
+@register(
+    "sample_weighted_by_quality",
+    oracle=f"""
+    SELECT doc_id, {_QUALITY_SQL} AS quality, {_FRAC_SQL} AS u
+    FROM documents
+    WHERE {_FRAC_SQL} < {_QUALITY_SQL}
+    """,
+)
+def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-weighted deterministic sampling: keep a document with
+    probability equal to its quality score, using the md5(doc_id)
+    uniform fraction as the keyed variate — high-quality docs survive
+    proportionally more often, and the SAME docs survive on every
+    rerun, any partitioning, any cluster size (the property rand()
+    sampling cannot give a resumable pipeline). Pure per-row predicate:
+    rides the scan, no shuffle, no state. The quality expression is the
+    doc_quality_scores composite; u reconstructs the first 8 md5 hex
+    digits as a 32-bit integer over 2^32, identical in both engines."""
+    from ..functions.text import quality_score
+
+    d = load(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double") / F.lit(_U32)
+    )
+    q = quality_score(F.col("text"))
+    return (
+        d.select("doc_id", q.alias("quality"), u.alias("u"))
+        .filter(F.col("u") < F.col("quality"))
+    )

@@ -494,3 +494,15 @@ def test_int8_quantization_bounds_and_error(spark, sf_small):
         assert all(-127 <= q <= 127 for q in r["qvec"])
         for v, q in zip(orig[r["vec_id"]], r["qvec"]):
             assert abs(q * step - v) <= step / 2 + 1e-9  # within half a step
+
+
+def test_weighted_sample_is_deterministic_and_quality_biased(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    fn = REGISTRY["sample_weighted_by_quality"].fn
+    first = {r["doc_id"] for r in fn(spark, sf_small).collect()}
+    again = {r["doc_id"] for r in fn(spark, sf_small).collect()}
+    assert first == again and first  # keyed gate: identical keep set
+    rows = fn(spark, sf_small).collect()
+    for r in rows:
+        assert r["u"] < r["quality"]  # the gate's defining invariant
