@@ -891,3 +891,41 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.transform(pairs, lambda s: s.bucket).alias("buckets"),
         F.transform(pairs, lambda s: s.c).alias("counts"),
     )
+
+
+# GPT-style pretokenizer classes: letter runs, single digits, punctuation
+_BPE_PAT = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+
+
+@register(
+    "doc_bpe_token_counts",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+             AS n_bpe_tokens,
+           CAST({_NTOK} AS BIGINT) AS n_ws_tokens,
+           (CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+             / CAST(greatest({_NTOK}, 1) AS DOUBLE)) AS expansion_ratio
+    FROM documents
+    """,
+)
+def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a GPT-style pretokenizer regex (letter
+    runs | single digits | punctuation) bounds the subword token count
+    from below the way real BPE vocabularies segment, next to the
+    whitespace count and the expansion ratio — the cost estimator a
+    training pipeline runs before committing a corpus to tokenization.
+    One regexp_extract_all per row (same RE2/Java semantics for this
+    pattern class), no shuffle; at 100 TB this is scan-bound."""
+    d = load(spark, sf_dir, "documents")
+    t = F.col("text")
+    n_bpe = F.size(F.regexp_extract_all(t, F.lit(_BPE_PAT), 0)).cast("bigint")
+    n_ws = T.token_count(t)
+    return d.select(
+        "doc_id",
+        n_bpe.alias("n_bpe_tokens"),
+        n_ws.alias("n_ws_tokens"),
+        (
+            n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double")
+        ).alias("expansion_ratio"),
+    )

@@ -506,3 +506,16 @@ def test_weighted_sample_is_deterministic_and_quality_biased(spark, sf_small):
     rows = fn(spark, sf_small).collect()
     for r in rows:
         assert r["u"] < r["quality"]  # the gate's defining invariant
+
+
+def test_bpe_counts_bound_whitespace_counts(spark, sf_small):
+    """Every whitespace word yields >= 1 pretokenizer token, so the BPE
+    count dominates and the ratio is >= 1 for non-empty docs."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["doc_bpe_token_counts"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        if r["n_ws_tokens"] > 0:
+            assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
+            assert r["expansion_ratio"] >= 1.0
