@@ -1847,3 +1847,100 @@ def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# PageRank over the co-purchase graph: 3 unrolled iterations make the
+# classically-iterative algorithm oracle-checkable (the DuckDB twin
+# unrolls the same 3 steps as CTEs). Contribution sums ride a
+# scale-18 decimal (values < 1; the catalog's (30,6) would quantize
+# them to 2 significant digits).
+_PR_DEC = "decimal(38,18)"
+_PR_ITERS = 3
+
+
+def _pr_dsum(c):
+    return F.sum(c.cast(_PR_DEC)).cast("string").cast("double")
+
+
+def _pr_dsum_sql(e: str) -> str:
+    return f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+
+
+def _pr_it_sql(prev: str) -> str:
+    return (
+        f"SELECT e.dst AS id, 0.15 + 0.85 * {_pr_dsum_sql('r.r / deg.d')} AS r "
+        f"FROM edges e JOIN {prev} r ON r.id = e.src "
+        f"JOIN deg ON deg.src = e.src GROUP BY e.dst"
+    )
+
+
+@register(
+    "pagerank_copurchase_top20",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 4 = 0
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT src AS id, CAST(1.0 AS DOUBLE) AS r FROM deg),
+    it1 AS ({_pr_it_sql("r0")}),
+    it2 AS ({_pr_it_sql("it1")}),
+    it3 AS ({_pr_it_sql("it2")})
+    SELECT id AS part_id, r AS pagerank,
+           CAST(ROW_NUMBER() OVER (ORDER BY r DESC, id) AS INT) AS rank
+    FROM it3 QUALIFY rank <= 20
+    """,
+)
+def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PageRank (3 fixed iterations, damping 0.85) over the
+    co-purchase part graph of a 25% order sample — the influence/
+    centrality kernel, here surfacing the most basket-connected parts.
+    Iterative graph algorithms usually defeat SQL oracles; FIXED
+    iteration counts don't: the DuckDB twin unrolls the same three
+    steps, and scale-18 decimal contribution sums make every iteration
+    order-independent, so the final ranks are bit-exact. Per iteration:
+    one broadcast join of the (node,rank) relation onto the edge list
+    + one shuffle on dst — the standard scale shape (edges never move;
+    ranks do). The symmetric graph has no dangling nodes, so no
+    teleport-mass correction term is needed."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    from pyspark.sql import Window
+
+    r = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(F.broadcast(r.withColumnRenamed("id", "src")), "src")
+            .join(F.broadcast(deg), "src")
+            .select("dst", (F.col("r") / F.col("d")).alias("c"))
+        )
+        r = contrib.groupBy(F.col("dst").alias("id")).agg(
+            (F.lit(0.15) + F.lit(0.85) * _pr_dsum(F.col("c"))).alias("r")
+        )
+    w = Window.orderBy(F.col("r").desc(), "id")
+    return (
+        r.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 20)
+        .select(F.col("id").alias("part_id"), F.col("r").alias("pagerank"), "rank")
+    )

@@ -519,3 +519,43 @@ def test_bpe_counts_bound_whitespace_counts(spark, sf_small):
         if r["n_ws_tokens"] > 0:
             assert r["n_bpe_tokens"] >= r["n_ws_tokens"]
             assert r["expansion_ratio"] >= 1.0
+
+
+def test_pagerank_matches_numpy_power_iteration(spark, sf_small):
+    """3 damped power iterations in numpy over the same sampled graph
+    reproduce the catalog query's values to float tolerance."""
+    from collections import defaultdict
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    got = {r["part_id"]: r for r in
+           REGISTRY["pagerank_copurchase_top20"].fn(spark, sf_small).collect()}
+    li = (load_table(spark, sf_small, "lineitem")
+          .filter(F.col("l_orderkey") % 4 == 0)
+          .select("l_orderkey", "l_partkey").distinct().collect())
+    baskets = defaultdict(set)
+    for r in li:
+        baskets[r["l_orderkey"]].add(r["l_partkey"])
+    edges = set()
+    for parts in baskets.values():
+        for p1 in parts:
+            for p2 in parts:
+                if p1 != p2:
+                    edges.add((p1, p2))
+    out = defaultdict(list)
+    for s, d in edges:
+        out[s].append(d)
+    rank = {n: 1.0 for n in out}
+    for _ in range(3):
+        contrib = defaultdict(float)
+        for s, ds in out.items():
+            share = rank[s] / len(ds)
+            for d in sorted(ds):
+                contrib[d] += share
+        rank = {n: 0.15 + 0.85 * c for n, c in contrib.items()}
+    for part_id, row in got.items():
+        assert abs(rank[part_id] - row["pagerank"]) < 1e-9
+    assert sorted(r["rank"] for r in got.values()) == list(range(1, len(got) + 1))
