@@ -1851,24 +1851,35 @@ def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # PageRank over the co-purchase graph: 3 unrolled iterations make the
 # classically-iterative algorithm oracle-checkable (the DuckDB twin
-# unrolls the same 3 steps as CTEs). Contribution sums ride a
-# scale-18 decimal (values < 1; the catalog's (30,6) would quantize
-# them to 2 significant digits).
-_PR_DEC = "decimal(38,18)"
+# unrolls the same 3 steps as CTEs). Order-independence of the
+# contribution sum does NOT use the decimal cast (double->decimal
+# rounding proved engine-divergent at every scale tried — Spark casts
+# via the string repr, DuckDB from the exact binary): instead each
+# contribution is quantized to an exact INTEGER via floor(c*1e12+0.5)
+# — multiply, add, floor are single IEEE ops, bit-identical in both
+# engines — and BIGINTs sum exactly in any order. One int->double
+# conversion (correctly rounded, identical) scales back per iteration.
+_PR_SCALE = 1_000_000_000_000.0  # 1e12: quantization error 5e-13/term
 _PR_ITERS = 3
 
 
-def _pr_dsum(c):
-    return F.sum(c.cast(_PR_DEC)).cast("string").cast("double")
+def _pr_isum(c):
+    return (
+        F.sum(F.floor(c * F.lit(_PR_SCALE) + F.lit(0.5))).cast("double")
+        / F.lit(_PR_SCALE)
+    )
 
 
-def _pr_dsum_sql(e: str) -> str:
-    return f"CAST(CAST(SUM(CAST(({e}) AS DECIMAL(38,18))) AS VARCHAR) AS DOUBLE)"
+def _pr_isum_sql(e: str) -> str:
+    return (
+        f"(CAST(SUM(CAST(floor(({e}) * {_PR_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
+        f" / {_PR_SCALE})"
+    )
 
 
 def _pr_it_sql(prev: str) -> str:
     return (
-        f"SELECT e.dst AS id, 0.15 + 0.85 * {_pr_dsum_sql('r.r / deg.d')} AS r "
+        f"SELECT e.dst AS id, 0.15 + 0.85 * {_pr_isum_sql('r.r / deg.d')} AS r "
         f"FROM edges e JOIN {prev} r ON r.id = e.src "
         f"JOIN deg ON deg.src = e.src GROUP BY e.dst"
     )
@@ -1902,8 +1913,9 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     centrality kernel, here surfacing the most basket-connected parts.
     Iterative graph algorithms usually defeat SQL oracles; FIXED
     iteration counts don't: the DuckDB twin unrolls the same three
-    steps, and scale-18 decimal contribution sums make every iteration
-    order-independent, so the final ranks are bit-exact. Per iteration:
+    steps, and integer-quantized contribution sums (floor(c*1e12+0.5),
+    summed as exact BIGINTs) make every iteration order-independent
+    AND engine-identical, so the final ranks are bit-exact. Per iteration:
     one broadcast join of the (node,rank) relation onto the edge list
     + one shuffle on dst — the standard scale shape (edges never move;
     ranks do). The symmetric graph has no dangling nodes, so no
@@ -1936,7 +1948,7 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("dst", (F.col("r") / F.col("d")).alias("c"))
         )
         r = contrib.groupBy(F.col("dst").alias("id")).agg(
-            (F.lit(0.15) + F.lit(0.85) * _pr_dsum(F.col("c"))).alias("r")
+            (F.lit(0.15) + F.lit(0.85) * _pr_isum(F.col("c"))).alias("r")
         )
     w = Window.orderBy(F.col("r").desc(), "id")
     return (
