@@ -1956,3 +1956,90 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 20)
         .select(F.col("id").alias("part_id"), F.col("r").alias("pagerank"), "rank")
     )
+
+
+@register(
+    "stats_chi2_status_priority",
+    oracle=f"""
+    WITH cells AS (
+      SELECT o_orderstatus AS s, o_orderpriority AS p,
+             CAST(COUNT(*) AS BIGINT) AS o
+      FROM orders GROUP BY 1, 2
+    ),
+    margins AS (
+      SELECT s, p, o,
+             CAST(SUM(o) OVER (PARTITION BY s) AS BIGINT) AS row_n,
+             CAST(SUM(o) OVER (PARTITION BY p) AS BIGINT) AS col_n,
+             CAST(SUM(o) OVER () AS BIGINT) AS n
+      FROM cells
+    ),
+    contrib AS (
+      SELECT s, p, o,
+             (CAST(row_n AS DOUBLE) * col_n / n) AS e
+      FROM margins
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           {dsum_sql("(o - e) * (o - e) / e")} AS chi2
+    FROM contrib
+    """,
+)
+def stats_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence statistic for the status x priority
+    contingency table — the categorical-association test a feature-
+    selection pass runs over candidate columns. Observed counts are one
+    hash aggregate; expected counts come from margin windows over the
+    TABLE-SIZED cell relation (15 rows here — the windows never touch
+    the raw data); the final statistic is a decimal-disciplined sum of
+    per-cell (o-e)^2/e terms, so the single output row is bit-exact.
+    At scale: one shuffle for the cells, everything after is
+    cardinality-of-categories work."""
+    from ..catalog import dsum
+
+    o = load(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    cells = o.groupBy(
+        F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
+    ).agg(F.count("*").alias("o"))
+    margins = cells.select(
+        "s", "p", "o",
+        F.sum("o").over(Window.partitionBy("s")).alias("row_n"),
+        F.sum("o").over(Window.partitionBy("p")).alias("col_n"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
+    contrib = margins.select(
+        "s", "p", "o", e.alias("e")
+    )
+    term = (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+    return contrib.agg(
+        F.count("*").alias("n_cells"),
+        dsum(term).alias("chi2"),
+    )
+
+
+@register(
+    "latency_ship_days_histogram",
+    oracle="""
+    SELECT CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS INT) AS ship_days,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def latency_ship_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution in whole days — the
+    fulfillment-SLA histogram. One fact-fact equi-join on the order key
+    (AQE picks broadcast vs shuffled by size) and one small aggregate;
+    the date arithmetic is exact integer day-diff on both engines."""
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = load(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        l.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+            .cast("int")
+            .alias("ship_days")
+        )
+        .agg(F.count("*").alias("n_lineitems"))
+    )

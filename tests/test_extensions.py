@@ -559,3 +559,31 @@ def test_pagerank_matches_numpy_power_iteration(spark, sf_small):
     for part_id, row in got.items():
         assert abs(rank[part_id] - row["pagerank"]) < 1e-9
     assert sorted(r["rank"] for r in got.values()) == list(range(1, len(got) + 1))
+
+
+def test_chi2_matches_pandas_crosstab(spark, sf_small):
+    import numpy as np
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    r = REGISTRY["stats_chi2_status_priority"].fn(spark, sf_small).first()
+    pdf = load_table(spark, sf_small, "orders").select(
+        "o_orderstatus", "o_orderpriority"
+    ).toPandas()
+    import pandas as pd
+
+    ct = pd.crosstab(pdf["o_orderstatus"], pdf["o_orderpriority"]).to_numpy(float)
+    e = ct.sum(1, keepdims=True) @ ct.sum(0, keepdims=True) / ct.sum()
+    chi2 = float(((ct - e) ** 2 / e)[ct > 0].sum())  # engine skips empty cells
+    assert r["n_cells"] == int((ct > 0).sum())
+    assert abs(r["chi2"] - chi2) < 1e-6
+
+
+def test_latency_histogram_conserves_rows(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = REGISTRY["latency_ship_days_histogram"].fn(spark, sf_small).collect()
+    total = load_table(spark, sf_small, "lineitem").count()
+    assert sum(r["n_lineitems"] for r in rows) == total
