@@ -46,3 +46,47 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
         .groupBy("o_orderstatus", "o_orderpriority")
         .applyInPandas(_stats, GAP_STATS_SCHEMA)
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental aggregate maintenance (the materialized-view merge kernel)
+# ---------------------------------------------------------------------------
+
+_MV_DEC = "decimal(30,6)"
+
+
+def partial_order_stats(orders: DataFrame, group_col: str = "o_orderstatus") -> DataFrame:
+    """Mergeable partial aggregate over one slice of the fact table:
+    (group, n, exact decimal sum). This is the state a warehouse stores
+    per partition/day so refreshing a rollup only touches NEW slices —
+    counts and decimal sums are associative and exact, so any merge
+    order reproduces the full recompute bit-for-bit (doubles would
+    not: their sums drift with add order, which is why the partial
+    carries the decimal)."""
+    from pyspark.sql import functions as F
+
+    return orders.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("o_totalprice").cast(_MV_DEC)).alias("sum_dec"),
+    )
+
+
+def merge_order_stats(*partials: DataFrame) -> DataFrame:
+    """Merge any number of partial relations into the final rollup
+    (group, n_orders, total_price, avg_price) — equal to aggregating
+    all underlying rows directly. union + re-aggregate: the merge cost
+    scales with GROUP COUNT x slice count, never with fact rows, which
+    is the entire point of incremental maintenance at 100 TB."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(DataFrame.unionByName, partials)
+    group_col = [c for c in u.columns if c not in ("n", "sum_dec")][0]
+    return u.groupBy(group_col).agg(
+        F.sum("n").alias("n_orders"),
+        F.sum("sum_dec").cast("string").cast("double").alias("total_price"),
+        (F.sum("sum_dec").cast("string").cast("double") / F.sum("n")).alias(
+            "avg_price"
+        ),
+    )

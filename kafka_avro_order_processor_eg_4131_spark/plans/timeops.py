@@ -597,3 +597,55 @@ def daily_new_customers_cumulative(spark: SparkSession, sf_dir: str) -> DataFram
     return daily.withColumn(
         "cum_customers", F.sum("n_new").over(w).cast("bigint")
     )
+
+
+@register(
+    "events_anomaly_mad",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      FROM events GROUP BY event_type
+    ),
+    mad AS (
+      SELECT e.event_type,
+             quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      GROUP BY e.event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ((e.value - m.med_v) / (1.4826 * d.mad_v)) AS robust_z
+    FROM events e
+    JOIN med m ON m.event_type = e.event_type
+    JOIN mad d ON d.event_type = e.event_type
+    WHERE abs((e.value - m.med_v) / (1.4826 * d.mad_v)) >= 3.5
+    """,
+)
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust (median/MAD) anomaly flagging — the outlier detector that
+    z-scores cannot be: a handful of extreme values inflate the mean
+    and stddev until they mask themselves, while the median and the
+    median-absolute-deviation ignore them. Three passes (median, MAD,
+    probe), each reducing to per-type scalars that broadcast back onto
+    the stream; Spark `percentile` == DuckDB `quantile_cont` bit-exact,
+    and 1.4826 (the normal-consistency constant) is one identical
+    multiply. Flags |robust z| >= 3.5."""
+    e = load(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("med_v")
+    )
+    mad = (
+        e.join(F.broadcast(med), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.expr("percentile(abs(value - med_v), 0.5)").alias("mad_v")
+        )
+    )
+    score = (F.col("value") - F.col("med_v")) / (
+        F.lit(1.4826) * F.col("mad_v")
+    )
+    return (
+        e.join(F.broadcast(med), "event_type")
+        .join(F.broadcast(mad), "event_type")
+        .select("event_id", "event_type", "value", score.alias("robust_z"))
+        .filter(F.abs(F.col("robust_z")) >= 3.5)
+    )

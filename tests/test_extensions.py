@@ -587,3 +587,33 @@ def test_latency_histogram_conserves_rows(spark, sf_small):
     rows = REGISTRY["latency_ship_days_histogram"].fn(spark, sf_small).collect()
     total = load_table(spark, sf_small, "lineitem").count()
     assert sum(r["n_lineitems"] for r in rows) == total
+
+
+def test_incremental_aggregate_merge_equals_full_recompute(spark, sf_small):
+    """The MV-maintenance kernel: partial stats over disjoint slices,
+    merged, must equal the direct full aggregate bit-for-bit (decimal
+    partials make the merge order-independent)."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.operators.grouped import (
+        merge_order_stats,
+        partial_order_stats,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_small, "orders")
+    slices = [o.filter(F.col("o_orderkey") % 3 == i) for i in range(3)]
+    merged = {
+        r["o_orderstatus"]: r
+        for r in merge_order_stats(*[partial_order_stats(s) for s in slices]).collect()
+    }
+    full = {
+        r["o_orderstatus"]: r
+        for r in merge_order_stats(partial_order_stats(o)).collect()
+    }
+    assert set(merged) == set(full)
+    for k in full:
+        assert merged[k]["n_orders"] == full[k]["n_orders"]
+        # bit-exact, not approximately equal — the decimal partials' point
+        assert merged[k]["total_price"].hex() == full[k]["total_price"].hex()
+        assert merged[k]["avg_price"].hex() == full[k]["avg_price"].hex()
