@@ -2043,3 +2043,71 @@ def latency_ship_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_lineitems"))
     )
+
+
+@register(
+    "pareto_abc_parts_revenue",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_partkey,
+             {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
+      FROM lineitem GROUP BY l_partkey
+    ),
+    tot AS (SELECT {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS t FROM lineitem),
+    ranked AS (
+      SELECT l_partkey, revenue,
+             CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS VARCHAR) AS DOUBLE) AS cum_rev,
+             t
+      FROM rev CROSS JOIN tot
+    )
+    SELECT l_partkey, revenue,
+           (cum_rev / t) AS cum_share,
+           CASE WHEN cum_rev / t <= 0.80 THEN 'A'
+                WHEN cum_rev / t <= 0.95 THEN 'B'
+                ELSE 'C' END AS abc_class
+    FROM ranked
+    """,
+)
+def pareto_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto / ABC classification: parts ranked by discounted revenue,
+    running share of the total, classed A (first 80%), B (to 95%),
+    C (tail) — the inventory-prioritization report, and the
+    ratio-to-report window pattern in one query. Revenue reduces to one
+    row per part BEFORE the global cumulative window (part-count-sized
+    input); the revenue sums, the grand total, AND the cumulative
+    window sum all ride the decimal discipline — DuckDB evaluates
+    window frames with a segment tree (arbitrary add order), so a
+    double cumsum drifts ulps even over pre-rounded values (measured
+    here; the windows-module rule re-confirmed)."""
+    from ..catalog import dsum
+
+    from pyspark.sql import Window
+
+    l = load(spark, sf_dir, "lineitem")
+    amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
+    rev = l.groupBy("l_partkey").agg(dsum(amount).alias("revenue"))
+    tot = l.agg(dsum(amount).alias("t"))
+    w = (
+        Window.orderBy(F.col("revenue").desc(), "l_partkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    share = F.col("cum_rev") / F.col("t")
+    return (
+        rev.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cum_rev",
+            F.sum(F.col("revenue").cast("decimal(30,6)")).over(w)
+            .cast("string").cast("double"),
+        )
+        .select(
+            "l_partkey",
+            "revenue",
+            share.alias("cum_share"),
+            F.when(share <= 0.80, "A").when(share <= 0.95, "B").otherwise("C").alias(
+                "abc_class"
+            ),
+        )
+    )

@@ -649,3 +649,35 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", score.alias("robust_z"))
         .filter(F.abs(F.col("robust_z")) >= 3.5)
     )
+
+
+@register(
+    "events_hourly_heatmap",
+    oracle=f"""
+    SELECT CAST((CAST(floor(epoch(ts) / 86400.0) AS BIGINT) + 4) % 7 AS INT)
+             AS dow,
+           CAST(EXTRACT(hour FROM ts) AS INT) AS hour_of_day,
+           {bigcount_sql()} AS n_events,
+           {dsum_sql("value")} AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality heatmap: events bucketed by (day-of-week, hour) — the
+    weekly-rhythm view behind capacity planning and anomaly baselines.
+    Day-of-week is computed from epoch days ((d+4) % 7, 0=Sunday)
+    rather than each engine's dayofweek() — their numbering conventions
+    differ (Spark 1=Sunday, DuckDB 0=Sunday), and the arithmetic form
+    is convention-free. One aggregate to a 7x24-row relation."""
+    e = load(spark, sf_dir, "events")
+    epoch_s = F.unix_micros(F.col("ts").cast("timestamp")).cast("double") / F.lit(
+        1_000_000.0
+    )
+    dow = ((F.floor(epoch_s / 86400.0).cast("bigint") + 4) % 7).cast("int")
+    return (
+        e.groupBy(
+            dow.alias("dow"), F.hour("ts").cast("int").alias("hour_of_day")
+        )
+        .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value"))
+    )

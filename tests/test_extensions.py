@@ -617,3 +617,27 @@ def test_incremental_aggregate_merge_equals_full_recompute(spark, sf_small):
         # bit-exact, not approximately equal — the decimal partials' point
         assert merged[k]["total_price"].hex() == full[k]["total_price"].hex()
         assert merged[k]["avg_price"].hex() == full[k]["avg_price"].hex()
+
+
+def test_pareto_abc_classes_partition_revenue(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = sorted(
+        REGISTRY["pareto_abc_parts_revenue"].fn(spark, sf_small).collect(),
+        key=lambda r: r["cum_share"],
+    )
+    shares = [r["cum_share"] for r in rows]
+    assert shares == sorted(shares) and abs(shares[-1] - 1.0) < 1e-9
+    seen = [r["abc_class"] for r in rows]
+    assert seen == sorted(seen)  # A block, then B, then C — never interleaved
+    assert {"A", "C"} <= set(seen)
+
+
+def test_hourly_heatmap_covers_week_and_conserves(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    rows = REGISTRY["events_hourly_heatmap"].fn(spark, sf_small).collect()
+    assert all(0 <= r["dow"] <= 6 and 0 <= r["hour_of_day"] <= 23 for r in rows)
+    total = load_table(spark, sf_small, "events").count()
+    assert sum(r["n_events"] for r in rows) == total
