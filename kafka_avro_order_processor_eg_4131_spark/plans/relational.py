@@ -2111,3 +2111,61 @@ def pareto_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "gini_customer_revenue",
+    oracle="""
+    WITH cents AS (
+      SELECT o_custkey,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS x
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT x,
+             ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+             COUNT(*) OVER () AS n
+      FROM cents
+    )
+    SELECT CAST(n AS BIGINT) AS n_customers,
+           (CAST(CAST(SUM(CAST((2 * i - n - 1) * x AS DECIMAL(38,0)))
+                      AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(SUM(CAST(CAST(n AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))
+                        AS VARCHAR) AS DOUBLE)) AS gini
+    FROM ranked GROUP BY n
+    """,
+)
+def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer revenue — the concentration metric
+    behind whale analysis, computed bit-exact via ALL-INTEGER
+    arithmetic: order totals become exact cents (floor(x*100+0.5)
+    recovers the 2-dp value exactly), rank weights (2i-n-1) are ints,
+    and both Gini sums run in DECIMAL(38,0) (exact at any size; a raw
+    BIGINT sum would overflow near ~1e18). Only the FINAL division
+    touches doubles — two correctly-rounded conversions and one IEEE
+    divide, identical in both engines. One aggregate + one
+    customer-sized ranking window. Ties in x leave the statistic
+    invariant (the tied block's weight sum is permutation-free);
+    the (x, custkey) tiebreak pins the per-row table anyway."""
+    from pyspark.sql import Window
+
+    o = load(spark, sf_dir, "orders")
+    cents = o.groupBy("o_custkey").agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)).alias("x")
+    )
+    w = Window.orderBy("x", "o_custkey")
+    ranked = cents.select(
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    num = F.sum(
+        ((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("decimal(38,0)")
+    ).cast("string").cast("double")
+    den = F.sum(
+        (F.col("n").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)")
+    ).cast("string").cast("double")
+    return ranked.groupBy("n").agg((num / den).alias("gini")).select(
+        F.col("n").alias("n_customers"), "gini"
+    )

@@ -641,3 +641,26 @@ def test_hourly_heatmap_covers_week_and_conserves(spark, sf_small):
     assert all(0 <= r["dow"] <= 6 and 0 <= r["hour_of_day"] <= 23 for r in rows)
     total = load_table(spark, sf_small, "events").count()
     assert sum(r["n_events"] for r in rows) == total
+
+
+def test_gini_matches_numpy_and_is_in_range(spark, sf_small):
+    import numpy as np
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    r = REGISTRY["gini_customer_revenue"].fn(spark, sf_small).first()
+    pdf = load_table(spark, sf_small, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).toPandas()
+    cents = (
+        pdf.assign(c=np.floor(pdf["o_totalprice"] * 100.0 + 0.5))
+        .groupby("o_custkey")["c"].sum().to_numpy()
+    )
+    x = np.sort(cents)
+    n = len(x)
+    i = np.arange(1, n + 1)
+    gini = float(((2 * i - n - 1) * x).sum() / (n * x.sum()))
+    assert r["n_customers"] == n
+    assert abs(r["gini"] - gini) < 1e-12
+    assert 0.0 <= r["gini"] < 1.0
