@@ -441,3 +441,79 @@ def sample_weighted_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", q.alias("quality"), u.alias("u"))
         .filter(F.col("u") < F.col("quality"))
     )
+
+
+_NEG_K = 3
+
+# md5-derived 32-bit code of (doc_id | j) — the keyed pseudo-random index
+_NEG_CODE = (
+    "("
+    + " + ".join(
+        f"CAST((strpos('0123456789abcdef', substring("
+        f"md5(CAST(doc_id AS VARCHAR) || '|' || CAST(j AS VARCHAR)),"
+        f" {pp + 1}, 1)) - 1) AS BIGINT) * {16 ** (7 - pp)}"
+        for pp in range(8)
+    )
+    + ")"
+)
+
+
+@register(
+    "sample_negative_pairs",
+    oracle=f"""
+    WITH idx AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS pos,
+             COUNT(*) OVER () AS n
+      FROM documents
+    ),
+    wants AS (
+      SELECT i.doc_id, j.j, ({_NEG_CODE} % i.n) AS neg_pos
+      FROM idx i CROSS JOIN (SELECT unnest(generate_series(1, {_NEG_K})) AS j) j
+    )
+    SELECT w.doc_id, x.doc_id AS neg_doc_id, CAST(w.j AS INT) AS sample_id
+    FROM wants w JOIN idx x ON x.pos = w.neg_pos
+    WHERE x.doc_id <> w.doc_id
+    """,
+)
+def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    document draws 3 pseudo-random partners via md5(doc_id|j) mod N,
+    resolved through a dense position index — the (anchor, negative)
+    pair generator behind embedding-model training, reproducible across
+    reruns and partitionings the way rand() pairs are not. The
+    position-index join is an equi-join on pos (the index relation is
+    one row per doc — broadcastable); accidental self-pairs are
+    filtered (each anchor keeps >= 2 of its 3 draws). The global
+    ROW_NUMBER builds the dense index once; at 100 TB the same index
+    comes from the two-pass per-partition-offset form noted in
+    corpus_shuffle_batches."""
+    d = load(spark, sf_dir, "documents")
+    w_idx = Window.orderBy("doc_id")
+    idx = d.select(
+        "doc_id",
+        (F.row_number().over(w_idx) - 1).cast("bigint").alias("pos"),
+        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+    )
+    code = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("doc_id").cast("string"), F.lit("|"), F.col("j").cast("string")
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    wants = idx.select(
+        "doc_id", F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("j"), "n"
+    ).select("doc_id", "j", (code % F.col("n")).alias("neg_pos"))
+    neg = idx.select(F.col("doc_id").alias("neg_doc_id"), F.col("pos").alias("neg_pos"))
+    return (
+        wants.join(F.broadcast(neg), "neg_pos")
+        .filter(F.col("neg_doc_id") != F.col("doc_id"))
+        .select("doc_id", "neg_doc_id", F.col("j").cast("int").alias("sample_id"))
+    )

@@ -664,3 +664,20 @@ def test_gini_matches_numpy_and_is_in_range(spark, sf_small):
     assert r["n_customers"] == n
     assert abs(r["gini"] - gini) < 1e-12
     assert 0.0 <= r["gini"] < 1.0
+
+
+def test_negative_pairs_deterministic_and_self_free(spark, sf_small):
+    from collections import Counter
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.plans.sampling import _NEG_K
+
+    fn = REGISTRY["sample_negative_pairs"].fn
+    rows = fn(spark, sf_small).collect()
+    again = fn(spark, sf_small).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))  # keyed, not rand()
+    per_anchor = Counter(r["doc_id"] for r in rows)
+    for r in rows:
+        assert r["neg_doc_id"] != r["doc_id"]
+        assert 1 <= r["sample_id"] <= _NEG_K
+    assert all(1 <= c <= _NEG_K for c in per_anchor.values())
