@@ -3,6 +3,12 @@ $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
 local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
 
+The driver captures only the last ~2000 characters of stdout, so the
+single printed line is kept compact (< 1800 bytes): `queries` holds
+only the slowest N queries that fit the byte budget; the full
+per-query timing map is written to BENCH_DETAIL.json next to this
+file.
+
 Each query is timed end-to-end including the action that materializes
 it (count of the result — forces full execution without driver-side
 collect of wide rows).
@@ -14,6 +20,38 @@ import json
 import os
 import sys
 import time
+
+# The driver keeps only the tail of stdout; stay comfortably under it.
+MAX_LINE_BYTES = 1800
+
+
+def format_bench_line(
+    timings: dict[str, float], total: float, sf, max_bytes: int = MAX_LINE_BYTES
+) -> str:
+    """One compact JSON line for the driver: totals plus the slowest
+    queries that fit in ``max_bytes``. Deterministic: queries sorted by
+    (-time, name), then greedily included until the budget is reached.
+    """
+    ranked = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    base = {
+        "metric": "catalog_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "n_queries": len(timings),
+        "n_errors": sum(1 for v in timings.values() if v < 0),
+        "detail": "BENCH_DETAIL.json",
+        "sf": sf,
+        "queries": {},
+    }
+    line = json.dumps(base)
+    for name, secs in ranked[:10]:
+        base["queries"][name] = secs
+        candidate = json.dumps(base)
+        if len(candidate.encode("utf-8")) > max_bytes:
+            del base["queries"][name]
+            break
+        line = candidate
+    return line
 
 
 def main() -> None:
@@ -87,18 +125,23 @@ def main() -> None:
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
     total = round(time.perf_counter() - t_total0, 4)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
+    sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
+    detail_path = os.path.join(repo_root, "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump(
             {
                 "metric": "catalog_total_runtime",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "sf": sf,
+            },
+            f,
+            indent=1,
+            sort_keys=True,
         )
-    )
+    print(format_bench_line(timings, total, sf))
     spark.stop()
 
 

@@ -149,13 +149,16 @@ def resize_images(payloads: DataFrame, target_w: int = 224, target_h: int = 224)
                     except Exception:
                         resized = b""
                 else:
-                    # deterministic fake resize (STUB): digest-stream sized
-                    # proportionally to the target pixel count
-                    seed = hashlib.sha256(
+                    # deterministic fake resize (STUB): ASCII hex digest
+                    # stream sized proportionally to the target pixel
+                    # count. Hex (not raw digest bytes) so the fake stays
+                    # VARCHAR-representable and a SQL oracle can recompute
+                    # resized_sha = sha256(repeat(sha256(text||dims), reps))
+                    seed_hex = hashlib.sha256(
                         raw + f"|{target_w}x{target_h}".encode()
-                    ).digest()
+                    ).hexdigest()
                     reps = max(1, (target_w * target_h) // (32 * 256))
-                    resized = (seed * reps)[: 32 * reps]
+                    resized = (seed_hex * reps).encode("ascii")
                 out.append(
                     {
                         "doc_id": int(doc_id),

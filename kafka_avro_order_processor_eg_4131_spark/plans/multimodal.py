@@ -1,8 +1,11 @@
 """Multimodal-column queries (north-star extension; operators in
-operators/multimodal.py). The payload-metadata query is fully
-oracle-checked (octet_length/sha256 exist in both engines); the decode
-and frame-sample stages exercise the mapInPandas plumbing and carry a
-rows-only check plus exact pytest assertions (tests/test_multimodal.py).
+operators/multimodal.py). All five stages are oracle-checked: the stub
+decode/resize fakes are md5/sha-derived and therefore SQL-expressible,
+so DuckDB recomputes them exactly (hex-digit reconstruction for the
+fake dims, VARCHAR slicing for frames — the fixture text is pure ASCII
+at every SF, verified, so VARCHAR ops equal byte ops). The feature
+stage emits printf-formatted floats (catalog.py float-portability
+rules) so the driver can hash the rows.
 """
 
 from __future__ import annotations
@@ -12,6 +15,19 @@ from pyspark.sql import functions as F
 
 from ..catalog import load, register
 from ..operators import multimodal as M
+
+
+def _hexd(expr: str, p: int) -> str:
+    """SQL: value 0-15 of the p-th (1-based) hex digit of ``expr``."""
+    return f"(strpos('0123456789abcdef', substring({expr}, {p}, 1)) - 1)"
+
+
+def _hexval(expr: str, start: int, n: int) -> str:
+    """SQL: integer value of ``n`` hex digits of ``expr`` from ``start``."""
+    terms = " + ".join(
+        f"{_hexd(expr, start + i)} * {16 ** (n - 1 - i)}" for i in range(n)
+    )
+    return f"({terms})"
 
 
 @register(
@@ -35,35 +51,127 @@ def multimodal_payload_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_decode_meta", oracle=None)  # rows-only: mapInPandas stub stage
+@register(
+    "multimodal_decode_meta",
+    oracle=f"""
+    WITH p AS (
+      SELECT doc_id, sha256(text) AS dg,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+      FROM documents
+    )
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           n_bytes,
+           dg AS sha256,
+           CAST({_hexval("dg", 1, 4)} % 1920 + 1 AS INT) AS width,
+           CAST({_hexval("dg", 5, 4)} % 1080 + 1 AS INT) AS height,
+           CAST({_hexd("dg", 9)} % 3 + 1 AS INT) AS n_channels
+    FROM p
+    """,
+)
 def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Decode stage over binary payloads (STUBBED byte decode, real
-    Arrow/mapInPandas plumbing — see operators/multimodal.py)."""
+    """Decode stage over binary payloads (STUBBED byte decode — dims are
+    sha256-derived, which is exactly what the oracle recomputes — with
+    real Arrow/mapInPandas plumbing; see operators/multimodal.py)."""
     d = load(spark, sf_dir, "documents")
     return M.decode_image_meta(M.attach_payload(d))
 
 
-@register("multimodal_frame_sample", oracle=None)  # rows-only: 1->N mapInPandas stage
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id,
+             unnest(generate_series(
+               0, CAST(ceil(octet_length(encode(text)) / 64.0) AS INT) - 1
+             )) AS frame_idx
+      FROM documents
+    )
+    SELECT f.doc_id,
+           CAST(frame_idx AS INT) AS frame_idx,
+           sha256(substring(d.text, frame_idx * 64 + 1, 64)) AS frame_sha
+    FROM f JOIN documents d ON f.doc_id = d.doc_id
+    """,
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Frame-sampling stage: one payload row -> N frame rows."""
+    """Frame-sampling stage: one payload row -> N frame rows (64-byte
+    fake "frames"; the fixture is pure ASCII so the oracle's VARCHAR
+    substring slices the same bytes the stub slices)."""
     d = load(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_payload(d))
 
 
-@register("multimodal_resize", oracle=None)  # rows-only: mapInPandas stub stage
+@register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id,
+           CAST(224 AS INT) AS width,
+           CAST(224 AS INT) AS height,
+           sha256(repeat(sha256(text || '|224x224'), 6)) AS resized_sha
+    FROM documents
+    """,
+)
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage: binary -> binary at uniform target dims (STUBBED
-    resample, real binary-in/binary-out Arrow contract; exact pytest
-    coverage in tests/test_extensions.py)."""
+    resample emitting an ASCII hex digest stream — reps=6 at 224x224 —
+    so DuckDB recomputes resized_sha exactly; real binary-in/binary-out
+    Arrow contract; exact pytest coverage in tests/test_extensions.py)."""
     d = load(spark, sf_dir, "documents")
     return M.resize_images(M.attach_payload(d)).drop("resized_payload")
 
 
-@register("multimodal_features", oracle=None)  # rows-only: pandas-twin-tested
+@register(
+    "multimodal_features",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id,
+             regexp_replace(lower(hex(encode(text))), '(.).', '\\1', 'g') AS h2
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(0, 15),
+               k -> CAST(length(h2) - length(replace(
+                      h2, substring('0123456789abcdef', k + 1, 1), ''
+                    )) AS DOUBLE)
+             ) AS hist
+      FROM hx
+    ), n AS (
+      SELECT doc_id,
+             hist,
+             sqrt(list_sum(list_transform(hist, x -> x * x))) AS nrm
+      FROM b
+    )
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               hist,
+               x -> printf('%.6f', CAST(CAST(
+                      CASE WHEN nrm > 0 THEN x / nrm ELSE x END
+                    AS FLOAT) AS DOUBLE))
+             ), ',') AS features_csv
+    FROM n
+    """,
+)
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Feature-extract stage: byte-histogram embedding (REAL features,
-    no stub — L2-normalized 16-bucket byte histogram), the array<float>
-    contract a neural encoder would fill. Twin-tested against a pure
-    numpy reference in tests/test_extensions.py."""
+    no stub — L2-normalized 16-bucket histogram of byte>>4, i.e. counts
+    of the high hex digit of each byte). Emitted as a printf('%.6f')
+    CSV string so the driver can hash rows (arrays are unhashable in
+    its canonicalizer) and DuckDB can recompute it: the per-bucket
+    counts are exact integers, the norm is an exact integer sum under
+    one IEEE sqrt, and /, float-cast, and printf are bit-identical
+    across engines (catalog.py float rules). Twin-tested against pure
+    numpy in tests/test_extensions.py."""
     d = load(spark, sf_dir, "documents")
-    return M.extract_features(M.attach_payload(d))
+    feats = M.extract_features(M.attach_payload(d))
+    return feats.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.col("features"),
+                lambda x: F.format_string("%.6f", x.cast("double")),
+            ),
+            ",",
+        ).alias("features_csv"),
+    )

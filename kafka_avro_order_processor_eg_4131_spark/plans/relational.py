@@ -832,7 +832,7 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_map_funcs",
     oracle="""
     SELECT o_orderkey,
-           ['bucket', 'priority', 'status'] AS keys_sorted,
+           'bucket,priority,status' AS keys_sorted,
            o_orderstatus AS status_v,
            CASE WHEN o_totalprice > 1000.0 THEN 'high' ELSE 'low' END AS bucket_v,
            3 AS n_entries,
@@ -859,7 +859,7 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = F.map_concat(m1, m2)
     return o.select(
         "o_orderkey",
-        F.array_sort(F.map_keys(merged)).alias("keys_sorted"),
+        F.array_join(F.array_sort(F.map_keys(merged)), ",").alias("keys_sorted"),
         F.element_at(merged, "status").alias("status_v"),
         F.element_at(merged, "bucket").alias("bucket_v"),
         F.size(merged).alias("n_entries"),
@@ -1305,7 +1305,7 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(list_distinct(toks)) AS INT)  AS n_unique,
            list_contains(toks, 'the')             AS has_the,
            list_sort(toks)[1]                     AS first_sorted,
-           toks[1:3]                              AS first_three
+           array_to_string(toks[1:3], ',')        AS first_three
     FROM t
     """,
 )
@@ -1320,7 +1320,7 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_distinct(toks)).alias("n_unique"),
         F.array_contains(toks, "the").alias("has_the"),
         F.element_at(F.array_sort(toks), 1).alias("first_sorted"),
-        F.slice(toks, 1, 3).alias("first_three"),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first_three"),
     )
 
 

@@ -184,17 +184,27 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
              unnest(generate_series(1, len(embedding))) AS pos
       FROM embeddings
+    ), s AS (
+      SELECT label, pos,
+             SUM(CAST(v AS DECIMAL(30,6))) AS s,
+             COUNT(*) AS n
+      FROM u GROUP BY label, pos
     ), m AS (
       SELECT label, pos,
-             ({dsum_sql('v')} / COUNT(*)) AS mv
-      FROM u GROUP BY label, pos
+             CAST(sign(s) AS BIGINT)
+               * ((2 * abs(CAST(s * 1000000 AS BIGINT)) * 1000 + n)
+                  // (2 * n)) AS mv_e9
+      FROM s
     ), cent AS (
-      SELECT label, list(mv ORDER BY pos) AS centroid
+      SELECT label,
+             array_to_string(list_transform(list(mv_e9 ORDER BY pos),
+                                            x -> CAST(x AS VARCHAR)), ',')
+               AS centroid_e9
       FROM m GROUP BY label
     ), n AS (
       SELECT label, {bigcount_sql()} AS n_vectors FROM embeddings GROUP BY label
     )
-    SELECT cent.label, cent.centroid, n.n_vectors
+    SELECT cent.label, cent.centroid_e9, n.n_vectors
     FROM cent JOIN n ON n.label = cent.label
     """,
 )
@@ -205,23 +215,43 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     ordinary two-key aggregate with map-side partial sums — each
     component sum is decimal-exact (order-independent, catalog.py
     discipline) — then the per-dim means reassemble into an ordered
-    array via sort-by-position. At 100 TB this is one explode (x dim)
-    + one shuffle on (label, dim): no driver-side vectors, no UDF, and
-    dimension parallelism means even a single giant label distributes
-    across dim-many tasks."""
+    CSV via sort-by-position. The mean is emitted as a FIXED-POINT e9
+    integer (half-up-rounded mean*1e9) computed with pure BIGINT
+    arithmetic on both sides: printf of the mean double is NOT
+    portable here, because scale-6 sums divided by small counts land
+    on exact decimal ties (probability ~1/n per component) where Java
+    HALF_UP and C printf disagree. sign*( (2*|s*1e9| + n) DIV (2n) )
+    is bit-exact in any engine. (BIGINT headroom: |sum|*1e9*2 must fit
+    63 bits — fine for unit-norm embeddings up to ~4e9 rows per
+    (label,dim); beyond that, widen to DECIMAL(38,0).) At 100 TB this
+    is one explode (x dim) + one shuffle on (label, dim): no
+    driver-side vectors, no UDF, and dimension parallelism means even
+    a single giant label distributes across dim-many tasks."""
     e = load(spark, sf_dir, "embeddings")
     u = e.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
     m = u.groupBy("label", "pos").agg(
-        (dsum(F.col("v").cast("double")) / F.count("*")).alias("mv")
+        F.sum(F.col("v").cast("double").cast("decimal(30,6)")).alias("s"),
+        F.count("*").alias("n"),
+    ).select(
+        "label",
+        "pos",
+        F.expr(
+            "CAST(sign(s) AS BIGINT)"
+            " * ((2 * abs(CAST(s * 1000000 AS BIGINT)) * 1000 + n)"
+            " DIV (2 * n))"
+        ).alias("mv_e9"),
     )
     cent = m.groupBy("label").agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("pos", "mv"))),
-            lambda s: s.mv,
-        ).alias("centroid")
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "mv_e9"))),
+                lambda s: s.mv_e9.cast("string"),
+            ),
+            ",",
+        ).alias("centroid_e9")
     )
     n = e.groupBy("label").agg(F.count("*").alias("n_vectors"))
-    return cent.join(n, "label").select("label", "centroid", "n_vectors")
+    return cent.join(n, "label").select("label", "centroid_e9", "n_vectors")
 
 
 @register(
@@ -234,8 +264,9 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT vec_id,
            a AS scale,
-           list_transform(embedding,
-             x -> CAST(floor(CAST(x AS DOUBLE) / a * 127.0 + 0.5) AS INT))
+           array_to_string(list_transform(embedding,
+             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / a * 127.0 + 0.5) AS INT)
+                       AS VARCHAR)), ',')
              AS qvec
     FROM embeddings CROSS JOIN amax
     """,
@@ -256,9 +287,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("a")
     )
-    q = F.transform(
-        F.col("embedding"),
-        lambda x: F.floor(x.cast("double") / F.col("a") * 127.0 + 0.5).cast("int"),
+    q = F.array_join(
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("a") * 127.0 + 0.5)
+            .cast("int")
+            .cast("string"),
+        ),
+        ",",
     )
     return (
         e.crossJoin(F.broadcast(amax))

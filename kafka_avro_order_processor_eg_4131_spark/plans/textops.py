@@ -716,7 +716,11 @@ def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT term,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           list_slice(list(doc_id ORDER BY doc_id), 1, 100) AS postings
+           array_to_string(
+             list_transform(
+               list_slice(list(doc_id ORDER BY doc_id), 1, 100),
+               x -> CAST(x AS VARCHAR)
+             ), ',') AS postings
     FROM tok GROUP BY term
     """,
 )
@@ -735,9 +739,18 @@ def doc_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.explode(F.array_distinct(T.norm_tokens(F.col("text")))).alias("term"),
     )
+    # postings emitted as a CSV string (not array<bigint>): the driver's
+    # canonicalizer cannot hash array cells; sort numerically BEFORE the
+    # string cast so "10" doesn't sort ahead of "2"
     return tok.groupBy("term").agg(
         F.count("*").alias("doc_freq"),
-        F.slice(F.array_sort(F.collect_list("doc_id")), 1, 100).alias("postings"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 100),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings"),
     )
 
 
@@ -861,8 +874,12 @@ _FH_BUCKETS = 64
       FROM tok GROUP BY 1, 2
     )
     SELECT doc_id,
-           list(bucket ORDER BY bucket) AS buckets,
-           list(c ORDER BY bucket) AS counts
+           array_to_string(list_transform(list(bucket ORDER BY bucket),
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS buckets,
+           array_to_string(list_transform(list(c ORDER BY bucket),
+                                          x -> CAST(x AS VARCHAR)), ',')
+             AS counts
     FROM b GROUP BY doc_id
     """,
 )
@@ -886,10 +903,16 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "bucket")
         .agg(F.count("*").alias("c"))
     )
+    # parallel arrays emitted as CSV strings for driver hashability;
+    # struct-sort keeps buckets/counts aligned before the join
     pairs = F.array_sort(F.collect_list(F.struct("bucket", "c")))
     return b.groupBy("doc_id").agg(
-        F.transform(pairs, lambda s: s.bucket).alias("buckets"),
-        F.transform(pairs, lambda s: s.c).alias("counts"),
+        F.array_join(
+            F.transform(pairs, lambda s: s.bucket.cast("string")), ","
+        ).alias("buckets"),
+        F.array_join(
+            F.transform(pairs, lambda s: s.c.cast("string")), ","
+        ).alias("counts"),
     )
 
 

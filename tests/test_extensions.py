@@ -362,7 +362,7 @@ def test_postings_sorted_capped_and_consistent(spark, sf_small):
     rows = REGISTRY["doc_postings_lists"].fn(spark, sf_small).collect()
     assert rows
     for r in rows:
-        p = r["postings"]
+        p = [int(x) for x in r["postings"].split(",")]  # CSV contract
         assert p == sorted(p) and len(p) <= 100
         if r["doc_freq"] <= 100:
             assert len(p) == r["doc_freq"]
@@ -474,7 +474,9 @@ def test_feature_hashing_conserves_token_mass(spark, sf_small):
     }
     assert rows
     for r in rows:
-        b, c = r["buckets"], r["counts"]
+        # buckets/counts are CSV strings (driver-hashable contract)
+        b = [int(x) for x in r["buckets"].split(",")]
+        c = [int(x) for x in r["counts"].split(",")]
         assert b == sorted(set(b)) and all(0 <= x < _FH_BUCKETS for x in b)
         assert len(b) == len(c)
         assert sum(c) == tok_counts[r["doc_id"]]  # no token lost or invented
@@ -491,8 +493,9 @@ def test_int8_quantization_bounds_and_error(spark, sf_small):
     scale = rows[0]["scale"]
     step = scale / 127.0
     for r in rows[:50]:
-        assert all(-127 <= q <= 127 for q in r["qvec"])
-        for v, q in zip(orig[r["vec_id"]], r["qvec"]):
+        qvec = [int(x) for x in r["qvec"].split(",")]  # CSV contract
+        assert all(-127 <= q <= 127 for q in qvec)
+        for v, q in zip(orig[r["vec_id"]], qvec):
             assert abs(q * step - v) <= step / 2 + 1e-9  # within half a step
 
 
