@@ -44,6 +44,30 @@ def _spread(df: DataFrame, width: int | None) -> DataFrame:
     return df.repartition(target)
 
 
+def _dense_index_small(
+    df: DataFrame, id_col: str, vec_col: str, n: int, idx_name: str
+) -> DataFrame:
+    """0-based dense index over the first ``n`` rows by ``id_col``:
+    TakeOrdered + one tiny sort-aggregate (collect_list -> array_sort ->
+    posexplode). ``n`` must be small (plane/centroid counts — tens of
+    rows); for corpus-sized dense indexes use
+    operators/ranking.py::distributed_row_number. A global
+    ``row_number().over(Window.orderBy(...))`` would be correct here
+    too, but plants a single-partition WindowExec in every ANN plan —
+    this shape keeps the catalog free of partition-less windows."""
+    lead = df.orderBy(id_col).limit(n)
+    packed = lead.agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(F.col(id_col).alias("k"), F.col(vec_col).alias("v"))
+            )
+        ).alias("a")
+    )
+    return packed.select(F.posexplode("a").alias(idx_name, "s")).select(
+        idx_name, F.col("s.v").alias(vec_col)
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -99,13 +123,8 @@ def lsh_planes(emb: DataFrame, num_tables: int, bits_per_table: int,
     vectors. The plane itself is never materialized: sign(dot(v, a-b))
     == sign(dot(v,a) - dot(v,b)), which keeps the SQL oracle a pair of
     left-fold dots. Returns (table_id, bit_id, p1, p2)."""
-    lead = (
-        emb.orderBy(id_col)
-        .limit(2 * num_tables * bits_per_table)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("rn"),
-            F.col(vec_col),
-        )
+    lead = _dense_index_small(
+        emb, id_col, vec_col, 2 * num_tables * bits_per_table, "rn"
     )
     # floor-div everywhere: plain `/` is double division in BOTH engines,
     # but double->int CAST truncates in Spark and rounds in DuckDB
@@ -260,14 +279,7 @@ def ivf_topk(
     k-means from a seed — the plan shape is identical)."""
     from ..functions.vectors import norm as vnorm
 
-    centroids = (
-        emb.orderBy(id_col)
-        .limit(num_cells)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell_id"),
-            F.col(vec_col),
-        )
-    )
+    centroids = _dense_index_small(emb, id_col, vec_col, num_cells, "cell_id")
     corpus_cells = ivf_assign(emb, centroids, n_probe=1, id_col=id_col,
                               vec_col=vec_col, width=width)
     query_cells = ivf_assign(
@@ -327,14 +339,7 @@ def kmeans_centroids(
     ``emb.sample(...)`` (a few million rows) and apply the final
     centroids to the full corpus; the assignment pass is the same
     either way."""
-    centroids = (
-        emb.orderBy(id_col)
-        .limit(num_cells)
-        .select(
-            (F.row_number().over(Window.orderBy(id_col)) - 1).alias("cell_id"),
-            F.col(vec_col),
-        )
-    )
+    centroids = _dense_index_small(emb, id_col, vec_col, num_cells, "cell_id")
     for _ in range(iters):
         assigned = ivf_assign(emb, centroids, n_probe=1, id_col=id_col,
                               vec_col=vec_col, width=width)

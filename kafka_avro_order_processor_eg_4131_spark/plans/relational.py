@@ -1916,10 +1916,14 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     steps, and integer-quantized contribution sums (floor(c*1e12+0.5),
     summed as exact BIGINTs) make every iteration order-independent
     AND engine-identical, so the final ranks are bit-exact. Per iteration:
-    one broadcast join of the (node,rank) relation onto the edge list
-    + one shuffle on dst — the standard scale shape (edges never move;
-    ranks do). The symmetric graph has no dangling nodes, so no
-    teleport-mass correction term is needed."""
+    one join of the (node,rank) relation onto the edge list + one
+    shuffle on dst — the standard scale shape (edges never move; ranks
+    do). The rank-relation join carries NO broadcast hint: AQE
+    broadcasts while ranks fit and falls back to a shuffle join at
+    node counts where they don't. The top-20 uses the two-pass
+    distributed rank (operators/ranking.py), not a global window. The
+    symmetric graph has no dangling nodes, so no teleport-mass
+    correction term is needed."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 4 == 0)
@@ -1938,23 +1942,36 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
-    from pyspark.sql import Window
+    from ..operators.ranking import distributed_row_number
 
     r = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
+        # no explicit broadcast hint on the (node,rank) relation: one
+        # row per node, so at 100x scale it outgrows broadcast — AQE
+        # picks broadcast while it fits and degrades to a shuffle join
+        # gracefully (deg is the same cardinality; same reasoning)
         contrib = (
-            edges.join(F.broadcast(r.withColumnRenamed("id", "src")), "src")
-            .join(F.broadcast(deg), "src")
+            edges.join(r.withColumnRenamed("id", "src"), "src")
+            .join(deg, "src")
             .select("dst", (F.col("r") / F.col("d")).alias("c"))
         )
         r = contrib.groupBy(F.col("dst").alias("id")).agg(
             (F.lit(0.15) + F.lit(0.85) * _pr_isum(F.col("c"))).alias("r")
         )
-    w = Window.orderBy(F.col("r").desc(), "id")
+        # truncate lineage each round (node-sized relation, same move as
+        # operators/dedup.py::connected_components): without this the
+        # ranking stage re-executes the whole unrolled iteration tree in
+        # every branch — including inside broadcast builds, where the
+        # untruncated plan OOMs the driver-side build thread
+        r = r.localCheckpoint()
+    ranked = distributed_row_number(r, [F.col("r").desc(), F.col("id")], rn_col="rank")
     return (
-        r.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= 20)
-        .select(F.col("id").alias("part_id"), F.col("r").alias("pagerank"), "rank")
+        ranked.filter(F.col("rank") <= 20)
+        .select(
+            F.col("id").alias("part_id"),
+            F.col("r").alias("pagerank"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -2001,12 +2018,14 @@ def stats_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = o.groupBy(
         F.col("o_orderstatus").alias("s"), F.col("o_orderpriority").alias("p")
     ).agg(F.count("*").alias("o"))
+    # grand total via an aggregate + broadcast cross join, not
+    # SUM() OVER () — a global window funnels to one partition
+    n_tot = cells.agg(F.sum("o").alias("n"))
     margins = cells.select(
         "s", "p", "o",
         F.sum("o").over(Window.partitionBy("s")).alias("row_n"),
         F.sum("o").over(Window.partitionBy("p")).alias("col_n"),
-        F.sum("o").over(Window.partitionBy()).alias("n"),
-    )
+    ).crossJoin(F.broadcast(n_tot))
     e = F.col("row_n").cast("double") * F.col("col_n") / F.col("n")
     contrib = margins.select(
         "s", "p", "o", e.alias("e")
@@ -2076,32 +2095,32 @@ def pareto_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     running share of the total, classed A (first 80%), B (to 95%),
     C (tail) — the inventory-prioritization report, and the
     ratio-to-report window pattern in one query. Revenue reduces to one
-    row per part BEFORE the global cumulative window (part-count-sized
-    input); the revenue sums, the grand total, AND the cumulative
-    window sum all ride the decimal discipline — DuckDB evaluates
-    window frames with a segment tree (arbitrary add order), so a
-    double cumsum drifts ulps even over pre-rounded values (measured
-    here; the windows-module rule re-confirmed)."""
+    row per part BEFORE the cumulative sum (part-count-sized input),
+    and the running total is the TWO-PASS distributed cumsum
+    (operators/ranking.py) — per-range-partition decimal cumsums plus
+    broadcast partition offsets, no single-partition window even over
+    the dimension-sized relation. The revenue sums, the grand total,
+    AND the cumulative sum all ride the decimal discipline — DuckDB
+    evaluates window frames with a segment tree (arbitrary add order),
+    so a double cumsum drifts ulps even over pre-rounded values
+    (measured here; the windows-module rule re-confirmed); decimal
+    addition is order-free, so the offset+local split is exact too."""
     from ..catalog import dsum
-
-    from pyspark.sql import Window
+    from ..operators.ranking import distributed_cumsum
 
     l = load(spark, sf_dir, "lineitem")
     amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     rev = l.groupBy("l_partkey").agg(dsum(amount).alias("revenue"))
     tot = l.agg(dsum(amount).alias("t"))
-    w = (
-        Window.orderBy(F.col("revenue").desc(), "l_partkey")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     share = F.col("cum_rev") / F.col("t")
+    cum = distributed_cumsum(
+        rev.crossJoin(F.broadcast(tot)),
+        [F.col("revenue").desc(), F.col("l_partkey")],
+        F.col("revenue").cast("decimal(30,6)"),
+        cum_col="__cum_dec",
+    )
     return (
-        rev.crossJoin(F.broadcast(tot))
-        .withColumn(
-            "cum_rev",
-            F.sum(F.col("revenue").cast("decimal(30,6)")).over(w)
-            .cast("string").cast("double"),
-        )
+        cum.withColumn("cum_rev", F.col("__cum_dec").cast("string").cast("double"))
         .select(
             "l_partkey",
             "revenue",
@@ -2129,9 +2148,11 @@ def pareto_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM cents
     )
     SELECT CAST(n AS BIGINT) AS n_customers,
-           (CAST(CAST(SUM(CAST((2 * i - n - 1) * x AS DECIMAL(38,0)))
+           (CAST(CAST(SUM(CAST(2 * i - n - 1 AS DECIMAL(19,0))
+                          * CAST(x AS DECIMAL(19,0)))
                       AS VARCHAR) AS DOUBLE)
-            / CAST(CAST(SUM(CAST(CAST(n AS DECIMAL(38,0)) * x AS DECIMAL(38,0)))
+            / CAST(CAST(SUM(CAST(n AS DECIMAL(19,0))
+                            * CAST(x AS DECIMAL(19,0)))
                         AS VARCHAR) AS DOUBLE)) AS gini
     FROM ranked GROUP BY n
     """,
@@ -2147,24 +2168,28 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     divide, identical in both engines. One aggregate + one
     customer-sized ranking window. Ties in x leave the statistic
     invariant (the tied block's weight sum is permutation-free);
-    the (x, custkey) tiebreak pins the per-row table anyway."""
-    from pyspark.sql import Window
+    the (x, custkey) tiebreak pins the per-row table anyway. The rank
+    and the customer count come from the two-pass distributed
+    ROW_NUMBER (operators/ranking.py) — no single-partition window
+    over the customer relation."""
+    from ..operators.ranking import distributed_row_number
 
     o = load(spark, sf_dir, "orders")
     cents = o.groupBy("o_custkey").agg(
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)).alias("x")
     )
-    w = Window.orderBy("x", "o_custkey")
-    ranked = cents.select(
-        "x",
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
-    )
+    ranked = distributed_row_number(
+        cents, [F.col("x"), F.col("o_custkey")], rn_col="i", total_col="n"
+    ).select("x", F.col("i").cast("bigint"), F.col("n").cast("bigint"))
+    # each factor goes to DECIMAL(19,0) BEFORE the multiply (product =
+    # DECIMAL(38,0), exact): a BIGINT product would silently wrap in
+    # Spark at very large n*x while DuckDB errors
     num = F.sum(
-        ((2 * F.col("i") - F.col("n") - 1) * F.col("x")).cast("decimal(38,0)")
+        (2 * F.col("i") - F.col("n") - 1).cast("decimal(19,0)")
+        * F.col("x").cast("decimal(19,0)")
     ).cast("string").cast("double")
     den = F.sum(
-        (F.col("n").cast("decimal(38,0)") * F.col("x")).cast("decimal(38,0)")
+        F.col("n").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
     ).cast("string").cast("double")
     return ranked.groupBy("n").agg((num / den).alias("gini")).select(
         F.col("n").alias("n_customers"), "gini"

@@ -360,19 +360,23 @@ def corpus_shuffle_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     are ordered by md5(doc_id) (a reproducible permutation — same
     batches on every rerun, unlike rand()), cut into 64-doc batches,
     and summarized per batch. This is the epoch-shuffle step of a
-    training dataloader. Fixture-scale uses one global ROW_NUMBER; at
-    100 TB the identical assignment comes from the two-pass form —
-    range-partition by the md5 key, count rows per partition, broadcast
-    the per-partition offsets, add them to per-partition row_numbers —
-    which this operator's key choice (hash order = uniform range
-    bounds) is designed for."""
+    training dataloader. The global row number is the TWO-PASS
+    distributed form (operators/ranking.py): range-partition by the md5
+    key (hash order = uniform range bounds, so partitions balance),
+    rank within partitions, add broadcast per-partition offsets — no
+    single-partition window at any scale."""
+    from ..operators.ranking import distributed_row_number
+
     d = load(spark, sf_dir, "documents")
-    w = Window.orderBy(F.col("shuffle_key"), F.col("doc_id"))
-    ranked = d.select(
-        "doc_id",
-        "n_chars",
-        F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
-    ).withColumn("rn", F.row_number().over(w))
+    ranked = distributed_row_number(
+        d.select(
+            "doc_id",
+            "n_chars",
+            F.md5(F.col("doc_id").cast("string")).alias("shuffle_key"),
+        ),
+        [F.col("shuffle_key"), F.col("doc_id")],
+        rn_col="rn",
+    )
     return (
         ranked.groupBy(
             F.floor((F.col("rn") - 1) / _BATCH_SIZE).cast("int").alias("batch_id")
@@ -482,18 +486,22 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     resolved through a dense position index — the (anchor, negative)
     pair generator behind embedding-model training, reproducible across
     reruns and partitionings the way rand() pairs are not. The
-    position-index join is an equi-join on pos (the index relation is
-    one row per doc — broadcastable); accidental self-pairs are
-    filtered (each anchor keeps >= 2 of its 3 draws). The global
-    ROW_NUMBER builds the dense index once; at 100 TB the same index
-    comes from the two-pass per-partition-offset form noted in
-    corpus_shuffle_batches."""
+    position-index join is a plain equi-join on pos — AQE picks
+    broadcast vs shuffle by size (a corpus-sized index must NOT carry a
+    broadcast hint); accidental self-pairs are filtered (each anchor
+    keeps >= 2 of its 3 draws). The dense index is the two-pass
+    distributed ROW_NUMBER (operators/ranking.py) and the corpus count
+    rides along from its per-partition counts — no global window, no
+    COUNT() OVER ()."""
+    from ..operators.ranking import distributed_row_number
+
     d = load(spark, sf_dir, "documents")
-    w_idx = Window.orderBy("doc_id")
-    idx = d.select(
+    idx = distributed_row_number(
+        d.select("doc_id"), [F.col("doc_id")], rn_col="__rn", total_col="n"
+    ).select(
         "doc_id",
-        (F.row_number().over(w_idx) - 1).cast("bigint").alias("pos"),
-        F.count("*").over(Window.partitionBy()).cast("bigint").alias("n"),
+        (F.col("__rn") - 1).cast("bigint").alias("pos"),
+        F.col("n").cast("bigint").alias("n"),
     )
     code = F.conv(
         F.substring(
@@ -513,7 +521,7 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "j", (code % F.col("n")).alias("neg_pos"))
     neg = idx.select(F.col("doc_id").alias("neg_doc_id"), F.col("pos").alias("neg_pos"))
     return (
-        wants.join(F.broadcast(neg), "neg_pos")
+        wants.join(neg, "neg_pos")
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
         .select("doc_id", "neg_doc_id", F.col("j").cast("int").alias("sample_id"))
     )

@@ -317,28 +317,27 @@ def doc_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     expressions (no UDF, no self-join), exploded, and hash-aggregated;
     Spark's partial aggregation means the shuffle carries one row per
     distinct bigram per task, and TakeOrderedAndProject caps the
-    result. Tie at the cutoff broken by bigram text."""
+    result. Tie at the cutoff broken by bigram text. Bigrams come from
+    zip_with over two shifted slices of a ONE-TIME token projection
+    (tokenize-once matters: expression trees that re-reference the
+    regex split inside lambdas defeat subexpression elimination and
+    re-tokenize per reference)."""
     from ..functions.text import norm_tokens
-
-    d = load(spark, sf_dir, "documents")
-    toks = norm_tokens((F.col("text")))
     from ..operators.dedup import _widen
 
-    d = _widen(d)
-    idx = F.sequence(F.lit(0), F.size(toks) - 2)
-    bigrams = F.when(  # guard: sequence(0, negative) would run descending
+    d = _widen(load(spark, sf_dir, "documents"))
+    t = d.select(norm_tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    bigrams = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            idx,
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat_ws(" ", a, b),
         ),
     )
     return (
-        d.select(F.explode(bigrams).alias("bigram"))
+        t.select(F.explode(bigrams).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "bigram")
@@ -773,12 +772,14 @@ def vocab_term_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency (most frequent term = id 0; ties by term text) — the
     token->id table every training pipeline builds before
     numericalization, and the seed ranking a BPE trainer starts from.
-    One explode + hash aggregate; the final ranking window runs over
-    the VOCABULARY (post-aggregation), which is orders of magnitude
-    smaller than the corpus, so the single-partition id assignment is
-    bounded by vocab size at any corpus scale."""
+    One explode + hash aggregate; the id assignment runs over the
+    VOCABULARY (post-aggregation, orders of magnitude smaller than the
+    corpus) and uses the two-pass distributed rank
+    (operators/ranking.py) anyway — a web-scale corpus can push the
+    vocab past single-task comfort too."""
     d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
     from ..operators.dedup import _widen
+    from ..operators.ranking import distributed_row_number
 
     counts = (
         _widen(d)
@@ -786,9 +787,10 @@ def vocab_term_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("term")
         .agg(F.count("*").alias("n_occurrences"))
     )
-    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
-    return counts.withColumn(
-        "term_id", (F.row_number().over(w) - 1).cast("int")
+    return distributed_row_number(
+        counts, [F.col("n_occurrences").desc(), F.col("term")], rn_col="__rn"
+    ).select(
+        "term", "n_occurrences", (F.col("__rn") - 1).cast("int").alias("term_id")
     )
 
 
@@ -823,31 +825,31 @@ def bigram_next_word_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     successors by corpus bigram count — the backbone statistic of an
     n-gram language model (P(w2|w1) numerators) and a quick data-quality
     lens (degenerate corpora have near-deterministic successors). Bigram
-    build is the doc_bigram_counts kernel; the ranking window partitions
+    build is the doc_bigram_counts kernel, but kept as (w1, w2) STRUCT
+    pairs end to end — no concat-then-split round trip through a string
+    per bigram INSTANCE (the aggregate shrinks instances to distinct
+    pairs, so any per-instance string work multiplies by corpus size).
+    zip_with over two shifted slices of a one-time token projection
+    tokenizes each document exactly once; the ranking window partitions
     by w1 over the aggregated pair table, so parallelism is vocab-wide
     and per-partition state is each word's successor list, not the
     corpus."""
     from ..operators.dedup import _widen
 
     d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
-    toks = T.norm_tokens(F.col("text"))
-    bigrams = F.when(
+    t = d.select(T.norm_tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    pairs = F.when(
         F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(0), F.size(toks) - 2),
-            lambda i: F.concat_ws(
-                " ",
-                F.element_at(toks, (i + 1).cast("int")),
-                F.element_at(toks, (i + 2).cast("int")),
-            ),
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
         ),
     )
     counts = (
-        d.select(F.explode(bigrams).alias("bigram"))
-        .select(
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)).alias("w1"),
-            F.split_part(F.col("bigram"), F.lit(" "), F.lit(2)).alias("w2"),
-        )
+        t.select(F.explode(pairs).alias("bg"))
+        .select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
         .groupBy("w1", "w2")
         .agg(F.count("*").alias("n_pairs"))
     )

@@ -584,19 +584,22 @@ def daily_new_customers_cumulative(spark: SparkSession, sf_dir: str) -> DataFram
     """The new-customer acquisition curve: each customer's first order
     day, bucketed daily, with the running total — the growth chart every
     product dashboard opens with. Two hash aggregates (per-customer min,
-    per-day count) shrink the data to one row per DAY before the global
-    cumulative window, so the single-partition window scans calendar-
-    sized input at any order volume. Integer counts throughout — no
-    float discipline needed."""
+    per-day count) shrink the data to one row per DAY before the
+    running total, which uses the two-pass distributed cumsum
+    (operators/ranking.py) — calendar-sized input today, but the same
+    plan shape survives second-granularity event time at any volume.
+    Integer counts throughout — order-free addition, no float
+    discipline needed."""
+    from ..operators.ranking import distributed_cumsum
+
     o = load(spark, sf_dir, "orders")
     first = o.groupBy("o_custkey").agg(
         F.date_trunc("day", F.min("o_orderdate")).alias("day")
     )
     daily = first.groupBy("day").agg(F.count("*").alias("n_new"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    return daily.withColumn(
-        "cum_customers", F.sum("n_new").over(w).cast("bigint")
-    )
+    return distributed_cumsum(
+        daily, [F.col("day")], F.col("n_new"), cum_col="__cum"
+    ).select("day", "n_new", F.col("__cum").cast("bigint").alias("cum_customers"))
 
 
 @register(
