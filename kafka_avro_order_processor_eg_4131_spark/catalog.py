@@ -124,6 +124,7 @@ def _populate() -> None:
         relational,
         sampling,
         similarity,
+        sketches,
         textops,
         tpch_extra,
         timeops,

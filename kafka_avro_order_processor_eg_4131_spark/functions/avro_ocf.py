@@ -417,3 +417,94 @@ def ocf_decode_udf(schema_json: str, spark_type: str):
         return pd.DataFrame(columns)
 
     return pandas_udf(_decode, spark_type)
+
+
+# ---------------------------------------------------------------------------
+# raw binary-datum codec (the spark-avro from_avro/to_avro twin)
+# ---------------------------------------------------------------------------
+#
+# The reference ships OCF containers per message (producer.py:46-48 —
+# fastavro.writer to a BytesIO per record), which the OCF UDFs above
+# mirror. Kafka deployments that use a schema registry ship the OTHER
+# framing instead: a bare Avro binary datum, optionally prefixed with
+# the Confluent wire format (magic 0x00 + big-endian 4-byte schema id).
+# spark-avro's from_avro/to_avro handle the bare-datum case on the JVM;
+# that jar is absent in this container, so these Arrow-batched UDFs are
+# the engine's native path for both framings. ~6x smaller on the wire
+# than OCF for the reference's ~50 B record (BASELINE.md: 296-302 B
+# OCF vs ~20 B datum).
+
+_CONFLUENT_MAGIC = b"\x00"
+
+
+def avro_datum_encode_udf(schema_json: str, confluent_schema_id: int | None = None):
+    """pandas UDF: struct column -> raw Avro binary datum per row (no
+    container; optional Confluent 5-byte wire prefix)."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    schema_dict = json.loads(schema_json)
+    writers = [
+        (f["name"], _PRIMITIVE_WRITERS[f["type"]]) for f in schema_dict["fields"]
+    ]
+    names = [n for n, _ in writers]
+    prefix = (
+        _CONFLUENT_MAGIC + struct.pack(">I", confluent_schema_id)
+        if confluent_schema_id is not None
+        else b""
+    )
+
+    def _encode(rows):
+        cols = [rows[n] for n in names]
+        out = []
+        for vals in zip(*cols):
+            body = io.BytesIO()
+            for (_, writer), v in zip(writers, vals):
+                writer(body, v)
+            out.append(prefix + body.getvalue())
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(_encode, "binary")
+
+
+def avro_datum_decode_udf(
+    schema_json: str, spark_type: str, confluent_schema_id: int | None = None
+):
+    """pandas UDF: raw Avro binary datum -> struct column. With a
+    ``confluent_schema_id``, rows must carry the matching 5-byte wire
+    prefix; a wrong magic/id (or any decode error) yields an all-null
+    row — the same DLQ routing contract as the OCF decoder."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    schema_dict = json.loads(schema_json)
+    readers = [
+        (f["name"], _PRIMITIVE_READERS[f["type"]]) for f in schema_dict["fields"]
+    ]
+    field_names = [n for n, _ in readers]
+    prefix = (
+        _CONFLUENT_MAGIC + struct.pack(">I", confluent_schema_id)
+        if confluent_schema_id is not None
+        else b""
+    )
+
+    def _decode(col):
+        columns: dict[str, list] = {n: [] for n in field_names}
+        for blob in col:
+            try:
+                b = bytes(blob)
+                if prefix:
+                    if not b.startswith(prefix):
+                        raise ValueError("bad confluent wire prefix")
+                    b = b[len(prefix):]
+                buf = io.BytesIO(b)
+                rec = {name: reader(buf) for name, reader in readers}
+                if buf.read(1):
+                    raise ValueError("trailing bytes after datum")
+            except Exception:
+                rec = {}
+            for n in field_names:
+                columns[n].append(rec.get(n))
+        return pd.DataFrame(columns)
+
+    return pandas_udf(_decode, spark_type)

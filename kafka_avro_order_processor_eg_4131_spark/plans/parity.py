@@ -245,3 +245,63 @@ def failure_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(is_pf).alias("permanent_failure_count"),
         F.sum(is_pf).alias("dlq_count"),
     )
+
+
+@register(
+    "avro_datum_roundtrip",
+    oracle=f"""
+    WITH decoded AS (
+      SELECT CAST(CAST({_PRICE} AS REAL) AS DOUBLE) AS price,
+             -- exact wire size of the Confluent-framed datum: 5-byte
+             -- wire prefix + 1-byte string length varint (both strings
+             -- are < 64 chars, so zigzag(len) fits one byte) + utf-8
+             -- payloads + 4-byte little-endian float32
+             CAST(5 + 1 + length(CAST(o_orderkey AS VARCHAR))
+                    + 1 + length(o_orderpriority) + 4 AS BIGINT) AS nb
+      FROM orders
+    )
+    SELECT CASE WHEN price >= 5.0 AND price <= 50.0 THEN 'transient_failure'
+                WHEN price > 1000.0 THEN 'permanent_failure'
+                ELSE 'success' END AS status,
+           {bigcount_sql()} AS n,
+           {dsum_sql("price")} AS total_price,
+           {bigsum_sql("nb")} AS wire_bytes
+    FROM decoded
+    GROUP BY 1
+    """,
+)
+def avro_datum_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The spark-avro from_avro/to_avro twin (SURVEY.md §1.4's
+    "idiomatic path", jar absent in this container): orders -> raw Avro
+    binary datum with the Confluent wire prefix (magic 0x00 + schema id
+    7) -> decode -> route -> aggregate. The oracle additionally pins
+    the EXACT wire size of every datum (schema-derivable for this
+    record shape), so the on-wire framing — not just the decoded values
+    — is hash-checked. Contrast with codec_roundtrip_routing's OCF
+    containers: ~20 B vs ~300 B per record (BASELINE.md's 6x framing
+    overhead, eliminated)."""
+    from ..functions.avro_ocf import avro_datum_decode_udf, avro_datum_encode_udf
+    from ..schemas import ORDER_AVRO_SCHEMA_JSON
+
+    enc = avro_datum_encode_udf(ORDER_AVRO_SCHEMA_JSON, confluent_schema_id=7)
+    dec = avro_datum_decode_udf(
+        ORDER_AVRO_SCHEMA_JSON,
+        "orderId string, product string, price float",
+        confluent_schema_id=7,
+    )
+    width = spark.sparkContext.defaultParallelism
+    o = load(spark, sf_dir, "orders").repartition(width).select(
+        F.col("o_orderkey").cast("string").alias("orderId"),
+        F.col("o_orderpriority").alias("product"),
+        _price().cast("float").alias("price"),
+    )
+    blobs = o.select(enc(F.struct("orderId", "product", "price")).alias("b"))
+    decoded = blobs.select(
+        F.octet_length("b").cast("bigint").alias("nb"),
+        dec(F.col("b")).alias("order"),
+    ).select("nb", F.col("order.price").cast("double").alias("price"))
+    return decoded.groupBy(status_expr(F.col("price")).alias("status")).agg(
+        F.count("*").alias("n"),
+        dsum(F.col("price")).alias("total_price"),
+        F.sum("nb").cast("bigint").alias("wire_bytes"),
+    )

@@ -525,3 +525,48 @@ def sample_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("neg_doc_id") != F.col("doc_id"))
         .select("doc_id", "neg_doc_id", F.col("j").cast("int").alias("sample_id"))
     )
+
+
+@register(
+    "corpus_mix_temperature_t2",
+    oracle="""
+    WITH per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n_docs) AS BIGINT) AS n_total,
+             CAST(CAST(SUM(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,6)))
+                       AS VARCHAR) AS DOUBLE) AS w_total
+      FROM per
+    )
+    SELECT source, n_docs,
+           (CAST(n_docs AS DOUBLE) / n_total) AS raw_share,
+           (CAST(CAST(CAST(sqrt(CAST(n_docs AS DOUBLE)) AS DECIMAL(30,6))
+                      AS VARCHAR) AS DOUBLE) / w_total) AS t2_weight
+    FROM per CROSS JOIN tot
+    """,
+)
+def corpus_mix_temperature_t2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing at T=2: sampling weight
+    proportional to share^(1/2) — the standard upsampling of small
+    high-quality sources (and downsampling of the web crawl) in a
+    pretraining mixture. T=2 is chosen deliberately: sqrt is the one
+    power that is IEEE-exact in both engines (general pow() is a
+    transcendental and not bit-portable), and sqrt(n_docs) has the
+    same ratios as sqrt(share). Per-source sqrt weights pass through
+    DECIMAL(30,6) before the normalizing sum so the total is
+    order-independent (catalog.py discipline; a tie at the 6th decimal
+    of a sqrt is measure-zero). One source-count aggregate + a 1-row
+    broadcast — scan-bound at any corpus size."""
+    d = load(spark, sf_dir, "documents")
+    per = d.groupBy("source").agg(F.count("*").alias("n_docs"))
+    w_dec = F.sqrt(F.col("n_docs").cast("double")).cast("decimal(30,6)")
+    tot = per.agg(
+        F.sum("n_docs").cast("bigint").alias("n_total"),
+        F.sum(w_dec).cast("string").cast("double").alias("w_total"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        (F.col("n_docs").cast("double") / F.col("n_total")).alias("raw_share"),
+        (w_dec.cast("string").cast("double") / F.col("w_total")).alias("t2_weight"),
+    )

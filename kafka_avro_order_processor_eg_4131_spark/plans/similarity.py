@@ -300,3 +300,87 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.crossJoin(F.broadcast(amax))
         .select("vec_id", F.col("a").alias("scale"), q.alias("qvec"))
     )
+
+
+_Q8 = (
+    "list_transform(embedding, "
+    "x -> CAST(floor(CAST(x AS DOUBLE) / a * 127.0 + 0.5) AS BIGINT))"
+)
+
+
+@register(
+    "ann_int8_dot_topk",
+    oracle=f"""
+    WITH amax AS (
+      SELECT MAX(list_max(list_transform(embedding,
+               x -> abs(CAST(x AS DOUBLE))))) AS a
+      FROM embeddings
+    ), q8 AS (
+      SELECT vec_id, {_Q8} AS qv
+      FROM embeddings CROSS JOIN amax
+    ), scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             CAST(list_reduce(list_transform(list_zip(q.qv, c.qv),
+                    x -> x[1] * x[2]), (acc, v) -> acc + v) AS BIGINT) AS idot
+      FROM q8 q JOIN q8 c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < {_N_QUERIES}
+    ), ranked AS (
+      SELECT query_id, neighbor_id, idot,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY idot DESC, neighbor_id) AS INT)
+               AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, idot, rank FROM ranked WHERE rank <= {S.TOP_K}
+    """,
+)
+def ann_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantized ANN serving path: top-5 neighbors ranked by the INTEGER
+    dot product of symmetric-int8 quantized vectors (the
+    embedding_quantize_int8 scheme) — the 4x-bandwidth rerank an ANN
+    index performs over its candidate set before optional full-precision
+    rescoring. Integer products summed as BIGINTs are exactly
+    order-independent, so unlike the float cosine queries this ranking
+    needs NO left-fold/decimal discipline — quantization is what buys
+    bit-exact distributed scoring. Fixture-scale uses the all-pairs
+    candidate set so the oracle is total; at 100 TB the same scorer
+    runs over LSH/IVF candidate pairs (ann_lsh_topk / ann_ivf_topk
+    shapes). Per-query ranking windows partition by query_id."""
+    from pyspark.sql import Window
+
+    e, width = _emb_cached(spark, sf_dir)
+    amax = e.agg(
+        F.max(
+            F.array_max(
+                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+            )
+        ).alias("a")
+    )
+    q8 = e.crossJoin(F.broadcast(amax)).select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") / F.col("a") * 127.0 + 0.5).cast(
+                "bigint"
+            ),
+        ).alias("qv"),
+    )
+    q = q8.filter(F.col("vec_id") < _N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    c = q8.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("cq"))
+    idot = F.aggregate(
+        F.zip_with(F.col("qq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("bigint"),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        q.join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", idot.cast("bigint").alias("idot"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("idot").desc(), F.col("neighbor_id")
+    )
+    return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= S.TOP_K
+    )

@@ -954,3 +954,77 @@ def doc_bpe_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             n_bpe.cast("double") / F.greatest(n_ws, F.lit(1)).cast("double")
         ).alias("expansion_ratio"),
     )
+
+
+_BOILER_N = 8  # window width in tokens
+_BOILER_DF = 2  # doc-frequency threshold: window is boilerplate if >= DF docs
+
+
+@register(
+    "doc_boilerplate_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ), w AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - {_BOILER_N - 1}, 0)),
+               i -> array_to_string(toks[i:i+{_BOILER_N - 1}], ' ')
+             )) AS w8
+      FROM t
+    ), dfq AS (
+      SELECT w8, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM w GROUP BY w8
+    )
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN dfq.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
+           (CAST(SUM(CASE WHEN dfq.df >= {_BOILER_DF} THEN 1 ELSE 0 END)
+                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) AS boilerplate_frac
+    FROM w JOIN dfq USING (w8)
+    GROUP BY w.doc_id
+    """,
+)
+def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4/RefinedWeb-style boilerplate detection adapted to unpunctuated
+    text: the fraction of each document's sliding 8-token windows that
+    also appear in other documents (window doc-frequency >= 2) — the
+    cross-document repeated-span signal behind header/footer stripping
+    and exact-substring decontamination. Build = one window explode
+    (shared-span relation persisted: it feeds both the doc-frequency
+    aggregate and the per-doc probe), one distinct + hash aggregate for
+    doc frequencies, one equi-join back. At 100 TB the window relation
+    shuffles once on the window hash; df state is one counter per
+    distinct window (bounded by corpus vocabulary of spans), and the
+    probe join is the same shuffle key — co-partitioned, no extra
+    pass. Docs shorter than 8 tokens emit no windows (absent rows, both
+    engines)."""
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    t = d.select("doc_id", T.norm_tokens(F.col("text")).alias("toks"))
+    toks = F.col("toks")
+    w8 = F.when(
+        F.size(toks) >= _BOILER_N,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - _BOILER_N),
+            lambda i: F.array_join(F.slice(toks, i + 1, _BOILER_N), " "),
+        ),
+    )
+    w = t.select("doc_id", F.explode(w8).alias("w8")).persist()
+    dfq = w.distinct().groupBy("w8").agg(F.count("*").alias("df"))
+    boiler = F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
+    return (
+        w.join(dfq, "w8")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.sum(boiler).cast("bigint").alias("n_boilerplate"),
+            (
+                F.sum(boiler).cast("double") / F.count("*").cast("double")
+            ).alias("boilerplate_frac"),
+        )
+    )

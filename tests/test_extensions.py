@@ -684,3 +684,141 @@ def test_negative_pairs_deterministic_and_self_free(spark, sf_small):
         assert r["neg_doc_id"] != r["doc_id"]
         assert 1 <= r["sample_id"] <= _NEG_K
     assert all(1 <= c <= _NEG_K for c in per_anchor.values())
+
+
+# --- round-2 additions: sketches, boilerplate, datum codec, int8 ANN --------
+
+
+def test_countmin_estimate_dominates_truth(spark, sf_small):
+    """CMS guarantee: estimate >= true count for every probed term, and
+    the top term's estimate is within the d*w sketch's expected slack."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["sketch_countmin_heavy_terms"].fn(spark, sf_small).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r["cms_estimate"] >= r["true_count"]
+
+
+def test_hll_estimate_within_standard_error(spark, sf_small):
+    """HLL with m=64 has relative standard error 1.04/sqrt(64) = 13%;
+    the estimate must land within 4 sigma of the exact count."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    [r] = REGISTRY["sketch_hll_estimate"].fn(spark, sf_small).collect()
+    assert r["n_exact"] > 0
+    rel = abs(r["hll_estimate"] - r["n_exact"]) / r["n_exact"]
+    assert rel < 4 * 0.13, (r["hll_estimate"], r["n_exact"])
+
+
+def test_hll_registers_shape(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["sketch_hll_registers"].fn(spark, sf_small).collect()
+    assert 1 <= len(rows) <= 64
+    assert all(0 <= r["bucket"] < 64 and 1 <= r["register"] <= 49 for r in rows)
+
+
+def test_boilerplate_fraction_bounds_and_duplicates_score_high(spark, sf_small):
+    """Near-duplicate fixture docs share nearly all 8-gram windows, so
+    at least one doc must score a high boilerplate fraction; all
+    fractions lie in [0, 1] and counts are consistent."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["doc_boilerplate_ngrams"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_boilerplate"] <= r["n_windows"]
+        assert abs(r["boilerplate_frac"] - r["n_boilerplate"] / r["n_windows"]) < 1e-12
+    assert max(r["boilerplate_frac"] for r in rows) > 0.5
+
+
+def test_avro_datum_roundtrip_and_wire_size(spark, sf_small):
+    """Raw-datum codec: values survive the roundtrip bit-exactly, the
+    Confluent prefix is enforced (wrong id -> all-null row), and the
+    datum framing is ~6x smaller than the OCF container."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.functions.avro_ocf import (
+        avro_datum_decode_udf,
+        avro_datum_encode_udf,
+        ocf_encode_udf,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.schemas import (
+        ORDER_AVRO_SCHEMA_JSON,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.shipping import ship_package
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    ship_package(spark)
+    ddl = "orderId string, product string, price float"
+    enc = avro_datum_encode_udf(ORDER_AVRO_SCHEMA_JSON, confluent_schema_id=7)
+    dec = avro_datum_decode_udf(ORDER_AVRO_SCHEMA_JSON, ddl, confluent_schema_id=7)
+    dec_wrong = avro_datum_decode_udf(
+        ORDER_AVRO_SCHEMA_JSON, ddl, confluent_schema_id=8
+    )
+    ocf = ocf_encode_udf(ORDER_AVRO_SCHEMA_JSON)
+
+    src = (
+        load_table(spark, sf_small, "orders")
+        .limit(50)
+        .select(
+            F.col("o_orderkey").cast("string").alias("orderId"),
+            F.col("o_orderpriority").alias("product"),
+            F.col("o_totalprice").cast("float").alias("price"),
+        )
+    )
+    s = F.struct("orderId", "product", "price")
+    out = src.select(
+        "orderId",
+        "product",
+        "price",
+        dec(enc(s)).alias("rt"),
+        dec_wrong(enc(s)).alias("bad"),
+        F.octet_length(enc(s)).alias("datum_bytes"),
+        F.octet_length(ocf(s)).alias("ocf_bytes"),
+    ).collect()
+    assert out
+    for r in out:
+        assert r["rt"]["orderId"] == r["orderId"]
+        assert r["rt"]["product"] == r["product"]
+        assert r["rt"]["price"] == r["price"]  # float32 == float32
+        assert r["bad"]["orderId"] is None and r["bad"]["price"] is None
+        assert r["datum_bytes"] * 4 < r["ocf_bytes"]
+
+
+def test_int8_ann_overlaps_exact_ranking(spark, sf_small):
+    """Quantized integer-dot ranking must substantially agree with the
+    exact cosine top-5 (embeddings are near-unit-norm, so int8 dot
+    ordering tracks cosine): mean overlap >= 3 of 5."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    exact = REGISTRY["ann_cosine_topk"].fn(spark, sf_small).collect()
+    quant = REGISTRY["ann_int8_dot_topk"].fn(spark, sf_small).collect()
+    by_q_exact: dict = {}
+    by_q_quant: dict = {}
+    for r in exact:
+        by_q_exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in quant:
+        by_q_quant.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(by_q_exact) == set(by_q_quant)
+    overlaps = [
+        len(by_q_exact[q] & by_q_quant[q]) for q in by_q_exact
+    ]
+    assert sum(overlaps) / len(overlaps) >= 3.0, overlaps
+
+
+def test_temperature_mix_upweights_small_sources(spark, sf_small):
+    """T=2 weights sum to 1 and compress the share range: every
+    below-average source gains weight, every above-average one loses."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["corpus_mix_temperature_t2"].fn(spark, sf_small).collect()
+    assert rows
+    assert abs(sum(r["t2_weight"] for r in rows) - 1.0) < 1e-9
+    mean_share = 1.0 / len(rows)
+    for r in rows:
+        if r["raw_share"] < mean_share - 1e-9:
+            assert r["t2_weight"] > r["raw_share"]
+        elif r["raw_share"] > mean_share + 1e-9:
+            assert r["t2_weight"] < r["raw_share"]
