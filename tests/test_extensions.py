@@ -822,3 +822,81 @@ def test_temperature_mix_upweights_small_sources(spark, sf_small):
             assert r["t2_weight"] > r["raw_share"]
         elif r["raw_share"] > mean_share + 1e-9:
             assert r["t2_weight"] < r["raw_share"]
+
+
+def test_triangle_count_is_positive_and_bounded(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    [r] = REGISTRY["graph_triangle_count"].fn(spark, sf_small).collect()
+    assert r["n_nodes"] > 0 and r["n_edges"] > 0
+    # sanity bound: triangles <= edges * max_possible third vertices
+    assert 0 <= r["n_triangles"] <= r["n_edges"] * r["n_nodes"]
+
+
+def test_dq_gate_is_clean_on_healthy_fixture(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    [r] = REGISTRY["dq_referential_integrity"].fn(spark, sf_small).collect()
+    assert r["n_orders"] > 0
+    assert r["orphan_orders"] == 0
+    assert r["orphan_lineitems"] == 0
+    assert r["duplicate_orderkeys"] == 0
+    assert r["null_critical_fields"] == 0
+
+
+def test_dq_gate_flags_injected_orphans(spark, sf_small):
+    """The DQ probes must actually detect breakage: drop half the
+    customers and orphan orders appear."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer").filter(F.col("c_custkey") % 2 == 0)
+    orphans = o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti").count()
+    assert orphans > 0
+
+
+def test_interpolation_hits_observed_points_and_is_monotone_between(spark, sf_small):
+    """Observed days pass through unchanged; interpolated days lie
+    between their neighbors' values (linear interpolation property)."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = sorted(
+        REGISTRY["timeseries_interpolate_linear"].fn(spark, sf_small).collect(),
+        key=lambda r: r["day"],
+    )
+    assert rows and any(not r["observed"] for r in rows)  # gaps exist at sf0.001
+    for i, r in enumerate(rows):
+        if r["observed"]:
+            continue
+        prev_obs = next((x for x in reversed(rows[:i]) if x["observed"]), None)
+        next_obs = next((x for x in rows[i + 1 :] if x["observed"]), None)
+        assert prev_obs and next_obs
+        lo = min(prev_obs["value_interp"], next_obs["value_interp"])
+        hi = max(prev_obs["value_interp"], next_obs["value_interp"])
+        assert lo - 1e-9 <= r["value_interp"] <= hi + 1e-9
+
+
+def test_cdc_compaction_keeps_latest_version(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    got = {
+        (r["user_id"], r["event_type"]): r
+        for r in REGISTRY["cdc_compact_latest_events"].fn(spark, sf_small).collect()
+    }
+    src = load_table(spark, sf_small, "events").collect()
+    latest: dict = {}
+    counts: dict = {}
+    for r in src:
+        k = (r["user_id"], r["event_type"])
+        counts[k] = counts.get(k, 0) + 1
+        cur = latest.get(k)
+        if cur is None or (r["ts"], r["event_id"]) > (cur["ts"], cur["event_id"]):
+            latest[k] = r
+    assert set(got) == set(latest)
+    for k, r in latest.items():
+        assert got[k]["last_ts"] == r["ts"]
+        assert got[k]["last_value"] == r["value"]
+        assert got[k]["n_versions"] == counts[k]
