@@ -2349,3 +2349,219 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(dups))
         .crossJoin(F.broadcast(nulls))
     )
+
+
+_BLOOM_M = 1024  # bits
+_BLOOM_K = 3  # hash functions
+_BLOOM_W = 32  # bits per word (NOT 64: DuckDB 1<<63 overflows BIGINT)
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    """SQL: md5(j||':'||key) folded to a bit position in [0, M)."""
+    md5 = f"md5(CAST(j AS VARCHAR) || ':' || CAST({key_expr} AS VARCHAR))"
+    terms = " + ".join(
+        f"CAST((strpos('0123456789abcdef', substring({md5}, {p + 1}, 1)) - 1)"
+        f" AS BIGINT) * {16 ** (7 - p)}"
+        for p in range(8)
+    )
+    return f"(({terms}) % {_BLOOM_M})"
+
+
+def _bloom_pos(key, j) -> F.Column:
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(j.cast("string"), F.lit(":"), key.cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return h % _BLOOM_M
+
+
+@register(
+    "bloom_filter_semijoin_prune",
+    oracle=f"""
+    WITH seg AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ), ks AS (
+      SELECT unnest(generate_series(0, {_BLOOM_K - 1})) AS j
+    ), bloom AS (
+      SELECT {_bloom_pos_sql('c_custkey')} // {_BLOOM_W} AS word,
+             CAST(bit_or(CAST(1 AS BIGINT)
+                         << ({_bloom_pos_sql('c_custkey')} % {_BLOOM_W}))
+                  AS BIGINT) AS bits
+      FROM seg CROSS JOIN ks GROUP BY 1
+    ), probe AS (
+      SELECT o.o_orderkey, o.o_custkey,
+             {_bloom_pos_sql('o_custkey')} // {_BLOOM_W} AS word,
+             {_bloom_pos_sql('o_custkey')} % {_BLOOM_W} AS bit
+      FROM orders o CROSS JOIN ks
+    ), verdict AS (
+      SELECT p.o_orderkey, p.o_custkey,
+             bool_and((b.bits & (CAST(1 AS BIGINT) << p.bit)) <> 0) AS pass
+      FROM probe p LEFT JOIN bloom b ON b.word = p.word
+      GROUP BY 1, 2
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT) AS n_bloom_pass,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE EXISTS (SELECT 1 FROM seg s WHERE s.c_custkey = o.o_custkey))
+             AS n_true_match,
+           CAST(SUM(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+             - (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+                WHERE EXISTS (SELECT 1 FROM seg s WHERE s.c_custkey = o.o_custkey))
+             AS n_false_positives
+    FROM verdict
+    """,
+)
+def bloom_filter_semijoin_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime Bloom-filter join pruning, built from first principles so
+    every register is oracle-checkable: a 1024-bit / 3-hash filter over
+    the BUILDING-segment customer keys (32x32-bit words via bit_or —
+    the mergeable bitmap aggregate), probed by every order with a
+    3-way bit test. Output row pins n_bloom_pass against the exact
+    semi-join count — the false-positive overhead is the price of
+    skipping the shuffle, and the filter NEVER misses a true match
+    (bool_and over set bits; missing word = fail). This is the
+    structure behind Spark's own runtime row-group skipping
+    (spark.sql.optimizer.runtime.bloomFilter): at 100 TB the 128-byte
+    filter broadcasts to every scan task and prunes fact rows BEFORE
+    the join shuffle. Exact integer/bit arithmetic end to end."""
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    o = load(spark, sf_dir, "orders")
+    ks = F.array([F.lit(i) for i in range(_BLOOM_K)])
+    seg = c.select("c_custkey")
+    build = seg.select(
+        "c_custkey", F.explode(ks).alias("j")
+    ).select(
+        (_bloom_pos(F.col("c_custkey"), F.col("j")) / _BLOOM_W)
+        .cast("long")
+        .alias("word"),
+        (_bloom_pos(F.col("c_custkey"), F.col("j")) % _BLOOM_W).alias("bit"),
+    )
+    bloom = build.groupBy("word").agg(
+        F.bit_or(F.expr("shiftleft(CAST(1 AS BIGINT), bit)")).alias("bits")
+    )
+    probe = o.select("o_orderkey", "o_custkey", F.explode(ks).alias("j")).select(
+        "o_orderkey",
+        "o_custkey",
+        (_bloom_pos(F.col("o_custkey"), F.col("j")) / _BLOOM_W)
+        .cast("long")
+        .alias("word"),
+        (_bloom_pos(F.col("o_custkey"), F.col("j")) % _BLOOM_W).alias("bit"),
+    )
+    verdict = (
+        probe.join(F.broadcast(bloom), "word", "left")
+        .select(
+            "o_orderkey",
+            # SQL-level & is bitwise for integrals (PySpark Column & is
+            # logical AND, hence the expr)
+            F.expr(
+                "(coalesce(bits, CAST(0 AS BIGINT))"
+                " & shiftleft(CAST(1 AS BIGINT), bit)) <> 0"
+            ).alias("hit"),
+        )
+        .groupBy("o_orderkey")
+        .agg(F.min("hit").alias("pass"))  # bool_and
+    )
+    n_orders = o.agg(F.count("*").cast("bigint").alias("n_orders"))
+    n_pass = verdict.agg(
+        F.sum(F.when(F.col("pass"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_bloom_pass")
+    )
+    n_true = (
+        o.join(seg, o["o_custkey"] == seg["c_custkey"], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_true_match"))
+    )
+    return (
+        n_orders.crossJoin(F.broadcast(n_pass))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "n_orders",
+            "n_bloom_pass",
+            "n_true_match",
+            (F.col("n_bloom_pass") - F.col("n_true_match")).alias(
+                "n_false_positives"
+            ),
+        )
+    )
+
+
+_Z_BITS = 8  # bits per dimension -> 16-bit z-value
+
+
+def _zval_sql(x: str, y: str) -> str:
+    # every term fully parenthesized: SQL << binds LOOSER than +, so an
+    # unwrapped `a << 2 + b << 3` parses as `a << (2 + b) << 3`
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"(((({x}) >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((({y}) >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def _zval(x: F.Column, y: F.Column) -> F.Column:
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i) % 2, 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1)
+    return z
+
+
+@register(
+    "zorder_locality_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT o_orderkey,
+             CAST(o_custkey % 256 AS BIGINT) AS qx,
+             CAST(date_diff('day', DATE '1992-01-01',
+                            CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS qy
+      FROM orders
+    ), z AS (
+      SELECT o_orderkey, qx, qy, {_zval_sql('qx', 'qy')} AS zval FROM q
+    )
+    SELECT zval // 256 AS z_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(DISTINCT qx) AS BIGINT) AS n_cust_slots,
+           CAST(COUNT(DISTINCT qy) AS BIGINT) AS n_day_slots,
+           CAST(MIN(zval) AS BIGINT) AS z_min,
+           CAST(MAX(zval) AS BIGINT) AS z_max
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (customer, order-day): the
+    bit-interleaved layout key under Delta/Iceberg OPTIMIZE ZORDER —
+    rows close in BOTH dimensions land in the same z-range, so
+    min/max file statistics prune multi-predicate scans. Pure integer
+    bit arithmetic (8 bits/dim interleaved by literal shifts —
+    identical in both engines), then per-z-bucket locality stats:
+    each 256-wide z-bucket touches only a narrow band of customer
+    slots AND day slots simultaneously (the whole point of the curve;
+    a single-column sort would give one narrow and one full-width
+    dimension). The write path is
+    df.repartitionByRange(zval).sortWithinPartitions(zval).write — the
+    stats here are what makes that layout's file skipping effective."""
+    o = load(spark, sf_dir, "orders")
+    qx = (F.col("o_custkey") % 256).cast("long")
+    qy = (
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
+        % 256
+    ).cast("long")
+    z = o.select(
+        "o_orderkey",
+        qx.alias("qx"),
+        qy.alias("qy"),
+    ).withColumn("zval", _zval(F.col("qx"), F.col("qy")))
+    return z.groupBy(
+        F.expr("zval div 256").alias("z_bucket")
+    ).agg(
+        F.count("*").alias("n_orders"),
+        F.count_distinct("qx").alias("n_cust_slots"),
+        F.count_distinct("qy").alias("n_day_slots"),
+        F.min("zval").cast("bigint").alias("z_min"),
+        F.max("zval").cast("bigint").alias("z_max"),
+    )

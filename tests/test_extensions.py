@@ -900,3 +900,31 @@ def test_cdc_compaction_keeps_latest_version(spark, sf_small):
         assert got[k]["last_ts"] == r["ts"]
         assert got[k]["last_value"] == r["value"]
         assert got[k]["n_versions"] == counts[k]
+
+
+def test_bloom_filter_never_misses_and_bounds_fp(spark, sf_small):
+    """Bloom guarantees: pass-count >= exact semi-join count (no false
+    negatives, ever) and the 1024-bit/3-hash filter keeps false
+    positives a small fraction of the probe stream."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    [r] = REGISTRY["bloom_filter_semijoin_prune"].fn(spark, sf_small).collect()
+    assert r["n_bloom_pass"] >= r["n_true_match"]
+    assert r["n_false_positives"] == r["n_bloom_pass"] - r["n_true_match"]
+    assert r["n_false_positives"] <= r["n_orders"] * 0.35  # loose FP bound
+
+
+def test_zorder_buckets_localize_both_dimensions(spark, sf_small):
+    """The point of the curve: a z-bucket spans few slots in BOTH
+    dimensions at once (a 256-wide z-bucket covers a 16x16 tile), so
+    every bucket's slot counts stay <= 16 — a single-dimension sort
+    could not bound the second dimension."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    rows = REGISTRY["zorder_locality_stats"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["n_cust_slots"] <= 16
+        assert r["n_day_slots"] <= 16
+        assert 0 <= r["z_min"] <= r["z_max"] < 65536
+        assert r["z_bucket"] * 256 <= r["z_min"] and r["z_max"] < (r["z_bucket"] + 1) * 256
