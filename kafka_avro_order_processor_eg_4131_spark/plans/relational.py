@@ -298,6 +298,50 @@ def asof_join_latest_order_before_event(spark: SparkSession, sf_dir: str) -> Dat
     )
 
 
+@register(
+    "cogroup_asof_merge_pandas",
+    oracle="""
+    WITH orders_d AS (
+      SELECT o_custkey, o_orderdate, MIN(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,
+           CASE WHEN o.o_orderkey IS NULL THEN NULL
+                ELSE date_diff('microsecond', o.o_orderdate, e.ts)
+                     // 86400000000 END AS days_since_order
+    FROM events e
+    ASOF LEFT JOIN orders_d o
+      ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+)
+def cogroup_asof_merge_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (groupBy().cogroup() — the two-sided
+    Arrow UDF surface): per-user pandas merge_asof of the event and
+    order streams plus an exact elapsed-days column, hash-checked
+    against DuckDB's native ASOF JOIN. Same semantics as
+    asof_join_latest_order_before_event, but executed by the pandas
+    kernel a data scientist would write single-node — demonstrating
+    that the cogrouped lift preserves it exactly. One co-shuffle per
+    side, per-key pandas slices; the JVM union-sort as-of remains the
+    whole-column fast path (operators/cogrouped.py docstring)."""
+    from ..operators.cogrouped import cogrouped_asof_orders
+
+    e = load(spark, sf_dir, "events").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp_ntz").alias("ts")
+    )
+    o = (
+        load(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.min("o_orderkey").alias("o_orderkey"))
+        .select(
+            F.col("o_custkey").alias("user_id"),
+            F.col("o_orderdate").cast("timestamp_ntz").alias("o_orderdate"),
+            "o_orderkey",
+        )
+    )
+    return cogrouped_asof_orders(e, o)
+
+
 # ---------------------------------------------------------------------------
 # sorts / limits / top-k
 # ---------------------------------------------------------------------------

@@ -928,3 +928,22 @@ def test_zorder_buckets_localize_both_dimensions(spark, sf_small):
         assert r["n_day_slots"] <= 16
         assert 0 <= r["z_min"] <= r["z_max"] < 65536
         assert r["z_bucket"] * 256 <= r["z_min"] and r["z_max"] < (r["z_bucket"] + 1) * 256
+
+
+def test_cogrouped_asof_matches_jvm_asof(spark, sf_small):
+    """The cogrouped-pandas merge_asof must agree with the JVM
+    union-sort as-of operator row for row (two independent
+    implementations of the same semantics)."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    pd_rows = {
+        r["event_id"]: r["last_orderkey"]
+        for r in REGISTRY["cogroup_asof_merge_pandas"].fn(spark, sf_small).collect()
+    }
+    jvm_rows = {
+        r["event_id"]: r["last_orderkey"]
+        for r in REGISTRY["asof_join_latest_order_before_event"]
+        .fn(spark, sf_small)
+        .collect()
+    }
+    assert pd_rows == jvm_rows and pd_rows
