@@ -27,8 +27,8 @@ ASOF_OUT_SCHEMA = (
 _DAY_US = 86_400_000_000
 
 
-def _merge_asof_key(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
-    le = le.sort_values("ts")
+def _merge_asof_bucket(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
+    le = le.sort_values("ts", kind="mergesort").reset_index(drop=True)
     out = pd.DataFrame(
         {
             "event_id": le["event_id"].astype("int64"),
@@ -40,15 +40,15 @@ def _merge_asof_key(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
         out["last_orderkey"] = pd.array([None] * len(le), dtype="Int64")
         out["days_since_order"] = pd.array([None] * len(le), dtype="Int64")
         return out
-    ri = ri.sort_values("o_orderdate")
+    ri = ri.sort_values("o_orderdate", kind="mergesort").reset_index(drop=True)
     m = pd.merge_asof(
-        le.reset_index(drop=True),
-        ri.reset_index(drop=True),
+        le,
+        ri,
         left_on="ts",
         right_on="o_orderdate",
+        by="user_id",  # per-user matching INSIDE one vectorized call
         direction="backward",  # latest order with o_orderdate <= ts
     )
-    out = out.reset_index(drop=True)
     out["last_orderkey"] = m["o_orderkey"].astype("Int64")
     # exact floor of the elapsed days (microsecond integer division —
     # mirrors the oracle's date_diff('microsecond')//86400e6)
@@ -58,15 +58,29 @@ def _merge_asof_key(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
     return out
 
 
+N_BUCKETS = 32
+
+
 def cogrouped_asof_orders(events: DataFrame, orders_dedup: DataFrame) -> DataFrame:
-    """events x orders per user via cogrouped applyInPandas merge_asof.
+    """events x orders via cogrouped applyInPandas merge_asof.
     ``orders_dedup`` must be one row per (user_id, o_orderdate) — same
-    precondition as the JVM as-of operator."""
+    precondition as the JVM as-of operator.
+
+    The cogroup key is a BUCKET of users (user_id % 32), not the user:
+    pandas' per-call overhead dominates with thousands of tiny keys
+    (measured 26 s -> ~2 s at sf0.1), and ``merge_asof(by="user_id")``
+    does the per-user matching vectorized inside each bucket — the
+    few-large-groups shape every grouped-map UDF wants. Parallelism is
+    bucket-wide; at 100 TB raise N_BUCKETS to ~2-3x cluster cores."""
+    from pyspark.sql import functions as F
+
     from ..shipping import ship_package
 
     ship_package(events.sparkSession)
+    eb = events.withColumn("__b", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
+    ob = orders_dedup.withColumn("__b", F.pmod(F.col("user_id"), F.lit(N_BUCKETS)))
     return (
-        events.groupBy("user_id")
-        .cogroup(orders_dedup.groupBy("user_id"))
-        .applyInPandas(_merge_asof_key, ASOF_OUT_SCHEMA)
+        eb.groupBy("__b")
+        .cogroup(ob.groupBy("__b"))
+        .applyInPandas(_merge_asof_bucket, ASOF_OUT_SCHEMA)
     )

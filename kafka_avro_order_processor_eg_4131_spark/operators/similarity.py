@@ -343,10 +343,21 @@ def kmeans_centroids(
     for _ in range(iters):
         assigned = ivf_assign(emb, centroids, n_probe=1, id_col=id_col,
                               vec_col=vec_col, width=width)
+        # component means through the decimal discipline (exact,
+        # order-independent sums; catalog.py rules) instead of plain
+        # F.avg: makes the whole FIXED-ITERATION training loop
+        # bit-reproducible in DuckDB, which is what lets
+        # ann_ivf_kmeans_topk carry a real oracle
+        mean_val = (
+            F.sum(F.col("val").cast("double").cast("decimal(30,6)"))
+            .cast("string")
+            .cast("double")
+            / F.count("*")
+        )
         centroids = (
             assigned.select("cell_id", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cell_id", "dim")
-            .agg(F.avg("val").alias("mean_val"))
+            .agg(mean_val.alias("mean_val"))
             .groupBy("cell_id")
             .agg(
                 F.transform(

@@ -609,12 +609,37 @@ def agg_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("grouped_custom_agg_order_gaps", oracle=None)  # applyInPandas surface
+@register(
+    "grouped_custom_agg_order_gaps",
+    oracle="""
+    WITH g AS (
+      SELECT o_orderstatus, o_orderpriority,
+             date_diff('second',
+               LAG(o_orderdate) OVER (
+                 PARTITION BY o_orderstatus, o_orderpriority
+                 ORDER BY o_orderdate, o_orderkey),
+               o_orderdate) / 86400.0 AS gap
+      FROM orders
+    )
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CASE WHEN COUNT(gap) = 0 THEN 'NaN'::DOUBLE
+                ELSE SUM(gap) / COUNT(gap) END AS mean_gap_days,
+           CASE WHEN COUNT(gap) = 0 THEN 'NaN'::DOUBLE
+                ELSE MAX(gap) END AS max_gap_days
+    FROM g GROUP BY 1, 2
+    """,
+)
 def grouped_custom_agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom grouped aggregation via applyInPandas (UDAF surface):
     per-(status, priority) order-gap stats — few large groups, the shape
-    grouped-map is built for. Validated in tests against the equivalent
-    window-function formulation."""
+    grouped-map is built for. Hash-checked against the window-lag SQL
+    formulation: portable because every gap is a WHOLE number of days
+    (date-aligned timestamps; k*86400/86400.0 divides exactly), so the
+    float mean is an exact-integer sum — order-free in both engines —
+    under one IEEE divide, and pandas' NaN for gapless groups is
+    mirrored with 'NaN'::DOUBLE (the driver canonicalizer distinguishes
+    NaN from NULL). Also window-twin validated in tests."""
     from ..operators.grouped import order_gap_stats
 
     return order_gap_stats(load(spark, sf_dir, "orders"))

@@ -111,14 +111,80 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_topk(e, queries, width=width)
 
 
-@register("ann_ivf_kmeans_topk", oracle=None)  # iterative k-means: recall-tested
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=f"""
+    WITH c0 AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
+             embedding
+      FROM embeddings ORDER BY vec_id LIMIT {S.KM_NUM_CELLS}
+    ),
+    aff0 AS (
+      SELECT e.vec_id AS id, e.embedding AS vec, c.cell_id,
+             {cosine_sql("e.embedding", "c.embedding")} AS aff
+      FROM embeddings e CROSS JOIN c0 c
+    ),
+    asg0 AS (
+      SELECT id, vec, cell_id FROM (
+        SELECT id, vec, cell_id,
+               ROW_NUMBER() OVER (PARTITION BY id
+                                  ORDER BY aff DESC, cell_id) AS r
+        FROM aff0) WHERE r = 1
+    ),
+    comp AS (
+      SELECT cell_id,
+             unnest(list_transform(vec, x -> CAST(x AS DOUBLE))) AS v,
+             unnest(generate_series(1, len(vec))) AS pos
+      FROM asg0
+    ),
+    m AS (
+      SELECT cell_id, pos,
+             (CAST(CAST(SUM(CAST(v AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
+              / COUNT(*)) AS mv
+      FROM comp GROUP BY cell_id, pos
+    ),
+    c1 AS (
+      SELECT cell_id, list(mv ORDER BY pos) AS embedding FROM m GROUP BY cell_id
+    ),
+    aff1 AS (
+      SELECT e.vec_id AS id, e.embedding AS vec, c.cell_id,
+             {cosine_sql("e.embedding", "c.embedding")} AS aff,
+             ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                ORDER BY {cosine_sql("e.embedding", "c.embedding")}
+                                         DESC, c.cell_id) AS r
+      FROM embeddings e CROSS JOIN c1 c
+    ),
+    corpus_cells AS (SELECT id, vec, cell_id FROM aff1 WHERE r <= 1),
+    query_cells  AS (SELECT id, vec, cell_id FROM aff1
+                     WHERE r <= {S.KM_NUM_PROBES} AND id < {_N_QUERIES}),
+    scored AS (
+      SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id,
+             {cosine_sql("q.vec", "c.vec")} AS cos
+      FROM query_cells q JOIN corpus_cells c
+        ON q.cell_id = c.cell_id AND q.id <> c.id
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, neighbor_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {S.TOP_K}
+    """,
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with Lloyd-refined centroids (16 cells, 1 iteration,
     3 probes, deterministic first-k seed) — finer, better-balanced
     cells than ann_ivf_topk's 8 first-k centroids: recall@5 ~0.79 vs
     ~0.64 while scanning FEWER candidates (~93 vs ~127 of 500).
-    Rows-only: iterative training has no SQL twin;
-    tests/test_extensions.py pins recall against brute force."""
+    Round 2: the FIXED one-round Lloyd training loop-unrolls into SQL
+    exactly like PageRank's fixed iterations — the component means ride
+    the decimal discipline (operators/similarity.py::kmeans_centroids),
+    the cosine folds are the usual left-folds, so the whole
+    train->assign->probe->rank pipeline is hash-checked by DuckDB.
+    Recall additionally pinned against brute force in
+    tests/test_extensions.py."""
+    assert S.KMEANS_ITERS == 1, "oracle unrolls exactly one Lloyd round"
     e, width = _emb_cached(spark, sf_dir)
     queries = e.filter(F.col("vec_id") < _N_QUERIES)
     return S.ivf_kmeans_topk(e, queries, width=width)
