@@ -2634,3 +2634,90 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("zval").cast("bigint").alias("z_min"),
         F.max("zval").cast("bigint").alias("z_max"),
     )
+
+
+@register(
+    "stats_welch_ttest_segments",
+    oracle="""
+    WITH j AS (
+      SELECT c.c_mktsegment AS seg, o.o_totalprice AS x
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ), s AS (
+      SELECT seg,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             CAST(CAST(SUM(CAST(x AS DECIMAL(19,4))
+                      * CAST(x AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM j GROUP BY seg
+    ), w AS (
+      SELECT
+        (SELECT n FROM s WHERE seg = 'BUILDING') AS n1,
+        (SELECT sx / n FROM s WHERE seg = 'BUILDING') AS m1,
+        (SELECT (sxx - sx * sx / n) / (n - 1) / n FROM s
+         WHERE seg = 'BUILDING') AS v1n,
+        (SELECT n FROM s WHERE seg = 'MACHINERY') AS n2,
+        (SELECT sx / n FROM s WHERE seg = 'MACHINERY') AS m2,
+        (SELECT (sxx - sx * sx / n) / (n - 1) / n FROM s
+         WHERE seg = 'MACHINERY') AS v2n
+    )
+    SELECT n1, n2, m1, m2,
+           ((m1 - m2) / sqrt(v1n + v2n)) AS t_stat,
+           ((v1n + v2n) * (v1n + v2n)
+            / (v1n * v1n / (n1 - 1) + v2n * v2n / (n2 - 1))) AS df_welch
+    FROM w
+    """,
+)
+def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test comparing order totals between
+    two customer segments — the A/B-test kernel of experimentation
+    pipelines, next to the chi-square categorical test. Group moments
+    come from exact decimal power sums (the agg_variance_exact
+    construction), then the t statistic and Welch-Satterthwaite degrees
+    of freedom are pure (+,-,*,/,sqrt) IEEE expressions written
+    identically in both engines — no transcendental, so bit-exact.
+    Shape: one dim-broadcast join + one two-group aggregate + a 2-row
+    pivot; scan-bound at any scale."""
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    xd = F.col("o_totalprice").cast("decimal(18,4)")
+    s = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("seg"))
+        .agg(
+            F.sum(xd).cast("string").cast("double").alias("sx"),
+            F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+            F.count("*").alias("n"),
+        )
+    )
+    vn = (
+        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
+        / (F.col("n") - 1)
+        / F.col("n")
+    )
+    stats = s.select(
+        "seg",
+        F.col("n").cast("bigint").alias("n"),
+        (F.col("sx") / F.col("n")).alias("m"),
+        vn.alias("vn"),
+    )
+    a = stats.filter(F.col("seg") == "BUILDING").select(
+        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("vn").alias("v1n")
+    )
+    b = stats.filter(F.col("seg") == "MACHINERY").select(
+        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("vn").alias("v2n")
+    )
+    t = (F.col("m1") - F.col("m2")) / F.sqrt(F.col("v1n") + F.col("v2n"))
+    df = (
+        (F.col("v1n") + F.col("v2n")) * (F.col("v1n") + F.col("v2n"))
+        / (
+            F.col("v1n") * F.col("v1n") / (F.col("n1") - 1)
+            + F.col("v2n") * F.col("v2n") / (F.col("n2") - 1)
+        )
+    )
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select("n1", "n2", "m1", "m2", t.alias("t_stat"), df.alias("df_welch"))
+    )

@@ -947,3 +947,39 @@ def test_cogrouped_asof_matches_jvm_asof(spark, sf_small):
         .collect()
     }
     assert pd_rows == jvm_rows and pd_rows
+
+
+def test_welch_ttest_matches_python_reference(spark, sf_small):
+    """t statistic and Welch df recomputed in pure Python from the raw
+    rows must match to float tolerance (the oracle pins bit-exactness;
+    this pins the STATISTIC is actually Welch's)."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    [r] = REGISTRY["stats_welch_ttest_segments"].fn(spark, sf_small).collect()
+    o = load_table(spark, sf_small, "orders")
+    c = load_table(spark, sf_small, "customer")
+    rows = (
+        o.join(c, o["o_custkey"] == c["c_custkey"])
+        .select("c_mktsegment", "o_totalprice")
+        .collect()
+    )
+    import math
+
+    def moments(seg):
+        xs = [x["o_totalprice"] for x in rows if x["c_mktsegment"] == seg]
+        n = len(xs)
+        m = sum(xs) / n
+        v = sum((x - m) ** 2 for x in xs) / (n - 1)
+        return n, m, v
+
+    n1, m1, v1 = moments("BUILDING")
+    n2, m2, v2 = moments("MACHINERY")
+    t_ref = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    df_ref = (v1 / n1 + v2 / n2) ** 2 / (
+        (v1 / n1) ** 2 / (n1 - 1) + (v2 / n2) ** 2 / (n2 - 1)
+    )
+    assert (r["n1"], r["n2"]) == (n1, n2)
+    assert abs(r["t_stat"] - t_ref) < 1e-6 * max(1.0, abs(t_ref))
+    assert abs(r["df_welch"] - df_ref) < 1e-4 * df_ref
+    assert min(n1, n2) - 1 <= r["df_welch"] <= n1 + n2 - 2
