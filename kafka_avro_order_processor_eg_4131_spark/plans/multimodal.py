@@ -175,3 +175,115 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("features_csv"),
     )
+
+
+_NF_BAND = 8  # length-band width for candidate generation
+_NF_MAXDIFF = 8  # max byte-length difference for a candidate pair
+_NF_THRESH = 0.999999  # cosine threshold on unit-norm features
+
+_NF_DOT = (
+    "list_reduce(list_transform(list_zip(a.fv, b.fv), x -> x[1] * x[2]),"
+    " (acc, v) -> acc + v)"
+)
+
+
+@register(
+    "multimodal_feature_near_pairs",
+    oracle=f"""
+    WITH hx AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             regexp_replace(lower(hex(encode(text))), '(.).', '\\1', 'g') AS h2
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_bytes,
+             list_transform(
+               generate_series(0, 15),
+               k -> CAST(length(h2) - length(replace(
+                      h2, substring('0123456789abcdef', k + 1, 1), ''
+                    )) AS DOUBLE)
+             ) AS hist
+      FROM hx
+    ), n AS (
+      SELECT doc_id, n_bytes, hist,
+             sqrt(list_sum(list_transform(hist, x -> x * x))) AS nrm
+      FROM b
+    ), f AS (
+      SELECT doc_id, n_bytes, n_bytes // {_NF_BAND} AS band,
+             list_transform(hist,
+               x -> CAST(CAST(CASE WHEN nrm > 0 THEN x / nrm ELSE x END
+                    AS FLOAT) AS DOUBLE)) AS fv
+      FROM n
+    ), cand AS (
+      -- adjacency must be direction-agnostic in LENGTH while pairs are
+      -- normalized by ID: the lower-id doc can sit in either band, so
+      -- both adjacent orientations join (disjoint branches — no dedup)
+      SELECT a.doc_id AS id1, b.doc_id AS id2,
+             a.n_bytes AS len1, b.n_bytes AS len2, {_NF_DOT} AS cos
+      FROM f a JOIN f b ON a.band = b.band AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.n_bytes, b.n_bytes, {_NF_DOT}
+      FROM f a JOIN f b ON a.band + 1 = b.band AND a.doc_id < b.doc_id
+      UNION ALL
+      SELECT a.doc_id, b.doc_id, a.n_bytes, b.n_bytes, {_NF_DOT}
+      FROM f a JOIN f b ON a.band = b.band + 1 AND a.doc_id < b.doc_id
+    )
+    SELECT id1, id2, cos
+    FROM cand
+    WHERE abs(len1 - len2) <= {_NF_MAXDIFF} AND cos >= {_NF_THRESH}
+    """,
+)
+def multimodal_feature_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal dedup loop closed end to end: binary payload ->
+    mapInPandas byte-histogram features (operators/multimodal.py, the
+    REAL non-stub stage) -> near-duplicate pairs by feature cosine.
+    Candidates come from a byte-length BAND equi-join (same or adjacent
+    64-byte band, then an exact |len diff| <= 64 filter) — near-dup
+    payloads have near-equal sizes, so this is the banding that
+    replaces the all-pairs join at scale, same move as MinHash-LSH.
+    Features are unit-norm so the left-fold dot IS the cosine; the
+    oracle recomputes the exact float32-rounded features from hex
+    nibble counts, so the whole decode->featurize->dedup pipeline is
+    hash-checked."""
+    from pyspark.sql import functions as F
+
+    from ..functions.vectors import dot
+
+    d = load(spark, sf_dir, "documents")
+    feats = M.extract_features(M.attach_payload(d))
+    lens = d.select(
+        "doc_id", F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes")
+    )
+    f = (
+        feats.join(lens, "doc_id")
+        .select(
+            "doc_id",
+            "n_bytes",
+            F.expr(f"n_bytes div {_NF_BAND}").alias("band"),
+            F.col("features").alias("fv"),
+        )
+        .persist()
+    )
+    a = f.select(
+        F.col("doc_id").alias("id1"), F.col("n_bytes").alias("len1"),
+        F.col("band").alias("band1"), F.col("fv").alias("fv1"),
+    )
+    b = f.select(
+        F.col("doc_id").alias("id2"), F.col("n_bytes").alias("len2"),
+        F.col("band").alias("band2"), F.col("fv").alias("fv2"),
+    )
+    same = a.join(b, (F.col("band1") == F.col("band2")) & (F.col("id1") < F.col("id2")))
+    # both adjacent orientations: the lower-ID doc may be in either band
+    adj_up = a.join(
+        b, (F.col("band1") + 1 == F.col("band2")) & (F.col("id1") < F.col("id2"))
+    )
+    adj_dn = a.join(
+        b, (F.col("band1") == F.col("band2") + 1) & (F.col("id1") < F.col("id2"))
+    )
+    cand = same.unionByName(adj_up).unionByName(adj_dn)
+    cos = dot(F.col("fv1"), F.col("fv2"))
+    return (
+        cand.filter(F.abs(F.col("len1") - F.col("len2")) <= _NF_MAXDIFF)
+        .select("id1", "id2", cos.alias("cos"))
+        .filter(F.col("cos") >= _NF_THRESH)
+    )

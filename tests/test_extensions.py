@@ -983,3 +983,49 @@ def test_welch_ttest_matches_python_reference(spark, sf_small):
     assert abs(r["t_stat"] - t_ref) < 1e-6 * max(1.0, abs(t_ref))
     assert abs(r["df_welch"] - df_ref) < 1e-4 * df_ref
     assert min(n1, n2) - 1 <= r["df_welch"] <= n1 + n2 - 2
+
+
+def test_multimodal_near_pairs_match_numpy_twin(spark, sf_small):
+    """The banded feature-cosine pairs must equal a pure-numpy reference
+    (same banding, same float32 features, left-fold dot) — pair set AND
+    cosines."""
+    import numpy as np
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.plans.multimodal import (
+        _NF_BAND,
+        _NF_MAXDIFF,
+        _NF_THRESH,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import load_table
+
+    got = {
+        (r["id1"], r["id2"]): r["cos"]
+        for r in REGISTRY["multimodal_feature_near_pairs"].fn(spark, sf_small).collect()
+    }
+    docs = load_table(spark, sf_small, "documents").collect()
+
+    def feat(text: str):
+        arr = np.frombuffer(text.encode(), dtype=np.uint8)
+        hist = np.bincount(arr >> 4, minlength=16)[:16].astype(np.float64)
+        nrm = np.linalg.norm(hist)
+        return (hist / nrm if nrm else hist).astype(np.float32)
+
+    rows = sorted(
+        (r["doc_id"], len(r["text"].encode()), feat(r["text"])) for r in docs
+    )
+    exp = {}
+    for i, (a, la, fa) in enumerate(rows):
+        for b, lb, fb in rows[i + 1 :]:
+            if abs(la - lb) > _NF_MAXDIFF or abs(la // _NF_BAND - lb // _NF_BAND) > 1:
+                continue
+            # left-fold double dot, matching functions/vectors.py
+            cos = 0.0
+            for x, y in zip(fa, fb):
+                cos += float(x) * float(y)
+            if cos >= _NF_THRESH:
+                exp[(min(a, b), max(a, b))] = cos
+    assert set(got) == set(exp)
+    assert got  # fixture yields at least one near pair
+    for k, v in exp.items():
+        assert got[k] == v  # bit-identical fold
