@@ -1,0 +1,108 @@
+"""Unit tests for operators/ranking.py — the two-pass distributed
+rank/cumsum now underpins seven catalog queries, so its edge cases get
+direct coverage: tie-free total orders, descending keys, skewed keys,
+single-row and empty inputs, and bit-equality with the global-window
+formulation."""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_avro_order_processor_eg_4131_spark.operators.ranking import (
+    distributed_cumsum,
+    distributed_row_number,
+)
+
+
+def _random_df(spark, n, seed, skew=False):
+    rng = random.Random(seed)
+    rows = []
+    for i in range(n):
+        k = rng.randint(0, 5) if skew and rng.random() < 0.7 else rng.randint(0, 1000)
+        rows.append((i, k, rng.randint(-50, 50)))
+    return spark.createDataFrame(rows, "id long, k long, v long")
+
+
+def test_row_number_matches_global_window_asc_and_desc(spark):
+    df = _random_df(spark, 500, seed=1)
+    for order in ([F.col("k"), F.col("id")], [F.col("k").desc(), F.col("id")]):
+        got = {
+            r["id"]: r["rn"]
+            for r in distributed_row_number(df, order, rn_col="rn").collect()
+        }
+        ref = {
+            r["id"]: r["rn"]
+            for r in df.withColumn(
+                "rn", F.row_number().over(Window.orderBy(*order))
+            ).collect()
+        }
+        assert got == ref
+
+
+def test_row_number_total_and_skew(spark):
+    df = _random_df(spark, 400, seed=2, skew=True)
+    out = distributed_row_number(
+        df, [F.col("k"), F.col("id")], rn_col="rn", total_col="n"
+    ).collect()
+    assert all(r["n"] == 400 for r in out)
+    assert sorted(r["rn"] for r in out) == list(range(1, 401))
+
+
+def test_row_number_tiny_inputs(spark):
+    one = spark.createDataFrame([(7, 3)], "id long, k long")
+    [r] = distributed_row_number(one, [F.col("k"), F.col("id")], rn_col="rn").collect()
+    assert r["rn"] == 1
+    empty = spark.createDataFrame([], "id long, k long")
+    assert distributed_row_number(empty, [F.col("k")], rn_col="rn").count() == 0
+
+
+def test_row_number_explicit_partition_counts(spark):
+    df = _random_df(spark, 300, seed=3)
+    for parts in (1, 2, 7, 64):
+        got = sorted(
+            r["rn"]
+            for r in distributed_row_number(
+                df, [F.col("k"), F.col("id")], rn_col="rn", num_partitions=parts
+            ).collect()
+        )
+        assert got == list(range(1, 301))
+
+
+def test_cumsum_matches_global_window_exact_ints(spark):
+    df = _random_df(spark, 500, seed=4)
+    got = {
+        r["id"]: r["cum"]
+        for r in distributed_cumsum(
+            df, [F.col("k"), F.col("id")], F.col("v"), cum_col="cum"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {r["id"]: r["cum"] for r in df.withColumn("cum", F.sum("v").over(w)).collect()}
+    assert got == ref
+
+
+def test_cumsum_decimal_bit_exact(spark):
+    rng = random.Random(5)
+    rows = [(i, rng.randint(0, 100), round(rng.uniform(-10, 10), 4)) for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, k long, x double")
+    val = F.col("x").cast("decimal(30,6)")
+    got = {
+        r["id"]: str(r["cum"])
+        for r in distributed_cumsum(
+            df, [F.col("k"), F.col("id")], val, cum_col="cum"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ref = {
+        r["id"]: str(r["cum"]) for r in df.withColumn("cum", F.sum(val).over(w)).collect()
+    }
+    assert got == ref
