@@ -506,3 +506,133 @@ def dedup_prefix_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min("doc_id").alias("keeper_doc_id"), F.count("*").alias("group_size"))
         .filter(F.col("group_size") > 1)
     )
+
+
+@register(
+    "dedup_cluster_canonical",
+    oracle=_SHINGLE_CTES.replace("WITH sh AS", "WITH RECURSIVE sh AS", 1) + f"""
+    , sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS i
+      FROM cands c
+      JOIN sh s1 ON s1.id = c.id1
+      JOIN sh s2 ON s2.id = c.id2 AND s2.sh = s1.sh
+      GROUP BY c.id1, c.id2
+    ),
+    edges AS (
+      SELECT i.id1, i.id2
+      FROM inter i
+      JOIN sizes n1 ON n1.id = i.id1
+      JOIN sizes n2 ON n2.id = i.id2
+      WHERE CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) >= 0.8
+    ),
+    nodes AS (SELECT id1 AS id FROM edges UNION SELECT id2 FROM edges),
+    undirected AS (
+      SELECT id1 AS a, id2 AS b FROM edges
+      UNION SELECT id2, id1 FROM edges
+    ),
+    reach(id, root) AS (
+      SELECT id, id FROM nodes
+      UNION
+      SELECT u.b, r.root FROM reach r JOIN undirected u ON u.a = r.id
+    ),
+    comp AS (SELECT id, MIN(root) AS component FROM reach GROUP BY id),
+    quality AS (
+      SELECT doc_id, (0.4 * {_STOPRATIO}
+            + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+            + 0.3 * {_ALPHA}) AS q
+      FROM documents
+    ),
+    ranked AS (
+      SELECT c.id, c.component, q.q,
+             ROW_NUMBER() OVER (
+               PARTITION BY c.component ORDER BY q.q DESC, c.id
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY c.component) AS cluster_size
+      FROM comp c JOIN quality q ON q.doc_id = c.id
+    )
+    SELECT component, id AS canonical_doc_id,
+           CAST(cluster_size AS BIGINT) AS cluster_size,
+           q AS canonical_quality
+    FROM ranked WHERE rn = 1
+    """,
+)
+def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-representative selection per near-dup cluster: the
+    cleaning pipeline's keep-best step. Components assign every near-dup
+    doc a cluster; within each cluster the KEPT doc is the
+    highest-quality one (tiebreak: min doc_id), not blindly the min id —
+    exactly what a production corpus dedup does so the best-written copy
+    survives. Plan: the cached jaccard edges -> iterative min-label
+    components (operators/dedup.py) -> broadcast-sized join to per-doc
+    quality -> per-component top-1 window. Components are tiny relative
+    to the corpus (only docs with a near-dup edge), so the window
+    partitions are bounded by cluster size — no global window. The
+    per-row double quality score is IEEE-identical in both engines, so
+    ordering by it is deterministic (ties broken by id)."""
+    from ..functions.text import quality_score
+    from pyspark.sql import Window
+
+    edges = _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+    comp = D.connected_components(edges)
+    d = load(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("q")
+    )
+    w = Window.partitionBy("component").orderBy(F.col("q").desc(), F.col("id"))
+    wc = Window.partitionBy("component")
+    return (
+        comp.join(d, "id")
+        .withColumn("rn", F.row_number().over(w))
+        .withColumn("cluster_size", F.count("*").over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "component",
+            F.col("id").alias("canonical_doc_id"),
+            "cluster_size",
+            F.col("q").alias("canonical_quality"),
+        )
+    )
+
+
+@register(
+    "doc_shingle_novelty",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest({_SHINGLES}) AS sh
+      FROM documents
+    ),
+    df AS (SELECT sh, COUNT(*) AS ndocs FROM sh GROUP BY sh)
+    SELECT s.id AS doc_id,
+           {bigcount_sql()} AS n_shingles,
+           CAST(SUM(CASE WHEN df.ndocs = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS novelty
+    FROM sh s JOIN df ON df.sh = s.sh
+    GROUP BY s.id
+    ORDER BY doc_id
+    """,
+)
+def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level n-gram novelty score: the fraction of a document's
+    distinct 3-word shingles that appear in NO other document — a cheap
+    memorization/boilerplate proxy a training pipeline uses to up-weight
+    novel text (the complement of a boilerplate ratio). Reuses the
+    session-cached shingle relation shared by the whole dedup family;
+    the plan is one groupBy(sh) doc-frequency aggregate, a shuffle join
+    back on sh, and a per-doc aggregate — all map-side-combinable, no
+    window. Exact-integer ratio -> double, deterministic. (Each (id,
+    shingle) row is distinct by construction, so COUNT(*) per shingle
+    IS the doc frequency.)"""
+    sh = _shingles_cached(spark, sf_dir)
+    df = sh.groupBy("sh").agg(F.count("*").alias("ndocs"))
+    return (
+        sh.join(df, "sh")
+        .groupBy(F.col("id").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_shingles"),
+            (
+                F.sum(F.when(F.col("ndocs") == 1, 1).otherwise(0)).cast("double")
+                / F.count("*").cast("double")
+            ).alias("novelty"),
+        )
+        .orderBy("doc_id")
+    )

@@ -2721,3 +2721,65 @@ def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.crossJoin(F.broadcast(b))
         .select("n1", "n2", "m1", "m2", t.alias("t_stat"), df.alias("df_welch"))
     )
+
+
+@register(
+    "median_price_by_segment",
+    oracle="""
+    WITH j AS (
+      SELECT c_mktsegment, o_totalprice, o_orderkey
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    ranked AS (
+      SELECT c_mktsegment, o_totalprice,
+             ROW_NUMBER() OVER (
+               PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey
+             ) AS rn,
+             COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_orders
+      FROM j
+    )
+    SELECT c_mktsegment, o_totalprice AS median_price,
+           CAST(n_orders AS BIGINT) AS n_orders
+    FROM ranked
+    WHERE rn = (n_orders + 1) // 2
+    ORDER BY c_mktsegment
+    """,
+)
+def median_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact grouped median (lower median: the ((n+1) div 2)-th order
+    statistic) of order totals per market segment — selection, not
+    interpolation, so the answer is an actual data value and engine-
+    exact. The trap at scale: 5 segments means a PARTITION BY window has
+    5 partitions, i.e. each holds ~n/5 of a 100 TB fact — a funnel as
+    bad as a global window. Instead: ONE two-pass distributed rank on
+    the composite key (segment, price, orderkey) — range partitioning
+    spreads every segment across many partitions — then a 5-row
+    aggregate recovers each segment's start offset and count, broadcast
+    back to convert the global rank into a per-segment rank. The oracle
+    states the same semantics with the plain window form."""
+    from ..operators.ranking import distributed_row_number
+
+    o = load(spark, sf_dir, "orders")
+    c = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(c, F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_mktsegment", "o_totalprice", "o_orderkey")
+    )
+    ranked = distributed_row_number(
+        j, [F.col("c_mktsegment"), F.col("o_totalprice"), F.col("o_orderkey")],
+        rn_col="grn",
+    )
+    seg = ranked.groupBy("c_mktsegment").agg(
+        F.min("grn").alias("seg_start"), F.count("*").alias("n_orders")
+    )
+    return (
+        ranked.join(F.broadcast(seg), "c_mktsegment")
+        .withColumn("seg_rn", F.col("grn") - F.col("seg_start") + F.lit(1))
+        .filter(F.col("seg_rn") == F.expr("(n_orders + 1) div 2"))
+        .select(
+            "c_mktsegment",
+            F.col("o_totalprice").alias("median_price"),
+            "n_orders",
+        )
+        .orderBy("c_mktsegment")
+    )

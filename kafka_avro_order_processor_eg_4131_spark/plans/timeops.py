@@ -852,3 +852,57 @@ def cdc_compact_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_versions",
         )
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type,
+             event_type AS next_type
+      FROM events
+    ),
+    counts AS (
+      SELECT prev_type, next_type, {bigcount_sql()} AS n_transitions
+      FROM pairs WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+           / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type) AS DOUBLE)
+             AS p
+    FROM counts
+    ORDER BY prev_type, next_type
+    """,
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next_type | prev_type) from time-ordered lag pairs. The lag window
+    partitions by user (bounded partitions); the transition counts
+    collapse to |event_types|^2 rows, so the per-prev normalizing window
+    runs over a handful of rows — nothing global. The probability is an
+    exact-integer ratio cast to double, deterministic in both engines.
+    (ts, event_id) ordering pins lag pairs under timestamp ties."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(F.lag("event_type").over(w).alias("prev_type"),
+                 F.col("event_type").alias("next_type"))
+        .filter(F.col("prev_type").isNotNull())
+    )
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count("*").alias("n_transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return (
+        counts.withColumn(
+            "p",
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wp).cast("double"),
+        )
+        .orderBy("prev_type", "next_type")
+    )
