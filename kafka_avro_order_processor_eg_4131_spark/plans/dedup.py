@@ -71,6 +71,23 @@ def _jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# and for the connected-components labeling: the iterative min-label
+# propagation is the most expensive derivation after shingling, and both
+# the component-listing and canonical-selection queries need the same
+# (id, component) relation
+_COMP_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark.sparkContext), sf_dir)
+    df = _COMP_CACHE.get(key)
+    if df is None:
+        edges = _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+        df = D.connected_components(edges).persist()
+        _COMP_CACHE[key] = df
+    return df
+
+
 def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     df = _SIMHASH_CACHE.get(key)
@@ -286,8 +303,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators with an exact SQL twin. Note the oracle needs WITH
     RECURSIVE, which DuckDB supports; the prefix CTE is shared with
     dedup_jaccard_verified."""
-    edges = _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
-    return D.connected_components(edges)
+    return _components_cached(spark, sf_dir)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -573,8 +589,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_score
     from pyspark.sql import Window
 
-    edges = _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
-    comp = D.connected_components(edges)
+    comp = _components_cached(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("q")
     )

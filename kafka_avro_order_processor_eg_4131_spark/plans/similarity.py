@@ -450,3 +450,143 @@ def ann_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= S.TOP_K
     )
+
+
+# --- MMR diversified re-ranking ---------------------------------------------
+
+_MMR_K = 5        # final diversified picks
+_MMR_N = 10       # relevance candidate pool
+_MMR_QID = 0      # query vector
+_MMR_LAM = "CAST(0.7 AS DOUBLE)"
+_MMR_ONE_MINUS = "CAST(0.3 AS DOUBLE)"
+
+
+def _mmr_oracle() -> str:
+    """Loop-unrolled greedy MMR: K fixed selection steps, each a
+    one-row argmax CTE over the shrinking candidate pool (same
+    fixed-iteration unrolling as the PageRank / Lloyd oracles)."""
+    head = f"""
+    WITH qv AS (
+      SELECT embedding AS qv FROM embeddings WHERE vec_id = {_MMR_QID}
+    ),
+    cands AS (
+      SELECT e.vec_id AS id, e.embedding AS vec,
+             {cosine_sql("qv.qv", "e.embedding")} AS rel
+      FROM embeddings e CROSS JOIN qv
+      WHERE e.vec_id <> {_MMR_QID}
+      ORDER BY rel DESC, id LIMIT {_MMR_N}
+    ),
+    pairs AS (
+      SELECT a.id AS a_id, b.id AS b_id, {cosine_sql("a.vec", "b.vec")} AS sim
+      FROM cands a JOIN cands b ON a.id <> b.id
+    ),
+    sel1 AS (
+      SELECT CAST(1 AS INTEGER) AS step, id, rel,
+             {_MMR_LAM} * rel AS mmr_score
+      FROM cands ORDER BY rel DESC, id LIMIT 1
+    ),
+    selu1 AS (SELECT step, id, rel, mmr_score FROM sel1)"""
+    steps = []
+    for k in range(2, _MMR_K + 1):
+        steps.append(f""",
+    sel{k} AS (
+      SELECT CAST({k} AS INTEGER) AS step, c.id, c.rel,
+             {_MMR_LAM} * c.rel - {_MMR_ONE_MINUS} * MAX(p.sim) AS mmr_score
+      FROM cands c
+      JOIN pairs p ON p.a_id = c.id
+                  AND p.b_id IN (SELECT id FROM selu{k - 1})
+      WHERE c.id NOT IN (SELECT id FROM selu{k - 1})
+      GROUP BY c.id, c.rel
+      ORDER BY mmr_score DESC, c.id LIMIT 1
+    ),
+    selu{k} AS (SELECT * FROM selu{k - 1} UNION ALL SELECT * FROM sel{k})""")
+    tail = f"""
+    SELECT step, id AS neighbor_id, rel, mmr_score
+    FROM selu{_MMR_K} ORDER BY step
+    """
+    return head + "".join(steps) + tail
+
+
+@register("ann_mmr_diversified", oracle=_mmr_oracle())
+def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-marginal-relevance re-ranking: after the (distributed)
+    exact top-10 relevance scan for the query vector, greedily select 5
+    results maximizing lambda*rel - (1-lambda)*max-sim-to-already-picked
+    (lambda=0.7) — the diversification pass a retrieval/RAG serving
+    layer runs so near-duplicate neighbors don't crowd the result list.
+    Shape at scale: relevance scoring + top-N is the distributed part
+    (brute force here; LSH/IVF candidate generation at 100 TB); the
+    greedy loop then runs over the FIXED-size 10-row candidate pool —
+    K=5 unrolled argmax steps, each a TakeOrdered(1) over <=10 rows, so
+    the iterative part never touches more than N rows regardless of
+    corpus size (no collect — the loop composes lazy plans). All
+    scores are left-fold cosines and per-row double arithmetic,
+    bit-identical in both engines; ties break on neighbor_id."""
+    from ..functions.vectors import cosine
+
+    lam, one_minus = F.lit(0.7), F.lit(0.3)
+    e, _ = _emb_cached(spark, sf_dir)
+    qv = e.filter(F.col("vec_id") == _MMR_QID).select(
+        F.col("embedding").alias("qv")
+    )
+    cands = (
+        e.filter(F.col("vec_id") != _MMR_QID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("id"),
+            F.col("embedding").alias("vec"),
+            cosine(F.col("qv"), F.col("embedding")).alias("rel"),
+        )
+        .orderBy(F.col("rel").desc(), "id")
+        .limit(_MMR_N)
+        .persist()
+    )
+    # eager-materialize: the K unrolled selection branches all re-read
+    # cands/pairs; a lazy persist would let the (corpus-wide) relevance
+    # scan re-run once per branch before the cache fills
+    cands.count()
+    a = cands.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
+    b = cands.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
+    pairs = (
+        a.join(b, F.col("a_id") != F.col("b_id"))
+        .select("a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"))
+        .persist()
+    )
+    pairs.count()
+    picked = (
+        cands.orderBy(F.col("rel").desc(), "id")
+        .limit(1)
+        .select(
+            F.lit(1).cast("int").alias("step"),
+            "id",
+            "rel",
+            (lam * F.col("rel")).alias("mmr_score"),
+        )
+    )
+    for step in range(2, _MMR_K + 1):
+        sel_ids = picked.select("id")
+        pen = (
+            pairs.join(sel_ids.withColumnRenamed("id", "b_id"), "b_id")
+            .groupBy("a_id")
+            .agg(F.max("sim").alias("pen"))
+        )
+        pick = (
+            cands.join(sel_ids, "id", "left_anti")
+            .join(pen, F.col("id") == F.col("a_id"))
+            .select(
+                F.lit(step).cast("int").alias("step"),
+                "id",
+                "rel",
+                (lam * F.col("rel") - one_minus * F.col("pen")).alias("mmr_score"),
+            )
+            .orderBy(F.col("mmr_score").desc(), "id")
+            .limit(1)
+        )
+        # truncate lineage per pick: without this, step k re-executes all
+        # k-1 previous TakeOrdered chains (the accumulated union feeds the
+        # anti-join), turning the K-step loop into O(K^2) stage re-runs.
+        # A localCheckpoint of a 1-row relation is one trivial job.
+        picked = picked.unionByName(pick).localCheckpoint()
+    return picked.select(
+        "step", F.col("id").alias("neighbor_id"), "rel", "mmr_score"
+    ).orderBy("step")

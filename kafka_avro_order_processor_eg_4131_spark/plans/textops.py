@@ -1028,3 +1028,67 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("boilerplate_frac"),
         )
     )
+
+
+_OOV_VOCAB = 20
+
+
+@register(
+    "doc_oov_rate",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''
+    ),
+    vocab AS (
+      SELECT term FROM (
+        SELECT term, COUNT(*) AS c FROM toks GROUP BY term
+        ORDER BY c DESC, term LIMIT {_OOV_VOCAB}
+      )
+    )
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+           / CAST(COUNT(*) AS DOUBLE) AS oov_rate
+    FROM toks t LEFT JOIN vocab v ON v.term = t.term
+    GROUP BY t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
+def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-vocabulary rate per document against the corpus top-K
+    frequency vocabulary (K=20 — small against the fixture's tiny
+    synthetic lexicon so the rate is non-degenerate; a production run
+    uses 32k-256k) — the tokenizer-coverage metric a training pipeline
+    tracks per source before committing a tokenizer. Plan: one
+    explode+count builds the vocab (TakeOrdered K with (count, term)
+    tiebreak — deterministic), which then BROADCASTS into a left join
+    against the token stream; per-doc aggregate with map-side combine.
+    The vocab is top-K-bounded, so the broadcast is safe at any corpus
+    size — the classic small-dim join. Exact-integer ratio -> double."""
+    from ..operators.dedup import _widen
+
+    d = load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+    toks = _widen(d).select(
+        "doc_id", F.explode(T.norm_tokens(F.col("text"))).alias("term")
+    )
+    vocab = (
+        toks.groupBy("term")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.col("c").desc(), "term")
+        .limit(_OOV_VOCAB)
+        .select("term", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "term", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            (
+                F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).cast(
+                    "double"
+                )
+                / F.count("*").cast("double")
+            ).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
+from ..catalog import bigcount_sql, bigsum_sql, dsum, dsum_sql, load, register
 
 GAP = "2 hours"
 
@@ -905,4 +905,159 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n_transitions").over(wp).cast("double"),
         )
         .orderBy("prev_type", "next_type")
+    )
+
+
+_EWMA_W = 8  # truncated history: current event + 7 preceding
+
+
+@register(
+    "events_ewma_value",
+    oracle=f"""
+    WITH w AS (
+      SELECT event_id, user_id, ts, value,
+             list(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW
+             ) AS a
+      FROM events
+    )
+    SELECT event_id, user_id, ts, value,
+           list_reduce(
+             list_transform(generate_series(1, len(a)),
+               i -> a[i] / CAST(1 << (len(a) - i) AS DOUBLE)),
+             (x, y) -> x + y)
+           / (CAST((1 << len(a)) - 1 AS DOUBLE)
+              / CAST(1 << (len(a) - 1) AS DOUBLE)) AS ewma
+    FROM w
+    ORDER BY user_id, ts, event_id
+    """,
+)
+def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of the event value per
+    user (alpha = 1/2, truncated at the last 8 events, weights
+    renormalized over the visible window). EWMA is normally hostile to
+    bit-exact distributed computation — the recurrence is order-
+    dependent float math — but alpha = 1/2 makes every weight 2^-k, an
+    EXACT power-of-two scaling, and the weighted sum folds the frame
+    array left-to-right identically in both engines; the weight
+    normalizer (2^m - 1)/2^(m-1) is an exact odd/power-of-two quotient.
+    Scale shape: per-user window partitions (bounded), frame capped at
+    8 rows, so state per row is O(8) — the same plan Structured
+    Streaming's sliding aggregate would run. No global window, no UDF."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-(_EWMA_W - 1), 0)
+    )
+    a = F.collect_list("value").over(w)
+    pow2 = F.array(*[F.lit(float(1 << k)) for k in range(_EWMA_W)])
+    # den[m] = (2^m - 1) / 2^(m-1): both operands exact, quotient has an
+    # m-bit significand -> exactly representable, so the Python-computed
+    # literal equals DuckDB's in-query expression bit-for-bit
+    den = F.array(
+        *[F.lit(((1 << m) - 1) / float(1 << (m - 1))) for m in range(1, _EWMA_W + 1)]
+    )
+    m = F.size(F.col("a"))
+    num = F.aggregate(
+        F.transform(
+            F.col("a"), lambda x, i: x / F.element_at(pow2, m - i)
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        e.select("event_id", "user_id", "ts", "value", a.alias("a"))
+        .select(
+            "event_id",
+            "user_id",
+            "ts",
+            "value",
+            (num / F.element_at(den, m)).alias("ewma"),
+        )
+        .orderBy("user_id", "ts", "event_id")
+    )
+
+
+@register(
+    "events_twap_daily",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, ts, value,
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, date_trunc('day', ts) AS day,
+             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_e6,
+             CAST(epoch_us(nts - ts) AS BIGINT) AS dur_us
+      FROM p WHERE nts IS NOT NULL
+    )
+    SELECT user_id, day,
+           CAST(CAST(SUM(CAST(value_e6 AS HUGEINT) * dur_us) AS VARCHAR)
+                AS DOUBLE)
+           / (CAST(SUM(dur_us) AS DOUBLE) * 1000000.0) AS twap,
+           CAST(SUM(dur_us) AS BIGINT) AS total_us
+    FROM seg
+    GROUP BY user_id, day
+    ORDER BY user_id, day
+    """,
+)
+def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of the event value per user per day (the
+    TWAP kernel of financial/telemetry rollups): each observation is
+    weighted by how long it remained current (microseconds to the next
+    event in that user's stream; open segments with no successor are
+    excluded). Determinism is ALL-INTEGER: values quantize to exact e6
+    fixed-point (floor(v*1e6+0.5) — the double multiply and floor are
+    IEEE-identical in both engines), weights are exact integer
+    microseconds, and the weighted sum accumulates their int products
+    exactly (Spark DECIMAL(38,0), DuckDB HUGEINT) — the naive
+    double->DECIMAL(30,6) route drifts a ulp here because rounding a
+    ~1e14-magnitude double at the 6th decimal is not engine-portable.
+    One final double division. Scale: the lead window partitions per
+    user (bounded); one (user, day) hash aggregate with map-side
+    combine — no global state."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = (
+        e.select(
+            "user_id",
+            "ts",
+            "value",
+            F.lead("ts").over(w).alias("nts"),
+        )
+        .filter(F.col("nts").isNotNull())
+        .select(
+            "user_id",
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
+            .cast("bigint")
+            .alias("value_e6"),
+            (
+                F.unix_micros(F.col("nts").cast("timestamp"))
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).alias("dur_us"),
+        )
+    )
+    return (
+        seg.groupBy("user_id", "day")
+        .agg(
+            (
+                F.sum(
+                    F.col("value_e6").cast("decimal(19,0)")
+                    * F.col("dur_us").cast("decimal(19,0)")
+                )
+                .cast("string")
+                .cast("double")
+                / (F.sum("dur_us").cast("double") * F.lit(1000000.0))
+            ).alias("twap"),
+            F.sum("dur_us").alias("total_us"),
+        )
+        .orderBy("user_id", "day")
     )

@@ -800,54 +800,3 @@ def q22_global_sales_opportunity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cntrycode")
     )
-
-
-# ---------------------------------------------------------------------------
-# Q4 — order-priority checking (correlated EXISTS -> left-semi join)
-# ---------------------------------------------------------------------------
-
-
-@register(
-    "q4_order_priority",
-    oracle="""
-    SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
-    FROM orders
-    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
-      AND o_orderdate <  TIMESTAMP '1997-04-01'
-      AND EXISTS (
-        SELECT 1 FROM lineitem
-        WHERE l_orderkey = o_orderkey
-          AND l_shipdate >= o_orderdate + INTERVAL 60 DAY
-      )
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q4 shape (reference has no retry-lateness query; this is the
-    §2.7 correlated-EXISTS family). The fixtures lack l_commitdate /
-    l_receiptdate, so "late" is re-aimed at l_shipdate lagging
-    o_orderdate by >= 60 days. The EXISTS decorrelates to a left-semi
-    join: both sides shuffle on orderkey once (the correlated date
-    predicate rides along as a residual join condition), then a tiny
-    5-group aggregate. Quarter filter pushes to the orders scan."""
-    o = load(spark, sf_dir, "orders").filter(
-        (F.col("o_orderdate") >= _ts("1997-01-01"))
-        & (F.col("o_orderdate") < _ts("1997-04-01"))
-    )
-    l = load(spark, sf_dir, "lineitem")
-    return (
-        o.join(
-            l,
-            (F.col("l_orderkey") == F.col("o_orderkey"))
-            & (
-                F.col("l_shipdate")
-                >= F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
-            ),
-            "left_semi",
-        )
-        .groupBy("o_orderpriority")
-        .agg(F.count("*").alias("order_count"))
-        .orderBy("o_orderpriority")
-    )
-

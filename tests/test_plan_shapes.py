@@ -233,3 +233,27 @@ def test_postings_is_one_aggregate_no_join(spark, sf_small):
     plan = _plan(spark, "doc_postings_lists", sf_small)
     assert "Join" not in plan, plan[:2000]
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_grouped_median_range_partitions_no_tiny_window(spark, sf_small):
+    plan = _plan(spark, "median_price_by_segment", sf_small)
+    # the composite-key two-pass rank must range-partition; a naive
+    # PARTITION BY c_mktsegment window (5 near-global partitions) would
+    # show a hash partitioning on the segment alone feeding the window
+    assert "rangepartitioning(c_mktsegment" in plan.lower(), plan[:2000]
+    # the per-segment offset relation joins back via broadcast
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_ewma_window_partitions_by_user(spark, sf_small):
+    plan = _plan(spark, "events_ewma_value", sf_small)
+    assert "windowspecdefinition(user_id" in plan.lower(), plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_transition_matrix_no_global_window(spark, sf_small):
+    plan = _plan(spark, "event_transition_matrix", sf_small)
+    low = plan.lower()
+    # both windows carry partition specs (user_id lag; prev_type norm)
+    assert "windowspecdefinition(user_id" in low, plan[:2000]
+    assert "windowspecdefinition(prev_type" in low, plan[:2000]
