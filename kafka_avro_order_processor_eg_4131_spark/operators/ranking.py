@@ -113,3 +113,43 @@ def distributed_cumsum(
         )
         .drop(_PID, _LOCAL, _OFF)
     )
+
+
+def distributed_cummin_exclusive(
+    df: DataFrame,
+    order_by: list[Column | str],
+    value: Column,
+    out_col: str = "cummin_excl",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """df + the minimum of ``value`` over all STRICTLY PRECEDING rows in
+    ``order_by`` order (NULL for the global first row — an empty prefix
+    has no minimum), two-pass distributed like the rank/cumsum kernels:
+    range-partition on the sort key, per-partition exclusive-prefix min
+    (ROWS UNBOUNDED PRECEDING .. 1 PRECEDING), then fold in the min of
+    all preceding partitions via the triangular offsets join. min() is
+    order-independent, so unlike cumsum no exact-type discipline is
+    needed — doubles are fine. The skyline operator builds on this."""
+    part = _with_pid(df, order_by, num_partitions)
+    totals = part.groupBy(_PID).agg(F.min(value).alias("__rk_min"))
+    a = totals.select(F.col(_PID).alias("a_pid"))
+    b = totals.select(F.col(_PID).alias("b_pid"), F.col("__rk_min").alias("b_val"))
+    offsets = (
+        a.join(b, F.col("b_pid") < F.col("a_pid"), "left")
+        .groupBy("a_pid")
+        .agg(F.min("b_val").alias(_OFF))
+        .select(F.col("a_pid").alias(_PID), _OFF)
+    )
+    w = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = part.withColumn(_LOCAL, F.min(value).over(w))
+    return (
+        local.join(F.broadcast(offsets), _PID, "left")
+        # least() skips NULLs (empty local prefix / no preceding
+        # partition), yielding NULL only when both are absent
+        .withColumn(out_col, F.least(F.col(_LOCAL), F.col(_OFF)))
+        .drop(_PID, _LOCAL, _OFF)
+    )

@@ -2783,3 +2783,49 @@ def median_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+@register(
+    "skyline_price_size_parts",
+    oracle="""
+    SELECT p_partkey, p_retailprice, p_size
+    FROM part q
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part p
+      WHERE p.p_retailprice <= q.p_retailprice AND p.p_size <= q.p_size
+        AND (p.p_retailprice < q.p_retailprice OR p.p_size < q.p_size)
+    )
+    ORDER BY p_retailprice, p_size, p_partkey
+    """,
+)
+def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on
+    (minimize price, minimize size) — the multi-objective shortlist
+    query (cheapest-and-smallest tradeoff curve). The textbook plan is
+    the quadratic NOT-EXISTS dominance self-join (the oracle states it
+    that way); the distributed plan is the sort-based O(n log n)
+    skyline: per-price min size, then the EXCLUSIVE prefix-min of that
+    over ascending price via the two-pass distributed cummin kernel
+    (operators/ranking.py — range partition + local window + triangular
+    offset fold, no single-partition window), then one shuffle join
+    back. A part survives iff it attains its price group's min size AND
+    every strictly cheaper price group's min size is larger. Duplicate
+    (price, size) pairs don't dominate each other — both survive, which
+    the == / > filters preserve. All comparisons are exact double
+    comparisons; no arithmetic at all."""
+    from ..operators.ranking import distributed_cummin_exclusive
+
+    p = load(spark, sf_dir, "part").select("p_partkey", "p_retailprice", "p_size")
+    g = p.groupBy("p_retailprice").agg(F.min("p_size").alias("msize"))
+    gm = distributed_cummin_exclusive(
+        g, [F.col("p_retailprice")], F.col("msize"), out_col="strict_min"
+    )
+    return (
+        p.join(gm, "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("msize"))
+            & (F.col("strict_min").isNull() | (F.col("strict_min") > F.col("p_size")))
+        )
+        .select("p_partkey", "p_retailprice", "p_size")
+        .orderBy("p_retailprice", "p_size", "p_partkey")
+    )

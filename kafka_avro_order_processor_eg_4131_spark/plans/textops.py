@@ -1092,3 +1092,136 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "doc_span_corruption",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    b AS (
+      SELECT doc_id, toks, len(toks) AS n,
+             CAST(ceil(len(toks) / 4.0) AS INT) AS nb
+      FROM t
+    ),
+    m AS (
+      SELECT doc_id, toks, n, nb,
+             list_transform(generate_series(1, nb),
+               i -> CASE WHEN 4*(i-1) + 3 <= n
+                          AND strpos('0123',
+                                substring(md5(CAST(doc_id AS VARCHAR) || ':'
+                                              || CAST(i-1 AS VARCHAR)), 1, 1)) > 0
+                    THEN 1 ELSE 0 END) AS mf
+      FROM b
+    )
+    SELECT doc_id,
+      array_to_string(list_transform(generate_series(1, nb),
+        i -> CASE WHEN mf[i] = 1
+          THEN '<X_' || CAST(list_sum(list_slice(mf, 1, i)) AS VARCHAR) || '>'
+               || CASE WHEN 4*(i-1)+4 <= n
+                       THEN ' ' || toks[4*(i-1)+4] ELSE '' END
+          ELSE array_to_string(
+                 list_slice(toks, 4*(i-1)+1, least(4*(i-1)+4, n)), ' ')
+        END), ' ') AS input_text,
+      COALESCE(array_to_string(list_filter(list_transform(generate_series(1, nb),
+        i -> CASE WHEN mf[i] = 1
+          THEN '<X_' || CAST(list_sum(list_slice(mf, 1, i)) AS VARCHAR) || '>'
+               || ' ' || array_to_string(
+                           list_slice(toks, 4*(i-1)+1, 4*(i-1)+3), ' ')
+          ELSE '' END), x -> x <> ''), ' '), '') AS target_text,
+      CAST(list_sum(mf) AS BIGINT) AS n_masked_spans
+    FROM m
+    ORDER BY doc_id
+    """,
+)
+def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span corruption, fully deterministic: the corpus is
+    tokenized, partitioned into stride-4 blocks, and each complete
+    block's first 3 tokens are masked with probability 1/4 decided by a
+    HASH (first md5 hex digit of doc_id:block in '0123'), never an RNG —
+    so the (input, target) pair for a given doc is reproducible across
+    runs, engines, and cluster layouts, which is exactly what a
+    training-data pipeline needs for resumable preprocessing. Masked
+    spans become <X_k> sentinels in the input (k = 1-based masked-span
+    ordinal via an in-array prefix sum — no window, no shuffle); the
+    target pairs each sentinel with the tokens it removed. The whole
+    operator is per-row JVM array expressions inside whole-stage
+    codegen: ZERO shuffles, zero Python, embarrassingly parallel at any
+    scale. The stride-4 grid guarantees spans can't overlap without any
+    sequential dependence between mask decisions."""
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    df = (
+        d.select("doc_id", T.norm_tokens(F.col("text")).alias("toks"))
+        .withColumn("n", F.size("toks"))
+        .withColumn("nb", F.ceil(F.col("n") / F.lit(4.0)).cast("int"))
+    )
+    n = F.col("n")
+    toks = F.col("toks")
+    mf_expr = F.transform(
+        F.sequence(F.lit(1), F.col("nb")),
+        lambda i: F.when(
+            ((i - 1) * 4 + 3 <= n)
+            & F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        (i - 1).cast("string"),
+                    )
+                ),
+                1,
+                1,
+            ).isin("0", "1", "2", "3"),
+            F.lit(1),
+        ).otherwise(F.lit(0)),
+    )
+    df = df.withColumn("mf", mf_expr)
+    mf = F.col("mf")
+
+    def k_of(i):
+        return F.aggregate(F.slice(mf, F.lit(1), i), F.lit(0), lambda a, v: a + v)
+
+    def input_piece(i):
+        start = (i - 1) * 4 + 1
+        return F.when(
+            F.element_at(mf, i) == 1,
+            F.concat(
+                F.lit("<X_"),
+                k_of(i).cast("string"),
+                F.lit(">"),
+                F.when(
+                    start + 3 <= n,
+                    F.concat(F.lit(" "), F.element_at(toks, start + 3)),
+                ).otherwise(F.lit("")),
+            ),
+        ).otherwise(
+            F.array_join(F.slice(toks, start, F.least(F.lit(4), n - start + 1)), " ")
+        )
+
+    def target_piece(i):
+        start = (i - 1) * 4 + 1
+        return F.when(
+            F.element_at(mf, i) == 1,
+            F.concat(
+                F.lit("<X_"),
+                k_of(i).cast("string"),
+                F.lit("> "),
+                F.array_join(F.slice(toks, start, F.lit(3)), " "),
+            ),
+        ).otherwise(F.lit(""))
+
+    seq = F.sequence(F.lit(1), F.col("nb"))
+    return df.select(
+        "doc_id",
+        F.array_join(F.transform(seq, input_piece), " ").alias("input_text"),
+        F.array_join(
+            F.filter(F.transform(seq, target_piece), lambda x: x != ""), " "
+        ).alias("target_text"),
+        F.aggregate(mf, F.lit(0), lambda a, v: a + v)
+        .cast("bigint")
+        .alias("n_masked_spans"),
+    ).orderBy("doc_id")

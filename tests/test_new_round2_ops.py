@@ -118,3 +118,34 @@ def test_cluster_canonical_keeps_best_quality(spark, sf_small):
         best_q = max(q[i] for i in ids)
         assert q[r["canonical_doc_id"]] == best_q
         assert r["canonical_doc_id"] == min(i for i in ids if q[i] == best_q)
+
+
+def test_span_corruption_roundtrip_reconstructs_text(spark, sf_small):
+    """Substituting each <X_k> sentinel in the input with the tokens the
+    target recorded for it must reproduce the normalized document."""
+    import re
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["doc_span_corruption"].fn(spark, sf_small).collect()
+    norm = {
+        r["doc_id"]: re.sub(r"\s+", " ", r["text"].strip().lower())
+        for r in load(spark, sf_small, "documents").collect()
+        if r["text"].strip()
+    }
+    assert {r["doc_id"] for r in rows} == set(norm)
+    masked_total = 0
+    for r in rows:
+        spans: dict[str, str] = {}
+        for part in re.split(r"(?=<X_\d+>)", r["target_text"]):
+            if part:
+                m = re.match(r"(<X_\d+>) ?(.*)", part)
+                spans[m.group(1)] = m.group(2).strip()
+        assert len(spans) == r["n_masked_spans"]
+        masked_total += r["n_masked_spans"]
+        rebuilt = re.sub(
+            r"<X_\d+>", lambda m: spans[m.group(0)], r["input_text"]
+        )
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        assert rebuilt == norm[r["doc_id"]], r["doc_id"]
+    assert masked_total > 0  # the hash actually masks ~25% of blocks

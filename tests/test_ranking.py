@@ -106,3 +106,28 @@ def test_cumsum_decimal_bit_exact(spark):
         r["id"]: str(r["cum"]) for r in df.withColumn("cum", F.sum(val).over(w)).collect()
     }
     assert got == ref
+
+
+def test_cummin_exclusive_matches_global_window(spark):
+    from kafka_avro_order_processor_eg_4131_spark.operators.ranking import (
+        distributed_cummin_exclusive,
+    )
+
+    rng = random.Random(11)
+    # duplicate keys on purpose: the exclusive frame must respect row
+    # order under ties, and the first global row must come back NULL
+    rows = [(i, rng.randint(0, 40), rng.uniform(-5, 5)) for i in range(500)]
+    df = spark.createDataFrame(rows, "id long, k long, v double")
+    got = {
+        r["id"]: r["m"]
+        for r in distributed_cummin_exclusive(
+            df, [F.col("k"), F.col("id")], F.col("v"), out_col="m"
+        ).collect()
+    }
+    w = (
+        Window.orderBy(F.col("k"), F.col("id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ref = {r["id"]: r["m"] for r in df.withColumn("m", F.min("v").over(w)).collect()}
+    assert got == ref
+    assert sum(1 for v in got.values() if v is None) == 1
