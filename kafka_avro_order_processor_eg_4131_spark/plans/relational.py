@@ -2829,3 +2829,69 @@ def skyline_price_size_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_partkey", "p_retailprice", "p_size")
         .orderBy("p_retailprice", "p_size", "p_partkey")
     )
+
+
+# Benford first-digit law: P(d) = log10(1 + 1/d), embedded as the SAME
+# Python-repr literals on both sides (string->double parse is correctly
+# rounded in both engines; a bare SQL decimal literal might route
+# through DECIMAL and double-round)
+import math as _math
+
+_BENFORD_P = [repr(_math.log10(1 + 1 / d)) for d in range(1, 10)]
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN CAST('{p}' AS DOUBLE)" for d, p in enumerate(_BENFORD_P, 1)
+) + " END"
+
+
+@register(
+    "dq_benford_first_digit",
+    oracle=f"""
+    WITH dd AS (
+      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dd GROUP BY digit),
+    t AS (SELECT CAST(SUM(n) AS BIGINT) AS total FROM c)
+    SELECT digit, n,
+           CAST(total AS DOUBLE) * {_BENFORD_CASE} AS expected,
+           (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * {_BENFORD_CASE})
+           * (CAST(n AS DOUBLE) - CAST(total AS DOUBLE) * {_BENFORD_CASE})
+           / (CAST(total AS DOUBLE) * {_BENFORD_CASE}) AS chi2_term
+    FROM c CROSS JOIN t
+    ORDER BY digit
+    """,
+)
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    fraud/synthetic-data detector (fabricated amounts flunk the
+    log-uniform leading-digit distribution; this fixture's uniform
+    prices do too, visibly). Portability: the leading digit comes from
+    exact integer cents (floor(x*100+0.5) -> BIGINT -> first VARCHAR
+    char — integer rendering is engine-identical; rendering the DOUBLE
+    itself would not be), and the Benford probabilities are embedded as
+    identical repr literals parsed string->double on both sides. Plan:
+    one 9-group hash aggregate, a 1-row broadcast total, per-row IEEE
+    arithmetic for expected counts and chi-square terms."""
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    digit = F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    c = (
+        load(spark, sf_dir, "orders")
+        .select(digit)
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    t = c.agg(F.sum("n").alias("total"))
+    parr = F.array(*[F.lit(float(p)) for p in _BENFORD_P])
+    e = F.col("total").cast("double") * F.element_at(parr, F.col("digit"))
+    nd = F.col("n").cast("double")
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            "n",
+            e.alias("expected"),
+            ((nd - e) * (nd - e) / e).alias("chi2_term"),
+        )
+        .orderBy("digit")
+    )

@@ -1225,3 +1225,65 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_masked_spans"),
     ).orderBy("doc_id")
+
+
+@register(
+    "doc_quality_pct_rank_by_source",
+    oracle=f"""
+    WITH q AS (
+      SELECT doc_id, source,
+             (0.4 * {_STOPRATIO}
+            + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+            + 0.3 * {_ALPHA}) AS q
+      FROM documents
+    )
+    SELECT doc_id, source, q,
+           CASE WHEN COUNT(*) OVER (PARTITION BY source) = 1 THEN 0.0
+                ELSE CAST(ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY q, doc_id) - 1 AS DOUBLE)
+                     / CAST(COUNT(*) OVER (PARTITION BY source) - 1 AS DOUBLE)
+           END AS pct_rank
+    FROM q
+    ORDER BY doc_id
+    """,
+)
+def doc_quality_pct_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile-rank normalization of quality scores WITHIN each source
+    — the cross-source calibration step before corpus mixing (raw
+    quality scores aren't comparable across a web crawl and a curated
+    source; their within-source percentile is). Same scale trap as the
+    grouped median: a handful of sources means PARTITION BY source is a
+    near-global window. Same cure: ONE composite-key (source, q,
+    doc_id) two-pass distributed rank, then a per-source 4-row
+    aggregate broadcast back converts global rank to within-source
+    (rank-1)/(n-1). The per-row double q is engine-identical, so the
+    composite ordering (tiebreak doc_id) is total; the percentile is
+    an exact-integer ratio."""
+    from ..catalog import load as _load
+    from ..functions.text import quality_score
+    from ..operators.ranking import distributed_row_number
+
+    d = _load(spark, sf_dir, "documents").select(
+        "doc_id", "source", quality_score(F.col("text")).alias("q")
+    )
+    ranked = distributed_row_number(
+        d, [F.col("source"), F.col("q"), F.col("doc_id")], rn_col="grn"
+    )
+    per_src = ranked.groupBy("source").agg(
+        F.min("grn").alias("src_start"), F.count("*").alias("src_n")
+    )
+    return (
+        ranked.join(F.broadcast(per_src), "source")
+        .select(
+            "doc_id",
+            "source",
+            "q",
+            F.when(F.col("src_n") == 1, F.lit(0.0))
+            .otherwise(
+                (F.col("grn") - F.col("src_start")).cast("double")
+                / (F.col("src_n") - 1).cast("double")
+            )
+            .alias("pct_rank"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1061,3 +1061,114 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "rolling_7d_active_users",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ),
+    assigned AS (
+      SELECT day + INTERVAL (o) DAY AS target_day, user_id
+      FROM du, unnest(generate_series(0, 6)) AS t(o)
+    ),
+    bounds AS (SELECT MAX(day) AS dmax FROM du)
+    SELECT target_day AS day,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+    FROM assigned CROSS JOIN bounds
+    WHERE target_day <= dmax
+    GROUP BY target_day
+    ORDER BY target_day
+    """,
+)
+def rolling_7d_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day distinct active users per day — the WAU/DAU-style
+    engagement metric. A RANGE BETWEEN window cannot compute windowed
+    COUNT(DISTINCT); the distributed form ASSIGNS each (user, day) to
+    the 7 calendar days whose trailing window contains it (a 7x
+    explode, the sliding-window twin's move) and distinct-counts per
+    target day — partial aggregation dedups (day, user) map-side, so
+    the shuffle carries at most 7x the distinct pairs, not raw events.
+    Days beyond the observed max are clipped so every reported window
+    has its full data. Exact integers only."""
+    e = load(spark, sf_dir, "events")
+    du = e.select(
+        F.date_trunc("day", F.col("ts")).alias("day"), "user_id"
+    ).distinct()
+    offsets = F.sequence(F.lit(0), F.lit(6))
+    assigned = du.select(
+        F.explode(offsets).alias("o"), "day", "user_id"
+    ).select(
+        F.timestamp_add("DAY", F.col("o"), F.col("day")).alias("day"),
+        "user_id",
+    )
+    dmax = du.agg(F.max("day").alias("dmax"))
+    return (
+        assigned.crossJoin(F.broadcast(dmax))
+        .filter(F.col("day") <= F.col("dmax"))
+        .groupBy("day")
+        .agg(F.count_distinct("user_id").alias("active_users_7d"))
+        .orderBy("day")
+    )
+
+
+@register(
+    "events_changepoint_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT date_trunc('day', ts) AS day, CAST(COUNT(*) AS BIGINT) AS x
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1
+    ),
+    t AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS nd, CAST(SUM(x) AS BIGINT) AS total
+      FROM daily
+    ),
+    c AS (
+      SELECT day, x,
+             SUM(x * nd - total) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING) AS s_scaled
+      FROM daily CROSS JOIN t
+    )
+    SELECT day AS changepoint_day, x AS n_that_day,
+           CAST(s_scaled AS BIGINT) AS cusum_scaled,
+           CAST(abs(s_scaled) AS BIGINT) AS abs_cusum_scaled
+    FROM c
+    ORDER BY abs(s_scaled) DESC, day
+    LIMIT 1
+    """,
+)
+def events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single change-point estimate for the daily purchase-count series:
+    the classic CUSUM statistic argmax_t |sum_{i<=t}(x_i - mean)|,
+    computed in ALL-INTEGER arithmetic by scaling through the day count
+    (sum(x_i*n - total) = n * sum(x_i - mean) — same argmax, zero
+    rounding anywhere). The cumulative sum uses the two-pass
+    distributed kernel (a day-grain series still deserves the
+    no-single-partition-window discipline — at 100 TB the grain might
+    be seconds), and the argmax is TakeOrdered(1) with a day tiebreak.
+    The oracle states the plain-window form."""
+    from ..operators.ranking import distributed_cumsum
+
+    e = load(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = e.groupBy(F.date_trunc("day", F.col("ts")).alias("day")).agg(
+        F.count("*").alias("x")
+    )
+    t = daily.agg(
+        F.count("*").alias("nd"), F.sum("x").alias("total")
+    )
+    scaled = daily.crossJoin(F.broadcast(t)).select(
+        "day", "x", (F.col("x") * F.col("nd") - F.col("total")).alias("dev")
+    )
+    c = distributed_cumsum(scaled, [F.col("day")], F.col("dev"), cum_col="s_scaled")
+    return (
+        c.select(
+            F.col("day").alias("changepoint_day"),
+            F.col("x").alias("n_that_day"),
+            F.col("s_scaled").cast("bigint").alias("cusum_scaled"),
+            F.abs(F.col("s_scaled")).cast("bigint").alias("abs_cusum_scaled"),
+        )
+        .orderBy(F.col("abs_cusum_scaled").desc(), "changepoint_day")
+        .limit(1)
+    )

@@ -257,3 +257,23 @@ def test_transition_matrix_no_global_window(spark, sf_small):
     # both windows carry partition specs (user_id lag; prev_type norm)
     assert "windowspecdefinition(user_id" in low, plan[:2000]
     assert "windowspecdefinition(prev_type" in low, plan[:2000]
+
+
+def test_skyline_no_cartesian_and_broadcast_offsets(spark, sf_small):
+    plan = _plan(spark, "skyline_price_size_parts", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the triangular offsets fold and the offsets fold-back both broadcast
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_oov_vocab_join_is_broadcast(spark, sf_small):
+    plan = _plan(spark, "doc_oov_rate", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_pct_rank_uses_range_partition_not_source_window(spark, sf_small):
+    plan = _plan(spark, "doc_quality_pct_rank_by_source", sf_small)
+    low = plan.lower()
+    assert "rangepartitioning(source" in low, plan[:2000]
+    # no window partitioned by source alone (the near-global trap)
+    assert "windowspecdefinition(source#" not in low
