@@ -476,3 +476,55 @@ def numpy_topk_batch(
         )
         .select("query_id", (F.col("pos") + 1).cast("int").alias("rank"), "neighbor_id")
     )
+
+
+def hard_negative_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    width: int | None = None,
+) -> DataFrame:
+    """Top-k nearest neighbors of each query that carry a DIFFERENT
+    label — hard-negative mining for contrastive training (the
+    highest-cosine wrong-class examples are the informative negatives;
+    random negatives are too easy). Same broadcast nested-loop +
+    per-query top-k shape as brute_force_topk with the label-mismatch
+    predicate fused into the join filter; at corpus scale the candidate
+    set comes from the IVF/LSH index instead of the full corpus and
+    this exact ranking runs over candidates only. Ties broken by
+    neighbor id — fully deterministic."""
+    from ..functions.vectors import norm
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("query_label"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
+    )
+    c = _spread(emb, width).select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("negative_label"),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_label") != F.col("negative_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "negative_id",
+            "negative_label",
+            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+                "cos"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("negative_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )

@@ -651,3 +651,308 @@ def doc_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# reuse the components oracle verbatim as a derived table so the
+# near-dup cluster definition cannot drift from the checked one
+# (dedup_cluster_components is registered earlier in this module)
+from ..catalog import REGISTRY as _REG
+
+_DEDUP_RATE_ORACLE = f"""
+    WITH comp AS (SELECT * FROM ({_REG["dedup_cluster_components"].oracle})),
+    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
+    clustered AS (
+      SELECT c.id FROM comp c JOIN sizes s ON s.component = c.component
+      WHERE s.csize > 1
+    ),
+    d AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
+    per_src AS (
+      SELECT source, {bigcount_sql()} AS n_docs,
+             CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_exact_dup_extra
+      FROM d GROUP BY source
+    ),
+    near AS (
+      SELECT source, {bigcount_sql()} AS n_neardup_docs
+      FROM d WHERE doc_id IN (SELECT id FROM clustered)
+      GROUP BY source
+    )
+    SELECT p.source, p.n_docs, p.n_exact_dup_extra,
+           CAST(COALESCE(n.n_neardup_docs, 0) AS BIGINT) AS n_neardup_docs,
+           CAST(p.n_exact_dup_extra AS DOUBLE) / CAST(p.n_docs AS DOUBLE)
+             AS exact_dup_pct
+    FROM per_src p LEFT JOIN near n ON n.source = p.source
+    ORDER BY p.source
+"""
+
+
+@register("corpus_dedup_rate_by_source", oracle=_DEDUP_RATE_ORACLE)
+def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source duplication report — the corpus-health dashboard every
+    dedup pipeline emits before/after cleaning: document count, exact
+    duplicates beyond each group's keeper (n_docs - distinct
+    fingerprints), members of >=0.8-Jaccard near-dup clusters, and the
+    exact-dup percentage. Composes the session-cached exact-fingerprint
+    aggregate and connected-components relations (everything here is a
+    previously-oracle-checked stage); per-source rollup is a tiny
+    keyed aggregate joined doc->component with a broadcast of the
+    cluster-size table. Ratios are exact-integer -> one IEEE divide."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
+    )
+    comp = _components_cached(spark, sf_dir)
+    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
+    clustered = (
+        comp.join(F.broadcast(sizes), "component")
+        .filter(F.col("csize") > 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    per_src = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        (F.count("*") - F.count_distinct("fp")).alias("n_exact_dup_extra"),
+    )
+    near = (
+        d.join(clustered, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_neardup_docs"))
+    )
+    return (
+        per_src.join(near, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_exact_dup_extra",
+            F.coalesce(F.col("n_neardup_docs"), F.lit(0)).cast("bigint").alias(
+                "n_neardup_docs"
+            ),
+            (
+                F.col("n_exact_dup_extra").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("exact_dup_pct"),
+        )
+        .orderBy("source")
+    )
+
+
+_MH_MATCH = " + ".join(
+    f"CASE WHEN a.sig{h} = b.sig{h} THEN 1 ELSE 0 END" for h in range(D.NUM_HASHES)
+)
+
+
+@register(
+    "dedup_minhash_estimate_accuracy",
+    oracle=_SHINGLE_CTES + f"""
+    , est AS (
+      SELECT c.id1, c.id2,
+             CAST({_MH_MATCH} AS DOUBLE) / {D.NUM_HASHES}.0 AS est_jaccard
+      FROM cands c JOIN sigs a ON a.id = c.id1 JOIN sigs b ON b.id = c.id2
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS i
+      FROM cands c JOIN sh s1 ON s1.id = c.id1
+      JOIN sh s2 ON s2.id = c.id2 AND s2.sh = s1.sh
+      GROUP BY c.id1, c.id2
+    ),
+    ex AS (
+      SELECT i.id1, i.id2,
+             CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) AS jaccard
+      FROM inter i JOIN sizes n1 ON n1.id = i.id1 JOIN sizes n2 ON n2.id = i.id2
+    )
+    SELECT e.id1, e.id2, e.est_jaccard, x.jaccard AS exact_jaccard,
+           abs(e.est_jaccard - x.jaccard) AS abs_err
+    FROM est e JOIN ex x ON x.id1 = e.id1 AND x.id2 = e.id2
+    ORDER BY e.id1, e.id2
+    """,
+)
+def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimator-quality audit of the MinHash sketch: for every LSH
+    candidate pair, the signature-agreement estimate of Jaccard
+    (matching slots / 8 — the unbiased MinHash estimator) next to the
+    exact shingle-set Jaccard and the absolute error. This is the
+    calibration readout that justifies (or indicts) the 8-hash/4-band
+    budget before trusting it at corpus scale — the dedup twin of
+    ann_eval_lsh_recall_mrr. All relations come from the session-cached
+    shingle/candidate/jaccard family, so the marginal cost is two
+    signature joins over the candidate list; the estimate is an exact
+    small-integer ratio and the error a single correctly-rounded IEEE
+    subtraction."""
+    sh = _shingles_cached(spark, sf_dir)
+    cands = _candidates_cached(spark, sf_dir)
+    sigs = D.minhash_signatures(sh)
+    match = sum(
+        F.when(F.col(f"a.sig{h}") == F.col(f"b.sig{h}"), 1).otherwise(0)
+        for h in range(D.NUM_HASHES)
+    )
+    est = (
+        cands.join(sigs.alias("a"), F.col("id1") == F.col("a.id"))
+        .join(sigs.alias("b"), F.col("id2") == F.col("b.id"))
+        .select(
+            "id1",
+            "id2",
+            (match.cast("double") / float(D.NUM_HASHES)).alias("est_jaccard"),
+        )
+    )
+    exact = _jaccard_cached(spark, sf_dir).select(
+        "id1", "id2", F.col("jaccard").alias("exact_jaccard")
+    )
+    return (
+        est.join(exact, ["id1", "id2"])
+        .select(
+            "id1",
+            "id2",
+            "est_jaccard",
+            "exact_jaccard",
+            F.abs(F.col("est_jaccard") - F.col("exact_jaccard")).alias("abs_err"),
+        )
+        .orderBy("id1", "id2")
+    )
+
+
+# end-to-end pretraining-batch pipeline: packing budget per batch
+_PACK_BUDGET = 512
+# decontamination params mirror plans/textops.py (benchmark = every
+# 97th doc; contaminated at >= 0.5 distinct-trigram overlap)
+from .textops import _NTOK as _PIPE_NTOK
+
+
+@register(
+    "pipeline_pretraining_batches",
+    oracle=_SHINGLE_CTES + f"""
+    , sizes AS (SELECT id, COUNT(*) AS n FROM sh GROUP BY id),
+    inter AS (
+      SELECT c.id1, c.id2, COUNT(*) AS i
+      FROM cands c
+      JOIN sh s1 ON s1.id = c.id1
+      JOIN sh s2 ON s2.id = c.id2 AND s2.sh = s1.sh
+      GROUP BY c.id1, c.id2
+    ),
+    neardup_losers AS (
+      SELECT DISTINCT i.id2 AS id
+      FROM inter i JOIN sizes n1 ON n1.id = i.id1 JOIN sizes n2 ON n2.id = i.id2
+      WHERE CAST(i.i AS DOUBLE) / CAST(n1.n + n2.n - i.i AS DOUBLE) >= 0.8
+    ),
+    exact_keepers AS (
+      SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5({_NORM})
+    ),
+    bench AS (
+      SELECT DISTINCT sh AS gram FROM sh WHERE id % 97 = 0
+    ),
+    contaminated AS (
+      SELECT g.id
+      FROM (SELECT DISTINCT id, sh FROM sh WHERE id % 97 <> 0) g
+      LEFT JOIN bench ON bench.gram = g.sh
+      GROUP BY g.id
+      HAVING CAST(COUNT(*) FILTER (WHERE bench.gram IS NOT NULL) AS DOUBLE)
+             / CAST(greatest(COUNT(*), 1) AS DOUBLE) >= 0.5
+    ),
+    clean AS (
+      SELECT d.doc_id, d.source,
+             (0.4 * {_STOPRATIO}
+            + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+            + 0.3 * {_ALPHA}) AS quality,
+             CAST({_PIPE_NTOK} AS BIGINT) AS n_tok
+      FROM documents d
+      JOIN exact_keepers k ON k.doc_id = d.doc_id
+      WHERE (0.4 * {_STOPRATIO}
+            + 0.3 * least({_AVGLEN} / 10.0, 1.0)
+            + 0.3 * {_ALPHA}) >= 0.39
+        AND d.doc_id % 97 <> 0
+        AND d.doc_id NOT IN (SELECT id FROM neardup_losers)
+        AND d.doc_id NOT IN (SELECT id FROM contaminated)
+    ),
+    packed AS (
+      SELECT source, quality, n_tok,
+             CAST((SUM(n_tok) OVER (PARTITION BY source
+                                    ORDER BY quality DESC, doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok)
+                  // {_PACK_BUDGET} AS BIGINT) AS batch_id
+      FROM clean
+    )
+    SELECT source, batch_id,
+           {bigcount_sql()} AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, batch_id
+    ORDER BY source, batch_id
+    """,
+)
+def pipeline_pretraining_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pretraining-data pipeline as one plan: quality
+    filter (>= 0.39) -> exact dedup (min-id keeper) -> near-dup removal
+    (>= 0.8 LSH-verified Jaccard losers) -> benchmark decontamination
+    (>= 0.5 distinct-shingle overlap with the held-out doc_id%97 set,
+    benchmark docs themselves excluded) -> greedy sequence packing of
+    the survivors into 512-token batches, best-quality-first per
+    source. Every stage is an independently-oracle-checked operator
+    (pipeline_clean_corpus, decontam_trigram_overlap,
+    pack_sequences_by_budget) composed end-to-end — the demo that the
+    engine's pieces snap together into the actual production job. The
+    shingle/candidate/jaccard relations come from the session cache;
+    batch assignment is the EXCLUSIVE running-token div (a doc starting
+    inside the budget joins the batch; overflow starts the next), so
+    the output is the per-(source, batch) manifest. Decontamination
+    reuses the dedup family's 3-shingle grams (same normalization) so
+    one cached relation feeds both stages."""
+    from ..functions.text import fingerprint, quality_score, token_count
+
+    d = load(spark, sf_dir, "documents")
+    sh = _shingles_cached(spark, sf_dir)
+    losers = (
+        _jaccard_cached(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("id2").alias("doc_id"))
+        .distinct()
+    )
+    keepers = d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    bench = (
+        sh.filter(F.col("id") % 97 == 0)
+        .select(F.col("sh").alias("gram"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    contaminated = (
+        sh.filter(F.col("id") % 97 != 0)
+        .select("id", F.col("sh").alias("gram"))
+        .distinct()
+        .join(F.broadcast(bench), "gram", "left")
+        .groupBy("id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count("hit").alias("n_shared"),
+        )
+        .filter(
+            F.col("n_shared").cast("double")
+            / F.greatest(F.col("n_grams"), F.lit(1)).cast("double")
+            >= 0.5
+        )
+        .select(F.col("id").alias("doc_id"))
+    )
+    clean = (
+        d.withColumn("quality", quality_score(F.col("text")))
+        .withColumn("n_tok", token_count(F.col("text")))
+        .filter((F.col("quality") >= 0.39) & (F.col("doc_id") % 97 != 0))
+        .join(keepers.select("doc_id"), "doc_id", "left_semi")
+        .join(losers, "doc_id", "left_anti")
+        .join(contaminated, "doc_id", "left_anti")
+        .select("doc_id", "source", "quality", "n_tok")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    packed = clean.withColumn("cum", F.sum("n_tok").over(w)).withColumn(
+        "batch_id",
+        F.expr(f"cast((cum - n_tok) div {_PACK_BUDGET} as bigint)"),
+    )
+    return (
+        packed.groupBy("source", "batch_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("source", "batch_id")
+    )

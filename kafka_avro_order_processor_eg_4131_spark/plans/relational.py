@@ -2895,3 +2895,264 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH rfm AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS r_raw,
+             CAST(COUNT(*) AS BIGINT) AS f_raw,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m_raw
+      FROM orders GROUP BY o_custkey
+    ),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
+    scored AS (
+      SELECT o_custkey, m_raw,
+             1 + (4 * (ROW_NUMBER() OVER (ORDER BY r_raw, o_custkey) - 1)) // n
+               AS r_score,
+             1 + (4 * (ROW_NUMBER() OVER (ORDER BY f_raw, o_custkey) - 1)) // n
+               AS f_score,
+             1 + (4 * (ROW_NUMBER() OVER (ORDER BY m_raw, o_custkey) - 1)) // n
+               AS m_score
+      FROM rfm CROSS JOIN t
+    )
+    SELECT CAST(r_score AS INT) AS r_score,
+           CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(m_raw) AS BIGINT) AS monetary_cents
+    FROM scored GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (recency / frequency / monetary quartiles) — the
+    classic customer-base carve-up. Each dimension's quartile is
+    1 + (4*(rank-1)) div n over the per-customer aggregate, with rank
+    from the two-pass distributed ROW_NUMBER (three kernel passes over
+    the customer-sized relation; a plain ORDER BY window would funnel
+    every customer through one partition at 100 TB). Monetary is exact
+    integer cents; the quartile formula is all-integer, so segment
+    assignment is engine-exact — unlike NTILE, whose remainder
+    placement this formula fixes deterministically. Output is the 64-
+    cell segment grid with customer counts and exact revenue."""
+    from ..operators.ranking import distributed_row_number
+
+    o = load(spark, sf_dir, "orders")
+    rfm = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("r_raw"),
+        F.count("*").alias("f_raw"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")).alias(
+            "m_raw"
+        ),
+    )
+    scored = rfm
+    for dim, col in (("r", "r_raw"), ("f", "f_raw"), ("m", "m_raw")):
+        scored = distributed_row_number(
+            scored, [F.col(col), F.col("o_custkey")], rn_col=f"{dim}_rn",
+            total_col="n_total" if dim == "r" else None,
+        )
+        # integer div on both sides (Spark `div`, DuckDB `//`) — a
+        # double divide + floor could round across the bucket boundary
+        scored = scored.withColumn(
+            f"{dim}_score",
+            F.expr(f"cast(1 + (4 * ({dim}_rn - 1)) div n_total as int)"),
+        )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.sum("m_raw").alias("monetary_cents"),
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+@register(
+    "latency_pctiles_by_priority",
+    oracle="""
+    WITH j AS (
+      SELECT o.o_orderpriority,
+             date_diff('day', o.o_orderdate, l.l_shipdate) AS days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    ),
+    q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
+                                ('p99', 99, 100)) AS t(q, num, den)),
+    ranked AS (
+      SELECT o_orderpriority, days,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY days, l_orderkey, l_linenumber) AS rn,
+             COUNT(*) OVER (PARTITION BY o_orderpriority) AS n
+      FROM j
+    )
+    SELECT o_orderpriority, q AS quantile,
+           CAST(days AS INT) AS latency_days, CAST(n AS BIGINT) AS n_lineitems
+    FROM ranked CROSS JOIN q
+    WHERE rn = (num * n + den - 1) // den
+    ORDER BY o_orderpriority, q
+    """,
+)
+def latency_pctiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p50/p90/p99 order-to-ship latency per order priority —
+    the grouped SLA readout, by nearest-rank selection (ceil(p*n) =
+    (p_num*n + p_den - 1) div p_den, all-integer) so every reported
+    latency is an actual data value. Generalizes the grouped-median
+    move to a whole quantile VECTOR from ONE composite-key two-pass
+    rank: 5 priorities would make PARTITION BY a five-partition funnel
+    at 100 TB, so the rank runs globally on (priority, days, unique
+    key), a 5-row aggregate broadcast recovers per-group offsets, and
+    the tiny quantile spec cross-joins in to select all three order
+    statistics in the same pass."""
+    from ..operators.ranking import distributed_row_number
+
+    li = load(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate"
+    )
+    o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority",
+                                             "o_orderdate")
+    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
+        "o_orderpriority",
+        F.date_diff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    ranked = distributed_row_number(
+        j,
+        [F.col("o_orderpriority"), F.col("days"), F.col("l_orderkey"),
+         F.col("l_linenumber")],
+        rn_col="grn",
+    )
+    grp = ranked.groupBy("o_orderpriority").agg(
+        F.min("grn").alias("g_start"), F.count("*").alias("n")
+    )
+    quant = F.array(
+        F.struct(F.lit("p50").alias("q"), F.lit(1).alias("num"), F.lit(2).alias("den")),
+        F.struct(F.lit("p90").alias("q"), F.lit(9).alias("num"), F.lit(10).alias("den")),
+        F.struct(F.lit("p99").alias("q"), F.lit(99).alias("num"), F.lit(100).alias("den")),
+    )
+    return (
+        ranked.join(F.broadcast(grp), "o_orderpriority")
+        .withColumn("rn", F.col("grn") - F.col("g_start") + 1)
+        .select("o_orderpriority", "days", "rn", "n",
+                F.explode(quant).alias("qq"))
+        .filter(
+            F.col("rn")
+            == F.expr("(qq.num * n + qq.den - 1) div qq.den")
+        )
+        .select(
+            "o_orderpriority",
+            F.col("qq.q").alias("quantile"),
+            F.col("days").cast("int").alias("latency_days"),
+            F.col("n").alias("n_lineitems"),
+        )
+        .orderBy("o_orderpriority", "quantile")
+    )
+
+
+# k-core decomposition parameters: sparser co-purchase sample (every
+# 32nd order) and k=4 give a genuine multi-round peeling cascade on the
+# fixtures (5-6 rounds to fixpoint)
+_KCORE_K = 4
+_KCORE_MOD = 32
+_KCORE_UNROLL = 10  # oracle peels; rounds past the fixpoint are no-ops
+
+
+def _kcore_round_sql(i: int) -> str:
+    # each e{i} is MATERIALIZED: the chain references e{i} three times
+    # per round, so inline CTEs would expand the plan (and the parquet
+    # scan count) 3^rounds-fold
+    return f"""
+    und{i} AS (SELECT p1 AS a, p2 AS b FROM e{i}
+               UNION ALL SELECT p2, p1 FROM e{i}),
+    deg{i} AS (SELECT a, COUNT(*) AS d FROM und{i} GROUP BY a),
+    keep{i} AS MATERIALIZED (SELECT a FROM deg{i} WHERE d >= {_KCORE_K}),
+    e{i + 1} AS MATERIALIZED (
+      SELECT p1, p2 FROM e{i}
+      WHERE p1 IN (SELECT a FROM keep{i}) AND p2 IN (SELECT a FROM keep{i})
+    )"""
+
+
+@register(
+    "graph_kcore_members",
+    oracle=f"""
+    WITH li AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+      WHERE l_orderkey % {_KCORE_MOD} = 0
+    ),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
+      FROM li a JOIN li b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    {','.join(_kcore_round_sql(i) for i in range(_KCORE_UNROLL))},
+    fin AS (SELECT p1 AS a FROM e{_KCORE_UNROLL}
+            UNION ALL SELECT p2 FROM e{_KCORE_UNROLL})
+    SELECT a AS part, CAST(COUNT(*) AS INT) AS core_degree
+    FROM fin GROUP BY a ORDER BY a
+    """,
+)
+def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition (k=4) of the sampled co-purchase part graph
+    — the standard dense-subgraph extractor (community cores, spam/bot
+    rings, influential-item nuclei). Iterative peeling: drop every node
+    with degree < k, recompute degrees, repeat to fixpoint — each round
+    is a degree aggregate + two semi-joins, with localCheckpoint per
+    round to cut the growing lineage (the connected-components/PageRank
+    discipline; at 100 TB each round is one shuffle over the shrinking
+    edge relation). The Spark side runs to convergence via a count
+    probe; the oracle unrolls {_KCORE_UNROLL} peels (rounds past the
+    fixpoint are identity, and tests pin that the fixtures converge
+    well inside the unroll). Output: surviving nodes with their
+    within-core degree, all-integer."""
+    li = (
+        load(spark, sf_dir, "lineitem")
+        .filter(F.col("l_orderkey") % _KCORE_MOD == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        li.alias("a")
+        .join(
+            li.alias("b"),
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    n_edges = e.count()
+    while True:
+        und = e.select(F.col("p1").alias("a")).unionAll(
+            e.select(F.col("p2").alias("a"))
+        )
+        keep = (
+            und.groupBy("a")
+            .agg(F.count("*").alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("a")
+        )
+        e2 = (
+            e.join(keep.withColumnRenamed("a", "p1"), "p1", "left_semi")
+            .join(keep.withColumnRenamed("a", "p2"), "p2", "left_semi")
+            .select("p1", "p2")
+            .localCheckpoint()
+        )
+        n2 = e2.count()
+        if n2 == n_edges:
+            break
+        e, n_edges = e2, n2
+    fin = e.select(F.col("p1").alias("part")).unionAll(
+        e.select(F.col("p2").alias("part"))
+    )
+    return (
+        fin.groupBy("part")
+        .agg(F.count("*").cast("int").alias("core_degree"))
+        .orderBy("part")
+    )

@@ -590,3 +590,95 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     return picked.select(
         "step", F.col("id").alias("neighbor_id"), "rel", "mmr_score"
     ).orderBy("step")
+
+
+@register(
+    "ann_hard_negatives",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS query_label,
+             c.vec_id AS negative_id, c.label AS negative_label,
+             {_COS} AS cos
+      FROM embeddings q JOIN embeddings c ON q.label <> c.label
+      WHERE q.vec_id < {_N_QUERIES}
+    ),
+    ranked AS (
+      SELECT query_id, query_label, negative_id, negative_label, cos,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY cos DESC, negative_id) AS INT) AS rank
+      FROM scored
+    )
+    SELECT query_id, query_label, negative_id, negative_label, cos, rank
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: per query vector,
+    the top-3 highest-cosine neighbors whose label DIFFERS (the
+    informative negatives; sample_negative_pairs supplies the random
+    easy ones). Exact over the fixture corpus — the label-mismatch
+    theta join broadcasts the tiny query side and the corpus side
+    carries the parallelism; at 100 TB the candidate set comes from the
+    IVF/LSH index (operators/similarity.py) and only this last exact
+    ranking runs per candidate list. Left-fold dot products keep scores
+    bit-identical to DuckDB."""
+    e, width = _emb_cached(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") < _N_QUERIES)
+    return S.hard_negative_topk(e, queries, k=3, width=width)
+
+
+# Retrieval-quality evaluation: the ground-truth (brute-force) and
+# approximate (LSH) oracles are reused verbatim as derived tables —
+# DuckDB allows a full WITH...SELECT inside parentheses — so this
+# oracle stays textually in sync with the two it evaluates.
+from ..catalog import REGISTRY as _REG
+
+
+@register(
+    "ann_eval_lsh_recall_mrr",
+    oracle=f"""
+    WITH gt AS (SELECT * FROM ({_REG["ann_cosine_topk"].oracle})),
+    ap AS (SELECT * FROM ({_REG["ann_lsh_topk"].oracle})),
+    hits AS (
+      SELECT g.query_id, g.neighbor_id, a.rank AS ap_rank
+      FROM gt g LEFT JOIN ap a
+        ON a.query_id = g.query_id AND a.neighbor_id = g.neighbor_id
+    )
+    SELECT query_id,
+           CAST(COUNT(ap_rank) AS BIGINT) AS n_hits,
+           CAST(COUNT(ap_rank) AS DOUBLE) / {S.TOP_K}.0 AS recall_at_k,
+           CAST(MIN(ap_rank) AS INT) AS first_hit_rank,
+           CASE WHEN MIN(ap_rank) IS NULL THEN 0.0
+                ELSE 1.0 / MIN(ap_rank) END AS reciprocal_rank
+    FROM hits GROUP BY query_id ORDER BY query_id
+    """,
+)
+def ann_eval_lsh_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the LSH index against exact
+    brute-force ground truth: per query, recall@k (fraction of the true
+    top-k the index returned anywhere in its top-k) and the reciprocal
+    rank of the first true hit (the MRR summand). This is the metric
+    loop every ANN deployment runs before trading recall for speed;
+    both inputs come from the already-registered oracle-checked plans
+    (and the shared embeddings cache), so the whole evaluation is one
+    left join + a per-query aggregate. recall is an exact small-integer
+    ratio; 1/rank is a single correctly-rounded IEEE divide."""
+    gt = ann_cosine_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id"
+    )
+    ap = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("ap_rank")
+    )
+    hits = gt.join(ap, ["query_id", "neighbor_id"], "left")
+    return (
+        hits.groupBy("query_id")
+        .agg(
+            F.count("ap_rank").alias("n_hits"),
+            (F.count("ap_rank").cast("double") / float(S.TOP_K)).alias("recall_at_k"),
+            F.min("ap_rank").cast("int").alias("first_hit_rank"),
+            F.when(F.min("ap_rank").isNull(), F.lit(0.0))
+            .otherwise(F.lit(1.0) / F.min("ap_rank"))
+            .alias("reciprocal_rank"),
+        )
+        .orderBy("query_id")
+    )

@@ -1287,3 +1287,75 @@ def doc_quality_pct_rank_by_source(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("doc_id")
     )
+
+
+# SON support threshold: term is "frequent" iff 50*count >= total
+# tokens (support >= 2%) — integer-exact on both sides
+_SON_DEN = 50
+
+
+@register(
+    "frequent_terms_son",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      FROM documents
+    ),
+    tok2 AS (SELECT term FROM tok WHERE term <> ''),
+    t AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM tok2),
+    c AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS n FROM tok2 GROUP BY term)
+    SELECT term, n,
+           CAST(n AS DOUBLE) / CAST(total AS DOUBLE) AS share
+    FROM c CROSS JOIN t
+    WHERE {_SON_DEN} * n >= total
+    ORDER BY n DESC, term
+    """,
+)
+def frequent_terms_son(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact frequent terms (support >= 1/50 of all tokens) via the SON
+    two-phase algorithm: phase 1 keeps, per partition, only terms whose
+    LOCAL share clears the same threshold — by pigeonhole a globally
+    frequent term must be locally frequent in at least one partition,
+    for ANY partitioning, so the candidate union is a provable superset
+    — and phase 2 recounts only the candidates exactly. At 100 TB with
+    a web-scale vocabulary this is the move that matters: the full
+    term aggregate would shuffle billions of distinct rare terms;
+    phase 2's shuffle carries candidate terms only (the broadcast
+    semi-join prunes map-side). The final integer filter makes the
+    output exact and partitioning-independent; the oracle is the plain
+    one-pass GROUP BY...HAVING. Threshold compares use 50*n >= total —
+    all-integer, no float support ratio."""
+    from ..functions.text import norm_tokens
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(norm_tokens(F.col("text"))).alias("term")).filter(
+        F.col("term") != ""
+    )
+    part = tok.withColumn("pid", F.spark_partition_id())
+    local = part.groupBy("pid", "term").agg(F.count("*").alias("ln"))
+    local_tot = part.groupBy("pid").agg(F.count("*").alias("lt"))
+    cands = (
+        local.join(local_tot, "pid")
+        .filter(_SON_DEN * F.col("ln") >= F.col("lt"))
+        .select("term")
+        .distinct()
+    )
+    counts = (
+        tok.join(F.broadcast(cands), "term")
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    total = tok.agg(F.count("*").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .filter(_SON_DEN * F.col("n") >= F.col("total"))
+        .select(
+            "term",
+            "n",
+            (F.col("n").cast("double") / F.col("total").cast("double")).alias(
+                "share"
+            ),
+        )
+        .orderBy(F.col("n").desc(), "term")
+    )

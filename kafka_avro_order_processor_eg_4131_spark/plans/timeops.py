@@ -1172,3 +1172,391 @@ def events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("abs_cusum_scaled").desc(), "changepoint_day")
         .limit(1)
     )
+
+
+@register(
+    "session_max_concurrency",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                       > INTERVAL '{GAP}'
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+      FROM flagged
+    ),
+    sessions AS (
+      SELECT user_id, MIN(ts) AS s, MAX(ts) + INTERVAL '{GAP}' AS e
+      FROM sess GROUP BY user_id, sid
+    ),
+    pts AS (
+      SELECT s AS t, 1 AS delta, user_id FROM sessions
+      UNION ALL
+      SELECT e AS t, -1 AS delta, user_id FROM sessions
+    ),
+    c AS (
+      SELECT t, SUM(delta) OVER (ORDER BY t, delta, user_id
+                                 ROWS UNBOUNDED PRECEDING) AS conc
+      FROM pts
+    ),
+    m AS (SELECT MAX(conc) AS mxc FROM c),
+    ns AS (SELECT {bigcount_sql()} AS n_sessions FROM sessions)
+    SELECT CAST(m.mxc AS INT) AS max_concurrent,
+           (SELECT MIN(t) FROM c WHERE conc = m.mxc) AS at_ts,
+           ns.n_sessions
+    FROM m CROSS JOIN ns
+    """,
+)
+def session_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak number of simultaneously-open user sessions (capacity
+    planning's max-concurrency metric) via the classic sweep line:
+    every session contributes a +1 at its start and a -1 at its
+    half-open end, and the running sum of deltas in (t, delta, user)
+    order is the instantaneous concurrency — -1 sorts before +1 at
+    equal timestamps, so a session ending exactly when another starts
+    never overlaps it, matching session_window's [start, end)
+    intervals. The running sum is the two-pass distributed cumsum
+    (operators/ranking.py) over the endpoint relation — 2 rows per
+    session, never a single-partition window — and the (t, delta,
+    user_id) key is a total order (a user's session endpoints are
+    pairwise distinct), so every per-row value is engine-exact
+    integer arithmetic. Output: the peak, the first instant it is
+    reached, and the session count."""
+    from ..operators.ranking import distributed_cumsum
+
+    e = load(spark, sf_dir, "events")
+    sessions = (
+        e.groupBy(F.session_window("ts", GAP).alias("w"), "user_id")
+        .agg(F.lit(1).alias("one"))
+        .select("user_id", F.col("w.start").alias("s"), F.col("w.end").alias("e"))
+    )
+    pts = sessions.select(
+        F.col("s").alias("t"), F.lit(1).alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(F.col("e").alias("t"), F.lit(-1).alias("delta"), "user_id")
+    )
+    c = distributed_cumsum(
+        pts, [F.col("t"), F.col("delta"), F.col("user_id")], F.col("delta"),
+        cum_col="conc",
+    )
+    m = c.agg(F.max("conc").alias("mxc"))
+    ns = sessions.agg(F.count("*").alias("n_sessions"))
+    return (
+        c.join(F.broadcast(m), F.col("conc") == F.col("mxc"))
+        .groupBy("mxc")
+        .agg(F.min("t").alias("at_ts"))
+        .select(F.col("mxc").cast("int").alias("max_concurrent"), "at_ts")
+        .crossJoin(F.broadcast(ns))
+    )
+
+
+@register(
+    "attribution_last_touch",
+    oracle=f"""
+    WITH touches AS (
+      SELECT user_id, ts, arg_max(event_type, event_id) AS touch_type
+      FROM events WHERE event_type IN ('click', 'view')
+      GROUP BY user_id, ts
+    ),
+    purchases AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    ),
+    attributed AS (
+      SELECT p.value,
+             CASE WHEN t.ts IS NULL
+                       OR p.ts > t.ts + INTERVAL '7 days' THEN 'direct'
+                  ELSE t.touch_type END AS channel
+      FROM purchases p
+      ASOF LEFT JOIN touches t
+        ON p.user_id = t.user_id AND p.ts >= t.ts
+    )
+    SELECT channel, {bigcount_sql()} AS n_purchases,
+           {dsum_sql("value")} AS revenue
+    FROM attributed GROUP BY channel ORDER BY channel
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: every purchase is credited to
+    the user's most recent click/view at or before it, provided that
+    touch is within a 7-day lookback; otherwise 'direct'. The core is
+    the union-sort AS-OF join (operators/joins.py — one shuffle on
+    user_id, no pair blow-up), with touches pre-deduplicated to one
+    per (user, instant) by max event_id (arg_max twin in the oracle)
+    so the as-of winner is deterministic. The lookback is exact
+    microsecond interval arithmetic; revenue sums run through the
+    decimal dsum discipline. Scales as a sort-merge join shape —
+    per-user event streams co-partition and the window carry-forward
+    is order-preserving."""
+    from ..operators.joins import asof_join
+
+    e = load(spark, sf_dir, "events")
+    touches = (
+        e.filter(F.col("event_type").isin("click", "view"))
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("event_type", "event_id").alias("touch_type"))
+        .select("user_id", F.col("ts").alias("touch_ts"), "touch_type")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        left=purchases,
+        right=touches,
+        on="user_id",
+        left_time="ts",
+        right_time="touch_ts",
+        payload=["touch_ts", "touch_type"],
+    )
+    attributed = joined.select(
+        "value",
+        F.when(
+            F.col("touch_ts").isNull()
+            | (F.col("ts") > F.col("touch_ts") + F.expr("INTERVAL 7 DAYS")),
+            F.lit("direct"),
+        )
+        .otherwise(F.col("touch_type"))
+        .alias("channel"),
+    )
+    return (
+        attributed.groupBy("channel")
+        .agg(F.count("*").alias("n_purchases"), dsum(F.col("value")).alias("revenue"))
+        .orderBy("channel")
+    )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, ts,
+             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+                      THEN 1 ELSE 0 END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+      FROM o
+    ),
+    hist AS (
+      SELECT user_id, event_type, run_id,
+             MIN(ts) AS effective_from,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM runs GROUP BY user_id, event_type, run_id
+    )
+    SELECT user_id, event_type, effective_from,
+           LEAD(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY run_id) AS effective_to,
+           n_events,
+           LEAD(effective_from) OVER (PARTITION BY user_id
+                                      ORDER BY run_id) IS NULL AS is_current
+    FROM hist
+    ORDER BY user_id, effective_from
+    """,
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    user's event stream into runs of consecutive identical event_type
+    (gaps-and-islands), then emit one versioned row per run with
+    [effective_from, effective_to) validity — effective_to is the next
+    run's start, NULL marks the current version. This is the lakehouse
+    dimension-history pattern (CDC feed -> SCD2 table); every window is
+    partitioned by user_id so the plan is one hash exchange plus
+    per-key sorts — no global state, survives any user-count scale-up.
+    The (ts, event_id) ordering key is total, so run boundaries are
+    engine-exact."""
+    e = load(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("prev", F.lag("event_type").over(wo))
+        .withColumn(
+            "chg",
+            F.when(
+                F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
+            ).otherwise(0),
+        )
+        .withColumn(
+            "run_id",
+            F.sum("chg").over(wo.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+    )
+    hist = runs.groupBy("user_id", "event_type", "run_id").agg(
+        F.min("ts").alias("effective_from"), F.count("*").alias("n_events")
+    )
+    wr = Window.partitionBy("user_id").orderBy("run_id")
+    return (
+        hist.withColumn("effective_to", F.lead("effective_from").over(wr))
+        .select(
+            "user_id",
+            "event_type",
+            "effective_from",
+            "effective_to",
+            "n_events",
+            F.col("effective_to").isNull().alias("is_current"),
+        )
+        .orderBy("user_id", "effective_from")
+    )
+
+
+@register(
+    "funnel_ordered_steps_1h",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w1 AS lv
+      FROM events
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    o2 AS (
+      SELECT user_id, event_type, ts, lv,
+             MAX(CASE WHEN event_type = 'click' THEN lv END) OVER w2 AS qa
+      FROM o
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    ),
+    flags AS (
+      SELECT user_id,
+             MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS s1,
+             MAX(CASE WHEN event_type = 'click' AND lv IS NOT NULL
+                       AND lv >= ts - INTERVAL '1 hour' THEN 1 ELSE 0 END) AS s2,
+             MAX(CASE WHEN event_type = 'purchase' AND qa IS NOT NULL
+                       AND qa >= ts - INTERVAL '1 hour' THEN 1 ELSE 0 END) AS s3
+      FROM o2 GROUP BY user_id
+    )
+    SELECT CAST(SUM(s1) AS BIGINT) AS n_view,
+           CAST(SUM(s2) AS BIGINT) AS n_view_click_1h,
+           CAST(SUM(s3) AS BIGINT) AS n_full_funnel_1h,
+           CAST(SUM(s3) AS DOUBLE) / CAST(SUM(s1) AS DOUBLE) AS conversion
+    FROM flags
+    """,
+)
+def funnel_ordered_steps_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered 3-step funnel (view -> click -> purchase) completed
+    within 1 hour of the anchoring view — the windowFunnel analytic.
+    The naive form is a triple self-join (pair blow-up squared); this
+    plan is TWO per-user carry-forward windows over one sort: lv = the
+    latest view strictly before each row, qa = the best view-anchor
+    among clicks strictly before each row (running max of lv over
+    clicks). A purchase completes the funnel iff qa >= ts - 1h — any
+    qualifying (view, click) chain exists exactly when the LATEST
+    anchor qualifies, so the existence test needs no pair enumeration.
+    Both windows share one (user_id, (ts, event_id)) sort: one hash
+    exchange, zero joins, monotone funnel stages by construction.
+    Strict ordering via the 1-PRECEDING frame; (ts, event_id) is a
+    total order so every carry value is engine-exact."""
+    e = load(spark, sf_dir, "events").select(
+        "user_id", "event_type", "ts", "event_id"
+    )
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    o = e.withColumn(
+        "lv",
+        F.max(F.when(F.col("event_type") == "view", F.col("ts"))).over(frame),
+    )
+    o2 = o.withColumn(
+        "qa",
+        F.max(F.when(F.col("event_type") == "click", F.col("lv"))).over(frame),
+    )
+    hour = F.expr("INTERVAL 1 HOUR")
+    flags = o2.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "view", 1).otherwise(0)).alias("s1"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "click")
+                & F.col("lv").isNotNull()
+                & (F.col("lv") >= F.col("ts") - hour),
+                1,
+            ).otherwise(0)
+        ).alias("s2"),
+        F.max(
+            F.when(
+                (F.col("event_type") == "purchase")
+                & F.col("qa").isNotNull()
+                & (F.col("qa") >= F.col("ts") - hour),
+                1,
+            ).otherwise(0)
+        ).alias("s3"),
+    )
+    return flags.agg(
+        F.sum("s1").alias("n_view"),
+        F.sum("s2").alias("n_view_click_1h"),
+        F.sum("s3").alias("n_full_funnel_1h"),
+        (F.sum("s3").cast("double") / F.sum("s1").cast("double")).alias(
+            "conversion"
+        ),
+    )
+
+
+@register(
+    "forecast_seasonal_naive_backtest",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, date_trunc('day', ts) AS day,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    joined AS (
+      SELECT a.event_type, a.day, a.c, f.c AS forecast
+      FROM daily a JOIN daily f
+        ON f.event_type = a.event_type
+       AND f.day = a.day - INTERVAL '7 days'
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_days_scored,
+           CAST(SUM(abs(c - forecast)) AS BIGINT) AS abs_err_total,
+           CAST(SUM(abs(c - forecast)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mae,
+           CAST(SUM(c - forecast) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+             AS mean_bias
+    FROM joined GROUP BY event_type ORDER BY event_type
+    """,
+)
+def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backtest of the seasonal-naive forecaster (predict today's event
+    count with the count from the same weekday last week) — the
+    baseline every demand-forecasting pipeline must beat, and its MAE
+    is the standard scaling denominator (MASE). The lag-7 lookup is an
+    equi-join of the daily aggregate with itself shifted 7 days (no
+    window, handles sparse days by scoring only days whose base
+    exists), and the errors are exact integers — only the two final
+    per-type divides touch doubles. Co-partitioned self-join on
+    (event_type, day): one shuffle of the tiny daily relation."""
+    e = load(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.count("*").alias("c"))
+    f = daily.select(
+        "event_type",
+        (F.col("day") + F.expr("INTERVAL 7 DAYS")).alias("day"),
+        F.col("c").alias("forecast"),
+    )
+    joined = daily.join(f, ["event_type", "day"])
+    err = F.col("c") - F.col("forecast")
+    return (
+        joined.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_days_scored"),
+            F.sum(F.abs(err)).alias("abs_err_total"),
+            (F.sum(F.abs(err)).cast("double") / F.count("*").cast("double")).alias(
+                "mae"
+            ),
+            (F.sum(err).cast("double") / F.count("*").cast("double")).alias(
+                "mean_bias"
+            ),
+        )
+        .orderBy("event_type")
+    )

@@ -149,3 +149,341 @@ def test_span_corruption_roundtrip_reconstructs_text(spark, sf_small):
         rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
         assert rebuilt == norm[r["doc_id"]], r["doc_id"]
     assert masked_total > 0  # the hash actually masks ~25% of blocks
+
+
+def test_hard_negatives_labels_differ_and_are_hardest(spark, sf_small):
+    """Every mined negative has a different label than its query, ranks
+    are 1..3 per query, and the rank-1 negative's cosine is the true
+    max over all different-label candidates (brute-force twin)."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["ann_hard_negatives"].fn(spark, sf_small).collect()
+    assert rows, "no negatives mined"
+    by_q = {}
+    for r in rows:
+        assert r["query_label"] != r["negative_label"]
+        by_q.setdefault(r["query_id"], []).append(r)
+    for q, rs in by_q.items():
+        assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
+        assert all(rs[0]["cos"] >= x["cos"] or x["rank"] == 1 for x in rs)
+
+    emb = {
+        r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
+        for r in load(spark, sf_small, "embeddings").collect()
+    }
+
+    def cos(a, b):
+        d = 0.0
+        for x, y in zip(a, b):
+            d += x * y
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    for q, rs in by_q.items():
+        qv, ql = emb[q]
+        best = max(
+            (cos(qv, v) for v, lbl in emb.values() if lbl != ql),
+        )
+        top = [x for x in rs if x["rank"] == 1][0]
+        assert abs(top["cos"] - best) < 1e-12
+
+
+def test_max_concurrency_matches_python_sweep(spark, sf_small):
+    """The distributed sweep line agrees with a plain-Python sweep over
+    the same session_window intervals."""
+    res = REGISTRY["session_max_concurrency"].fn(spark, sf_small).collect()[0]
+    sessions = (
+        REGISTRY["session_window_user_sessions"].fn(spark, sf_small).collect()
+    )
+    pts = []
+    for s in sessions:
+        pts.append((s["session_start"], 1, s["user_id"]))
+        pts.append((s["session_end"], -1, s["user_id"]))
+    pts.sort()
+    conc = mx = 0
+    at = None
+    for t, d, _ in pts:
+        conc += d
+        if conc > mx:
+            mx, at = conc, t
+    assert res["max_concurrent"] == mx
+    assert res["at_ts"] == at
+    assert res["n_sessions"] == len(sessions)
+
+
+def test_attribution_channels_and_revenue_conservation(spark, sf_small):
+    """Every purchase lands in exactly one channel, and channel values
+    are confined to {click, view, direct}."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["attribution_last_touch"].fn(spark, sf_small).collect()
+    assert {r["channel"] for r in rows} <= {"click", "view", "direct"}
+    n_purchases = (
+        load(spark, sf_small, "events")
+        .filter(F.col("event_type") == "purchase")
+        .count()
+    )
+    assert sum(r["n_purchases"] for r in rows) == n_purchases
+
+
+def test_scd2_history_is_contiguous_per_user(spark, sf_small):
+    """Versions per user are non-overlapping, contiguous (each row's
+    effective_to equals the next row's effective_from), exactly one
+    current version per user, and run event counts conserve the raw
+    event count."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["scd2_user_type_history"].fn(spark, sf_small).collect()
+    by_u = {}
+    for r in rows:
+        by_u.setdefault(r["user_id"], []).append(r)
+    for u, rs in by_u.items():
+        rs.sort(key=lambda r: r["effective_from"])
+        assert sum(1 for r in rs if r["is_current"]) == 1
+        assert rs[-1]["is_current"] and rs[-1]["effective_to"] is None
+        for a, b in zip(rs, rs[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            assert a["event_type"] != b["event_type"]
+    n_events = load(spark, sf_small, "events").count()
+    assert sum(r["n_events"] for r in rows) == n_events
+
+
+def test_ann_eval_consistent_with_member_plans(spark, sf_small):
+    """recall@k and reciprocal-rank recomputed in Python from the two
+    member plans' own outputs equal the evaluation operator's."""
+    gt = REGISTRY["ann_cosine_topk"].fn(spark, sf_small).collect()
+    ap = REGISTRY["ann_lsh_topk"].fn(spark, sf_small).collect()
+    ev = REGISTRY["ann_eval_lsh_recall_mrr"].fn(spark, sf_small).collect()
+    gt_by_q, ap_by_q = {}, {}
+    for r in gt:
+        gt_by_q.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in ap:
+        ap_by_q.setdefault(r["query_id"], {})[r["neighbor_id"]] = r["rank"]
+    assert {r["query_id"] for r in ev} == set(gt_by_q)
+    for r in ev:
+        hits = {
+            n: ap_by_q.get(r["query_id"], {}).get(n)
+            for n in gt_by_q[r["query_id"]]
+        }
+        ranks = sorted(v for v in hits.values() if v is not None)
+        assert r["n_hits"] == len(ranks)
+        assert abs(r["recall_at_k"] - len(ranks) / 5.0) < 1e-15
+        if ranks:
+            assert r["first_hit_rank"] == ranks[0]
+            assert abs(r["reciprocal_rank"] - 1.0 / ranks[0]) < 1e-15
+        else:
+            assert r["first_hit_rank"] is None
+            assert r["reciprocal_rank"] == 0.0
+
+
+def test_dedup_rate_report_conserves_doc_counts(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["corpus_dedup_rate_by_source"].fn(spark, sf_small).collect()
+    d = load(spark, sf_small, "documents")
+    assert sum(r["n_docs"] for r in rows) == d.count()
+    n_fp = (
+        d.select(
+            F.md5(
+                F.lower(F.trim(F.regexp_replace("text", r"\s+", " ")))
+            ).alias("fp")
+        )
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_exact_dup_extra"] for r in rows) >= 0
+    # extras summed over sources >= global extras (per-source split can
+    # only increase distinct counts)
+    assert sum(r["n_docs"] - r["n_exact_dup_extra"] for r in rows) >= n_fp
+    for r in rows:
+        assert 0.0 <= r["exact_dup_pct"] <= 1.0
+        assert 0 <= r["n_neardup_docs"] <= r["n_docs"]
+
+
+def test_funnel_ordered_matches_brute_force(spark, sf_small):
+    """The zero-join carry-forward funnel equals a brute-force Python
+    scan over per-user event lists (exists v<c<p with p-v <= 1h)."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    res = REGISTRY["funnel_ordered_steps_1h"].fn(spark, sf_small).collect()[0]
+    ev = (
+        load(spark, sf_small, "events")
+        .select("user_id", "event_type", "ts", "event_id")
+        .collect()
+    )
+    by_u = {}
+    for r in ev:
+        by_u.setdefault(r["user_id"], []).append(r)
+    H = 3600
+    s1 = s2 = s3 = 0
+    for u, rs in by_u.items():
+        rs.sort(key=lambda r: (r["ts"], r["event_id"]))
+        views = [r["ts"] for r in rs if r["event_type"] == "view"]
+        if views:
+            s1 += 1
+        seq = [(r["ts"], r["event_type"]) for r in rs]
+        ok2 = any(
+            t2 > t1 or (t2 == t1 and i2 > i1)
+            for i1, (t1, y1) in enumerate(seq)
+            for i2, (t2, y2) in enumerate(seq)
+            if y1 == "view" and y2 == "click" and i1 < i2
+            and (t2 - t1).total_seconds() <= H
+        )
+        ok3 = any(
+            i1 < i2 < i3 and (t3 - t1).total_seconds() <= H
+            for i1, (t1, y1) in enumerate(seq)
+            for i2, (t2, y2) in enumerate(seq)
+            for i3, (t3, y3) in enumerate(seq)
+            if y1 == "view" and y2 == "click" and y3 == "purchase"
+        )
+        s2 += ok2
+        s3 += ok3
+    assert res["n_view"] == s1
+    assert res["n_view_click_1h"] == s2
+    assert res["n_full_funnel_1h"] == s3
+
+
+def test_son_equals_plain_groupby_threshold(spark, sf_small):
+    """SON two-phase output equals the one-pass exact aggregate at the
+    same threshold, regardless of partitioning."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+    from kafka_avro_order_processor_eg_4131_spark.functions.text import norm_tokens
+
+    son = {
+        (r["term"], r["n"])
+        for r in REGISTRY["frequent_terms_son"].fn(spark, sf_small).collect()
+    }
+    tok = (
+        load(spark, sf_small, "documents")
+        .select(F.explode(norm_tokens(F.col("text"))).alias("term"))
+        .filter(F.col("term") != "")
+    )
+    total = tok.count()
+    plain = {
+        (r["term"], r["n"])
+        for r in tok.groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .filter(50 * F.col("n") >= total)
+        .collect()
+    }
+    assert son == plain and son
+
+
+def test_seasonal_naive_mae_dominates_bias(spark, sf_small):
+    rows = REGISTRY["forecast_seasonal_naive_backtest"].fn(spark, sf_small).collect()
+    assert rows
+    for r in rows:
+        assert r["mae"] >= abs(r["mean_bias"]) - 1e-12
+        assert r["n_days_scored"] > 0
+
+
+def test_rfm_quartiles_balanced_and_conserving(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["rfm_customer_segments"].fn(spark, sf_small).collect()
+    n_cust = (
+        load(spark, sf_small, "orders").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for dim in ("r_score", "f_score", "m_score"):
+        per = {}
+        for r in rows:
+            per[r[dim]] = per.get(r[dim], 0) + r["n_customers"]
+        assert set(per) <= {1, 2, 3, 4}
+        # the integer-div quartile formula splits |bucket| within 1
+        assert max(per.values()) - min(per.values()) <= 1
+
+
+def test_latency_pctiles_monotone(spark, sf_small):
+    rows = REGISTRY["latency_pctiles_by_priority"].fn(spark, sf_small).collect()
+    by_p = {}
+    for r in rows:
+        by_p.setdefault(r["o_orderpriority"], {})[r["quantile"]] = r["latency_days"]
+    for p, qs in by_p.items():
+        assert set(qs) == {"p50", "p90", "p99"}
+        assert qs["p50"] <= qs["p90"] <= qs["p99"]
+
+
+def test_minhash_estimate_is_eighths_and_covers_candidates(spark, sf_small):
+    rows = (
+        REGISTRY["dedup_minhash_estimate_accuracy"].fn(spark, sf_small).collect()
+    )
+    cands = REGISTRY["dedup_minhash_candidates"].fn(spark, sf_small).collect()
+    assert {(r["id1"], r["id2"]) for r in rows} == {
+        (c["id1"], c["id2"]) for c in cands
+    }
+    for r in rows:
+        assert abs(r["est_jaccard"] * 8 - round(r["est_jaccard"] * 8)) < 1e-12
+        assert 0.0 <= r["exact_jaccard"] <= 1.0
+        assert abs(r["abs_err"] - abs(r["est_jaccard"] - r["exact_jaccard"])) < 1e-15
+
+
+def test_pretraining_batches_respect_budget_and_compose_stages(spark, sf_small):
+    """Each batch's token total stays within budget unless it is a
+    single oversized doc; survivors equal clean-corpus minus benchmark
+    minus contaminated docs."""
+    rows = (
+        REGISTRY["pipeline_pretraining_batches"].fn(spark, sf_small).collect()
+    )
+    assert rows
+    for r in rows:
+        # a batch can only exceed 512 via its last (overflowing) doc;
+        # with fixture docs < 512 tokens the cap is budget + one doc
+        assert r["n_tokens"] < 2 * 512
+        assert r["n_docs"] >= 1
+    clean = {
+        r["doc_id"]
+        for r in REGISTRY["pipeline_clean_corpus"].fn(spark, sf_small).collect()
+    }
+    contaminated = {
+        r["doc_id"]
+        for r in REGISTRY["decontam_trigram_overlap"].fn(spark, sf_small).collect()
+    }
+    expected = {d for d in clean if d % 97 != 0 and d not in contaminated}
+    assert sum(r["n_docs"] for r in rows) == len(expected)
+
+
+def test_kcore_members_all_meet_degree_bound(spark, sf_small):
+    """Definitional invariant: every member's within-core degree >= k,
+    and the fixture converges well inside the oracle's unroll depth."""
+    rows = REGISTRY["graph_kcore_members"].fn(spark, sf_small).collect()
+    assert rows
+    assert all(r["core_degree"] >= 4 for r in rows)
+    # python twin: peel to fixpoint and compare membership + count peels
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    li = (
+        load(spark, sf_small, "lineitem")
+        .filter(F.col("l_orderkey") % 32 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_o = {}
+    for r in li:
+        by_o.setdefault(r["l_orderkey"], []).append(r["l_partkey"])
+    edges = set()
+    for parts in by_o.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                edges.add((ps[i], ps[j]))
+    peels = 0
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {n for n, d in deg.items() if d >= 4}
+        e2 = {(a, b) for a, b in edges if a in keep and b in keep}
+        if e2 == edges:
+            break
+        edges = e2
+        peels += 1
+    assert peels <= 10, "fixture needs more peels than the oracle unrolls"
+    final_deg = {}
+    for a, b in edges:
+        final_deg[a] = final_deg.get(a, 0) + 1
+        final_deg[b] = final_deg.get(b, 0) + 1
+    assert {r["part"]: r["core_degree"] for r in rows} == final_deg

@@ -277,3 +277,53 @@ def test_pct_rank_uses_range_partition_not_source_window(spark, sf_small):
     assert "rangepartitioning(source" in low, plan[:2000]
     # no window partitioned by source alone (the near-global trap)
     assert "windowspecdefinition(source#" not in low
+
+
+def test_max_concurrency_sweep_uses_range_partition(spark, sf_small):
+    plan = _plan(spark, "session_max_concurrency", sf_small)
+    low = plan.lower()
+    # the endpoint cumsum range-partitions on the sweep key (t, ...)
+    assert "rangepartitioning(t#" in low, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_attribution_asof_is_one_keyed_window_no_pair_blowup(spark, sf_small):
+    plan = _plan(spark, "attribution_last_touch", sf_small)
+    low = plan.lower()
+    # union-sort as-of: window keyed on the join key, no nested-loop join
+    assert "windowspecdefinition(__k" in low, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_broadcasts_query_side(spark, sf_small):
+    plan = _plan(spark, "ann_hard_negatives", sf_small)
+    # tiny query set broadcast over the spread corpus
+    assert "BroadcastNestedLoopJoin" in plan, plan[:2000]
+
+
+def test_scd2_windows_all_keyed_by_user(spark, sf_small):
+    plan = _plan(spark, "scd2_user_type_history", sf_small)
+    low = plan.lower()
+    assert "windowspecdefinition(user_id" in low, plan[:2000]
+
+
+def test_dedup_rate_broadcasts_cluster_sizes(spark, sf_small):
+    plan = _plan(spark, "corpus_dedup_rate_by_source", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_funnel_ordered_has_no_joins(spark, sf_small):
+    plan = _plan(spark, "funnel_ordered_steps_1h", sf_small)
+    low = plan.lower()
+    for bad in ("sortmergejoin", "broadcasthashjoin", "shuffledhashjoin",
+                "broadcastnestedloopjoin", "cartesianproduct"):
+        assert bad not in low, plan[:2000]
+    assert "windowspecdefinition(user_id" in low
+
+
+def test_son_recount_join_is_broadcast(spark, sf_small):
+    plan = _plan(spark, "frequent_terms_son", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
