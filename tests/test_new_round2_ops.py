@@ -487,3 +487,41 @@ def test_kcore_members_all_meet_degree_bound(spark, sf_small):
         final_deg[a] = final_deg.get(a, 0) + 1
         final_deg[b] = final_deg.get(b, 0) + 1
     assert {r["part"]: r["core_degree"] for r in rows} == final_deg
+
+
+import pytest
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "frequent_terms_son",           # SON superset proof must hold for ANY partitioning
+        "session_max_concurrency",      # sweep-line cumsum kernel
+        "rfm_customer_segments",        # three chained rank passes
+        "latency_pctiles_by_priority",  # composite-key rank
+        "doc_quality_pct_rank_by_source",
+        "events_changepoint_daily",
+        "graph_kcore_members",          # iterative peel
+        "funnel_ordered_steps_1h",
+    ],
+)
+def test_partitioning_invariance(spark, sf_small, name):
+    """Re-running with a different shuffle-partition count must yield
+    IDENTICAL results — the determinism contract of the distributed
+    kernels (two-pass rank/cumsum, SON prefilter, iterative peel) is
+    that no answer depends on how the data was split."""
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+
+    def run():
+        df = REGISTRY[name].fn(spark, sf_small)
+        cols = sorted(df.columns)
+        return sorted(tuple(repr(r[c]) for c in cols) for r in df.collect())
+
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        a = run()
+        spark.conf.set("spark.sql.shuffle.partitions", "17")
+        b = run()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
