@@ -68,6 +68,61 @@ def _dense_index_small(
     )
 
 
+def _pairwise_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str,
+    vec_col: str,
+    width: int | None,
+    other_id: str,
+    label_col: str | None = None,
+) -> DataFrame:
+    """Shared broadcast nested-loop + per-query top-k core: score every
+    (query, corpus) pair by cosine and keep the top k per query. With
+    ``label_col`` set, pairs are restricted to DIFFERENT labels (and the
+    labels are projected through); otherwise self-pairs are excluded.
+    Ties broken by the corpus id — fully deterministic."""
+    from ..functions.vectors import norm
+
+    q_cols = [
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        norm(F.col(vec_col)).alias("qnrm"),
+    ]
+    # corpus side carries the parallelism of the nested-loop join (the
+    # small query set is broadcast); widen it and precompute norms once
+    c_cols = [
+        F.col(id_col).alias(other_id),
+        F.col(vec_col).alias("cvec"),
+        norm(F.col(vec_col)).alias("cnrm"),
+    ]
+    out = ["query_id", other_id]
+    if label_col is not None:
+        other_label = other_id.rsplit("_", 1)[0] + "_label"
+        q_cols.insert(1, F.col(label_col).alias("query_label"))
+        c_cols.insert(1, F.col(label_col).alias(other_label))
+        out = ["query_id", "query_label", other_id, other_label]
+    q = queries.select(*q_cols)
+    c = _spread(emb, width).select(*c_cols)
+    pred = (
+        F.col("query_label") != F.col(other_label)
+        if label_col is not None
+        else F.col("query_id") != F.col(other_id)
+    )
+    scored = q.crossJoin(c).filter(pred).select(
+        *out,
+        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
+            "cos"
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(other_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def brute_force_topk(
     emb: DataFrame,
     queries: DataFrame,
@@ -78,36 +133,7 @@ def brute_force_topk(
 ) -> DataFrame:
     """Exact top-k neighbors (cosine) of each query vector, self excluded.
     Ties broken by neighbor id — fully deterministic."""
-    from ..functions.vectors import norm
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qnrm"),
-    )
-    # corpus side carries the parallelism of the nested-loop join (the
-    # small query set is broadcast); widen it and precompute norms once
-    c = _spread(emb, width).select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnrm"),
-    )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
-                "cos"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
-    )
+    return _pairwise_topk(emb, queries, k, id_col, vec_col, width, "neighbor_id")
 
 
 NUM_TABLES = 4
@@ -490,41 +516,12 @@ def hard_negative_topk(
     """Top-k nearest neighbors of each query that carry a DIFFERENT
     label — hard-negative mining for contrastive training (the
     highest-cosine wrong-class examples are the informative negatives;
-    random negatives are too easy). Same broadcast nested-loop +
-    per-query top-k shape as brute_force_topk with the label-mismatch
-    predicate fused into the join filter; at corpus scale the candidate
-    set comes from the IVF/LSH index instead of the full corpus and
-    this exact ranking runs over candidates only. Ties broken by
-    neighbor id — fully deterministic."""
-    from ..functions.vectors import norm
-
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(label_col).alias("query_label"),
-        F.col(vec_col).alias("qvec"),
-        norm(F.col(vec_col)).alias("qnrm"),
-    )
-    c = _spread(emb, width).select(
-        F.col(id_col).alias("negative_id"),
-        F.col(label_col).alias("negative_label"),
-        F.col(vec_col).alias("cvec"),
-        norm(F.col(vec_col)).alias("cnrm"),
-    )
-    scored = (
-        q.crossJoin(c)
-        .filter(F.col("query_label") != F.col("negative_label"))
-        .select(
-            "query_id",
-            "query_label",
-            "negative_id",
-            "negative_label",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
-                "cos"
-            ),
-        )
-    )
-    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("negative_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("int"))
-        .filter(F.col("rank") <= k)
+    random negatives are too easy). Same shape as brute_force_topk with
+    the label-mismatch predicate fused into the join filter (shared
+    core: _pairwise_topk); at corpus scale the candidate set comes from
+    the IVF/LSH index instead of the full corpus and this exact ranking
+    runs over candidates only. Ties broken by neighbor id — fully
+    deterministic."""
+    return _pairwise_topk(
+        emb, queries, k, id_col, vec_col, width, "negative_id", label_col
     )

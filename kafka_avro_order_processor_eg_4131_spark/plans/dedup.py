@@ -49,14 +49,27 @@ _SIMHASH_CACHE: dict[tuple[int, str], DataFrame] = {}
 # pipeline, cluster components)
 _CAND_CACHE: dict[tuple[int, str], DataFrame] = {}
 _JACCARD_CACHE: dict[tuple[int, str], DataFrame] = {}
+_SIGS_CACHE: dict[tuple[int, str], DataFrame] = {}
+
+
+def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature relation — feeds both the candidate
+    derivation and the estimator-accuracy audit."""
+    key = (id(spark.sparkContext), sf_dir)
+    df = _SIGS_CACHE.get(key)
+    if df is None:
+        df = D.minhash_signatures(_shingles_cached(spark, sf_dir)).persist()
+        _SIGS_CACHE[key] = df
+    return df
 
 
 def _candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = (id(spark.sparkContext), sf_dir)
     df = _CAND_CACHE.get(key)
     if df is None:
-        sh = _shingles_cached(spark, sf_dir)
-        df = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh))).persist()
+        df = D.candidate_pairs(
+            D.lsh_buckets(_sigs_cached(spark, sf_dir))
+        ).persist()
         _CAND_CACHE[key] = df
     return df
 
@@ -660,11 +673,7 @@ from ..catalog import REGISTRY as _REG
 
 _DEDUP_RATE_ORACLE = f"""
     WITH comp AS (SELECT * FROM ({_REG["dedup_cluster_components"].oracle})),
-    sizes AS (SELECT component, COUNT(*) AS csize FROM comp GROUP BY component),
-    clustered AS (
-      SELECT c.id FROM comp c JOIN sizes s ON s.component = c.component
-      WHERE s.csize > 1
-    ),
+    clustered AS (SELECT id FROM comp),
     d AS (SELECT doc_id, source, md5({_NORM}) AS fp FROM documents),
     per_src AS (
       SELECT source, {bigcount_sql()} AS n_docs,
@@ -694,17 +703,17 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact-dup percentage. Composes the session-cached exact-fingerprint
     aggregate and connected-components relations (everything here is a
     previously-oracle-checked stage); per-source rollup is a tiny
-    keyed aggregate joined doc->component with a broadcast of the
-    cluster-size table. Ratios are exact-integer -> one IEEE divide."""
+    keyed aggregate plus a semi-join against the component membership
+    (every member is a near-dup by construction — components has no
+    singletons). Ratios are exact-integer -> one IEEE divide."""
     d = load(spark, sf_dir, "documents").select(
         "doc_id", "source", fingerprint(F.col("text")).alias("fp")
     )
-    comp = _components_cached(spark, sf_dir)
-    sizes = comp.groupBy("component").agg(F.count("*").alias("csize"))
-    clustered = (
-        comp.join(F.broadcast(sizes), "component")
-        .filter(F.col("csize") > 1)
-        .select(F.col("id").alias("doc_id"))
+    # every component member IS a near-dup: connected_components only
+    # emits nodes that appear in a >=0.8-Jaccard edge, so no cluster-
+    # size filter is needed (a singleton component cannot exist)
+    clustered = _components_cached(spark, sf_dir).select(
+        F.col("id").alias("doc_id")
     )
     per_src = d.groupBy("source").agg(
         F.count("*").alias("n_docs"),
@@ -776,9 +785,8 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     signature joins over the candidate list; the estimate is an exact
     small-integer ratio and the error a single correctly-rounded IEEE
     subtraction."""
-    sh = _shingles_cached(spark, sf_dir)
     cands = _candidates_cached(spark, sf_dir)
-    sigs = D.minhash_signatures(sh)
+    sigs = _sigs_cached(spark, sf_dir)
     match = sum(
         F.when(F.col(f"a.sig{h}") == F.col(f"b.sig{h}"), 1).otherwise(0)
         for h in range(D.NUM_HASHES)
@@ -882,9 +890,10 @@ def pipeline_pretraining_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     (>= 0.5 distinct-shingle overlap with the held-out doc_id%97 set,
     benchmark docs themselves excluded) -> greedy sequence packing of
     the survivors into 512-token batches, best-quality-first per
-    source. Every stage is an independently-oracle-checked operator
-    (pipeline_clean_corpus, decontam_trigram_overlap,
-    pack_sequences_by_budget) composed end-to-end — the demo that the
+    source. The cleaning stages are pipeline_clean_corpus CALLED
+    directly (not re-stated), decontamination mirrors
+    decontam_trigram_overlap over the cached shingle relation, and the
+    packing is the pack_sequences_by_budget move — the demo that the
     engine's pieces snap together into the actual production job. The
     shingle/candidate/jaccard relations come from the session cache;
     batch assignment is the EXCLUSIVE running-token div (a doc starting
@@ -892,19 +901,10 @@ def pipeline_pretraining_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
     the output is the per-(source, batch) manifest. Decontamination
     reuses the dedup family's 3-shingle grams (same normalization) so
     one cached relation feeds both stages."""
-    from ..functions.text import fingerprint, quality_score, token_count
+    from ..functions.text import token_count
 
     d = load(spark, sf_dir, "documents")
     sh = _shingles_cached(spark, sf_dir)
-    losers = (
-        _jaccard_cached(spark, sf_dir)
-        .filter(F.col("jaccard") >= 0.8)
-        .select(F.col("id2").alias("doc_id"))
-        .distinct()
-    )
-    keepers = d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
-        F.min("doc_id").alias("doc_id")
-    )
     bench = (
         sh.filter(F.col("id") % 97 == 0)
         .select(F.col("sh").alias("gram"))
@@ -928,12 +928,15 @@ def pipeline_pretraining_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("id").alias("doc_id"))
     )
+    # the quality/exact-dedup/near-dup stages ARE pipeline_clean_corpus —
+    # composed structurally, not re-stated, so the thresholds cannot drift
+    survivors = pipeline_clean_corpus(spark, sf_dir).withColumnRenamed(
+        "quality_score", "quality"
+    )
     clean = (
-        d.withColumn("quality", quality_score(F.col("text")))
+        d.join(survivors, "doc_id")
         .withColumn("n_tok", token_count(F.col("text")))
-        .filter((F.col("quality") >= 0.39) & (F.col("doc_id") % 97 != 0))
-        .join(keepers.select("doc_id"), "doc_id", "left_semi")
-        .join(losers, "doc_id", "left_anti")
+        .filter(F.col("doc_id") % 97 != 0)
         .join(contaminated, "doc_id", "left_anti")
         .select("doc_id", "source", "quality", "n_tok")
     )

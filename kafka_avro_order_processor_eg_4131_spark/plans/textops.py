@@ -1332,11 +1332,19 @@ def frequent_terms_son(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(F.explode(norm_tokens(F.col("text"))).alias("term")).filter(
         F.col("term") != ""
     )
+    # ln and lt MUST come from ONE lineage: joining two independently
+    # recomputed aggregates keyed on spark_partition_id() would divide
+    # one partitioning's local count by another's total if the
+    # round-robin exchange is ever re-executed with a different row
+    # assignment — silently breaking the pigeonhole superset. A window
+    # sum per pid over the single aggregate keeps the plan a tree
+    # (pid-partitioned window, ~shuffle-width partitions — never the
+    # single-partition trap).
     part = tok.withColumn("pid", F.spark_partition_id())
     local = part.groupBy("pid", "term").agg(F.count("*").alias("ln"))
-    local_tot = part.groupBy("pid").agg(F.count("*").alias("lt"))
+    wp = Window.partitionBy("pid")
     cands = (
-        local.join(local_tot, "pid")
+        local.withColumn("lt", F.sum("ln").over(wp))
         .filter(_SON_DEN * F.col("ln") >= F.col("lt"))
         .select("term")
         .distinct()

@@ -1360,7 +1360,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAD(effective_from) OVER (PARTITION BY user_id
                                       ORDER BY run_id) IS NULL AS is_current
     FROM hist
-    ORDER BY user_id, effective_from
+    ORDER BY user_id, effective_from, event_type
     """,
 )
 def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1404,7 +1404,10 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             F.col("effective_to").isNull().alias("is_current"),
         )
-        .orderBy("user_id", "effective_from")
+        # tiebreak: runs of one user can share effective_from when a
+        # boundary falls between equal-ts events; adjacent runs differ
+        # in event_type, so this ORDER BY is total (CLAUDE.md rule)
+        .orderBy("user_id", "effective_from", "event_type")
     )
 
 

@@ -165,7 +165,8 @@ def test_hard_negatives_labels_differ_and_are_hardest(spark, sf_small):
         by_q.setdefault(r["query_id"], []).append(r)
     for q, rs in by_q.items():
         assert sorted(x["rank"] for x in rs) == list(range(1, len(rs) + 1))
-        assert all(rs[0]["cos"] >= x["cos"] or x["rank"] == 1 for x in rs)
+        top1 = next(x for x in rs if x["rank"] == 1)
+        assert all(top1["cos"] >= x["cos"] for x in rs)
 
     emb = {
         r["vec_id"]: ([float(x) for x in r["embedding"]], r["label"])
@@ -525,3 +526,41 @@ def test_partitioning_invariance(spark, sf_small, name):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
     assert a == b
+
+
+def test_bfs_hops_match_python_bfs(spark, sf_small):
+    """The recursive-CTE walk equals a plain-Python BFS from the same
+    seed, and hop counts respect the 3-hop bound."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["graph_bfs_hops_recursive"].fn(spark, sf_small).collect()
+    got = {r["node"]: r["hops"] for r in rows}
+    assert got and max(got.values()) <= 3
+    li = (
+        load(spark, sf_small, "lineitem")
+        .filter(F.col("l_orderkey") % 32 == 0)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .collect()
+    )
+    by_o = {}
+    for r in li:
+        by_o.setdefault(r["l_orderkey"], set()).add(r["l_partkey"])
+    adj = {}
+    for parts in by_o.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj.setdefault(a, set()).add(b)
+    seed = min(adj)
+    dist = {seed: 0}
+    frontier = [seed]
+    for d in range(1, 4):
+        nxt = []
+        for n in frontier:
+            for m in adj.get(n, ()):
+                if m not in dist:
+                    dist[m] = d
+                    nxt.append(m)
+        frontier = nxt
+    assert got == dist
