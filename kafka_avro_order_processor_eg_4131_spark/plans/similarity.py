@@ -682,3 +682,91 @@ def ann_eval_lsh_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("query_id")
     )
+
+
+_KNN_EVAL_MOD = 20  # evaluate every 20th vector (leave-one-out queries)
+
+
+@register(
+    "eval_knn_label_accuracy",
+    oracle=f"""
+    WITH scored AS (
+      SELECT q.vec_id AS query_id, q.label AS true_label,
+             c.label AS neigh_label, c.vec_id AS neighbor_id, {_COS} AS cos
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id % {_KNN_EVAL_MOD} = 0
+    ),
+    topk AS (
+      SELECT query_id, true_label, neigh_label FROM (
+        SELECT query_id, true_label, neigh_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos DESC, neighbor_id) AS rank
+        FROM scored
+      ) WHERE rank <= {S.TOP_K}
+    ),
+    votes AS (
+      SELECT query_id, true_label, neigh_label, COUNT(*) AS v
+      FROM topk GROUP BY query_id, true_label, neigh_label
+    ),
+    pred AS (
+      SELECT query_id, true_label, neigh_label AS pred_label FROM (
+        SELECT query_id, true_label, neigh_label,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY v DESC, neigh_label) AS r
+        FROM votes
+      ) WHERE r = 1
+    )
+    SELECT true_label,
+           {bigcount_sql()} AS n_eval,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pred GROUP BY true_label ORDER BY true_label
+    """,
+)
+def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out k-NN classifier accuracy per label — the standard
+    embedding-space health check (if 5-NN majority vote can't recover
+    the label, the embedding isn't separating classes, and neither
+    ANN-served retrieval nor near-dup thresholds can be trusted). A
+    deterministic majority vote: top-5 by (cos desc, neighbor_id),
+    vote argmax ties broken by smaller label. Every 20th vector is a
+    query, self excluded by the brute core's id-mismatch filter; at
+    corpus scale the candidate lists come from the IVF/LSH index.
+    Counts are exact integers; accuracy is one IEEE divide."""
+    from pyspark.sql import Window
+
+    e, width = _emb_cached(spark, sf_dir)
+    queries = e.filter(F.col("vec_id") % _KNN_EVAL_MOD == 0)
+    topk = S.brute_force_topk(e, queries, width=width).select(
+        "query_id", "neighbor_id"
+    )
+    qlab = e.select(F.col("vec_id").alias("query_id"), F.col("label").alias("true_label"))
+    nlab = e.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neigh_label"))
+    votes = (
+        topk.join(nlab, "neighbor_id")
+        .join(qlab, "query_id")
+        .groupBy("query_id", "true_label", "neigh_label")
+        .agg(F.count("*").alias("v"))
+    )
+    wv = Window.partitionBy("query_id").orderBy(F.col("v").desc(), "neigh_label")
+    pred = (
+        votes.withColumn("r", F.row_number().over(wv))
+        .filter(F.col("r") == 1)
+        .select("query_id", "true_label", F.col("neigh_label").alias("pred_label"))
+    )
+    correct = F.sum(
+        F.when(F.col("pred_label") == F.col("true_label"), 1).otherwise(0)
+    )
+    return (
+        pred.groupBy("true_label")
+        .agg(
+            F.count("*").alias("n_eval"),
+            correct.alias("n_correct"),
+            (correct.cast("double") / F.count("*").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("true_label")
+    )

@@ -1367,3 +1367,64 @@ def frequent_terms_son(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n").desc(), "term")
     )
+
+
+# classifier-evaluation ops: reuse the registered member plans' oracle
+# text as derived tables (the ann_eval pattern) so the evaluation can
+# never drift from the thing it evaluates
+from ..catalog import REGISTRY as _TREG
+
+
+@register(
+    "eval_lang_id_confusion",
+    oracle=f"""
+    WITH pred AS (SELECT * FROM ({_TREG["doc_lang_id"].oracle})),
+    joined AS (
+      SELECT d.lang AS true_lang, p.lang_pred
+      FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    ),
+    cell AS (
+      SELECT true_lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM joined GROUP BY true_lang, lang_pred
+    ),
+    tot AS (
+      SELECT true_lang, CAST(SUM(n) AS BIGINT) AS n_true
+      FROM cell GROUP BY true_lang
+    )
+    SELECT c.true_lang, c.lang_pred, c.n,
+           CAST(c.n AS DOUBLE) / CAST(t.n_true AS DOUBLE) AS frac_of_true
+    FROM cell c JOIN tot t ON t.true_lang = c.true_lang
+    ORDER BY c.true_lang, c.lang_pred
+    """,
+)
+def eval_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Confusion matrix of the stopword-argmax language classifier
+    against the corpus's labeled `lang` column — the per-class
+    evaluation every heuristic filter needs before it gates data at
+    scale (e.g. zh has no stopword table here, so the matrix shows
+    exactly where its documents land). Reuses doc_lang_id's registered
+    plan AND its oracle text verbatim, joined back to ground truth; two
+    tiny keyed aggregates, exact-integer counts, one IEEE divide for
+    the per-true-class fraction."""
+    d = load(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("true_lang")
+    )
+    pred = doc_lang_id(spark, sf_dir)
+    cell = (
+        d.join(pred, "doc_id")
+        .groupBy("true_lang", "lang_pred")
+        .agg(F.count("*").alias("n"))
+    )
+    wt = cell.groupBy("true_lang").agg(F.sum("n").alias("n_true"))
+    return (
+        cell.join(F.broadcast(wt), "true_lang")
+        .select(
+            "true_lang",
+            "lang_pred",
+            "n",
+            (F.col("n").cast("double") / F.col("n_true").cast("double")).alias(
+                "frac_of_true"
+            ),
+        )
+        .orderBy("true_lang", "lang_pred")
+    )

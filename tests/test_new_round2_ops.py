@@ -564,3 +564,29 @@ def test_bfs_hops_match_python_bfs(spark, sf_small):
                     nxt.append(m)
         frontier = nxt
     assert got == dist
+
+
+def test_lang_confusion_conserves_docs_and_known_langs(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["eval_lang_id_confusion"].fn(spark, sf_small).collect()
+    d = load(spark, sf_small, "documents")
+    assert sum(r["n"] for r in rows) == d.count()
+    assert {r["lang_pred"] for r in rows} <= {"en", "de", "fr", "es", "unknown"}
+    for r in rows:
+        assert 0.0 < r["frac_of_true"] <= 1.0
+
+
+def test_knn_accuracy_bounds_and_counts(spark, sf_small):
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["eval_knn_label_accuracy"].fn(spark, sf_small).collect()
+    n_queries = (
+        load(spark, sf_small, "embeddings")
+        .filter(F.col("vec_id") % 20 == 0)
+        .count()
+    )
+    assert sum(r["n_eval"] for r in rows) == n_queries
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_eval"]
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_eval"]) < 1e-15
