@@ -35,9 +35,28 @@ _OFF = "__rk_off"
 
 
 def _with_pid(df: DataFrame, order_by: list[Column | str], num_partitions: int | None) -> DataFrame:
+    """Range-partition by the sort key and stamp the partition id.
+
+    The persist() is LOAD-BEARING for correctness, not a cache
+    optimization: repartitionByRange SAMPLES its input to pick range
+    bounds, and the kernel's two consumers (the per-partition
+    counts/offsets job and the window job) otherwise each re-execute
+    the exchange. When the input is larger than the sampler's
+    reservoir (spark.sql.execution.rangeExchange.sampleSizePerPartition
+    x partitions) AND the upstream row order is not stable across
+    re-executions (e.g. a join followed by a hash aggregate), the two
+    jobs can sample DIFFERENT bounds, assigning rows to different pids
+    in each — silently corrupting every prefix offset. Persisting the
+    pid-stamped relation materializes the sampled assignment exactly
+    once; the offsets job populates the cache and the window job reads
+    the identical rows. (Caught by the stats_ks_mannwhitney twin test;
+    smaller or stably-ordered inputs never trip it, which is why 200+
+    oracle checks passed before this input shape did not.)"""
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    return df.repartitionByRange(n, *order_by).withColumn(
-        _PID, F.spark_partition_id()
+    return (
+        df.repartitionByRange(n, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .persist()
     )
 
 

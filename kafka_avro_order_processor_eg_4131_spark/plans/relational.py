@@ -3233,3 +3233,127 @@ def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT node, CAST(MIN(dist) AS INT) AS hops
     FROM walk GROUP BY node ORDER BY node
     """)
+
+
+@register(
+    "stats_ks_mannwhitney_segments",
+    oracle="""
+    WITH j AS (
+      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             c_mktsegment AS seg
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    v AS (
+      SELECT cents,
+             CAST(SUM(CASE WHEN seg = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS a,
+             CAST(SUM(CASE WHEN seg = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS b
+      FROM j GROUP BY cents
+    ),
+    t AS (SELECT CAST(SUM(a) AS BIGINT) AS n1, CAST(SUM(b) AS BIGINT) AS n2 FROM v),
+    c AS (
+      SELECT cents, a, b,
+             CAST(SUM(a) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ca,
+             CAST(SUM(b) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cb
+      FROM v
+    ),
+    scored AS (
+      SELECT c.cents, c.a, c.b, c.ca, c.cb, t.n1, t.n2,
+             abs(c.ca * t.n2 - c.cb * t.n1) AS d_num
+      FROM c CROSS JOIN t
+    ),
+    m AS (SELECT MAX(d_num) AS ks_d_num FROM scored)
+    SELECT s.n1, s.n2,
+           m.ks_d_num,
+           CAST(m.ks_d_num AS DOUBLE) / (CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE))
+             AS ks_stat,
+           (SELECT MIN(cents) FROM scored WHERE d_num = m.ks_d_num) AS ks_at_cents,
+           CAST(SUM(s.a * (2 * (s.ca + s.cb - s.a - s.b) + s.a + s.b + 1))
+                - s.n1 * (s.n1 + 1) AS BIGINT) AS mwu_u1_x2,
+           CAST(SUM(s.a * (2 * (s.ca + s.cb - s.a - s.b) + s.a + s.b + 1))
+                - s.n1 * (s.n1 + 1) AS DOUBLE)
+             / (2.0 * CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE)) AS auc
+    FROM scored s CROSS JOIN m
+    GROUP BY s.n1, s.n2, m.ks_d_num
+    """,
+)
+def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample distribution-shift test between BUILDING and MACHINERY
+    order-total distributions: the Kolmogorov-Smirnov statistic (max
+    ECDF gap — SHAPE shift, complementing stats_welch's mean shift) and
+    the Mann-Whitney U with its AUC interpretation (P(A>B) + P(A=B)/2,
+    average ranks for ties). This is the drift detector a training-data
+    pipeline runs between crawl snapshots or data sources. ALL-INTEGER:
+    values are exact cents, both cumulative counts ride ONE two-pass
+    distributed cumsum by packing (a,b) into a single bigint
+    (a*2^32 + b — safe while each cumulative count < 2^31), the KS gap
+    is maximized as |ca*n2 - cb*n1| (no division), and the tie-averaged
+    rank-sum doubles through 2R1 so it stays integral. Only the final
+    ks_stat and auc divides touch doubles. The oracle states the plain
+    window form."""
+    from ..operators.ranking import distributed_cumsum
+
+    PACK = 1 << 32
+    o = load(spark, sf_dir, "orders")
+    cst = load(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = (
+        o.join(cst, F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
+        .select(
+            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
+            .cast("bigint")
+            .alias("cents"),
+            F.col("c_mktsegment").alias("seg"),
+        )
+    )
+    v = j.groupBy("cents").agg(
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("seg") == "MACHINERY", 1).otherwise(0)).alias("b"),
+    )
+    packed = v.withColumn("ab", F.col("a") * PACK + F.col("b"))
+    c = distributed_cumsum(packed, [F.col("cents")], F.col("ab"), cum_col="cab")
+    c = c.select(
+        "cents",
+        "a",
+        "b",
+        F.expr(f"cab div {PACK}").alias("ca"),
+        F.expr(f"cab % {PACK}").alias("cb"),
+    )
+    t = v.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    scored = c.crossJoin(F.broadcast(t)).withColumn(
+        "d_num", F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
+    )
+    m = scored.agg(F.max("d_num").alias("ks_d_num"))
+    r2_term = F.col("a") * (
+        2 * (F.col("ca") + F.col("cb") - F.col("a") - F.col("b"))
+        + F.col("a")
+        + F.col("b")
+        + 1
+    )
+    return (
+        scored.crossJoin(F.broadcast(m))
+        .groupBy("n1", "n2", "ks_d_num")
+        .agg(
+            F.min(F.when(F.col("d_num") == F.col("ks_d_num"), F.col("cents"))).alias(
+                "ks_at_cents"
+            ),
+            (F.sum(r2_term) - F.col("n1") * (F.col("n1") + 1))
+            .cast("bigint")
+            .alias("mwu_u1_x2"),
+        )
+        .select(
+            "n1",
+            "n2",
+            "ks_d_num",
+            (
+                F.col("ks_d_num").cast("double")
+                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("ks_stat"),
+            "ks_at_cents",
+            "mwu_u1_x2",
+            (
+                F.col("mwu_u1_x2").cast("double")
+                / (2.0 * F.col("n1").cast("double") * F.col("n2").cast("double"))
+            ).alias("auc"),
+        )
+    )

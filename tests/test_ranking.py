@@ -131,3 +131,35 @@ def test_cummin_exclusive_matches_global_window(spark):
     ref = {r["id"]: r["m"] for r in df.withColumn("m", F.min("v").over(w)).collect()}
     assert got == ref
     assert sum(1 for v in got.values() if v is None) == 1
+
+
+def test_cumsum_consistent_on_unstable_order_join_agg_input(spark, sf_small):
+    """Regression: repartitionByRange SAMPLES its input per job; without
+    the load-bearing persist in _with_pid, the offsets job and the
+    window job could sample different bounds over a join+hash-agg input
+    (whose row order is not stable across re-executions) and corrupt
+    every prefix. This reproduces that input shape at above-reservoir
+    row counts and twin-checks the cumsum, three times."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+    from kafka_avro_order_processor_eg_4131_spark.operators.ranking import (
+        distributed_cumsum,
+    )
+    from pyspark.sql import functions as F
+
+    o = load(spark, sf_small, "orders")
+    c = load(spark, sf_small, "customer").select("c_custkey", "c_mktsegment")
+    j = o.join(c, F.col("o_custkey") == F.col("c_custkey")).select(
+        F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+    )
+    v = j.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("seg") == "BUILDING", 1).otherwise(0)).alias("nb"),
+    )
+    for _ in range(3):
+        out = distributed_cumsum(v, [F.col("k")], F.col("n"), cum_col="cum")
+        rows = sorted(out.collect(), key=lambda r: r["k"])
+        run = 0
+        for r in rows:
+            run += r["n"]
+            assert r["cum"] == run, f"prefix corruption at k={r['k']}"
