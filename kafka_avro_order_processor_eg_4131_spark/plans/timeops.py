@@ -1563,3 +1563,100 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "cohort_ltv_monthly",
+    oracle="""
+    WITH first_order AS (
+      SELECT o_custkey,
+             MIN(date_trunc('month', o_orderdate)) AS cohort_month
+      FROM orders GROUP BY o_custkey
+    ),
+    sized AS (
+      SELECT cohort_month, CAST(COUNT(*) AS BIGINT) AS n_customers
+      FROM first_order GROUP BY cohort_month
+    ),
+    rev AS (
+      SELECT f.cohort_month,
+             CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
+                - (year(f.cohort_month) * 12 + month(f.cohort_month))
+                AS INT) AS month_offset,
+             CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                AS BIGINT) AS rev_cents
+      FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
+      GROUP BY 1, 2
+    ),
+    cum AS (
+      SELECT cohort_month, month_offset, rev_cents,
+             CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
+                                       ORDER BY month_offset
+                                       ROWS UNBOUNDED PRECEDING) AS BIGINT)
+               AS cum_rev_cents
+      FROM rev
+    )
+    SELECT c.cohort_month, c.month_offset, s.n_customers,
+           c.rev_cents, c.cum_rev_cents,
+           CAST(c.cum_rev_cents AS DOUBLE)
+             / (100.0 * CAST(s.n_customers AS DOUBLE)) AS ltv_per_customer
+    FROM cum c JOIN sized s ON s.cohort_month = c.cohort_month
+    ORDER BY c.cohort_month, c.month_offset
+    """,
+)
+def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curve: customers bucketed by first-order
+    month, cumulative revenue per cohort by months-since-acquisition,
+    and the per-customer LTV — the revenue twin of the retention matrix
+    (cohort_weekly_retention counts who comes back; this prices them).
+    Revenue is exact integer cents end to end, month offsets are exact
+    integer month arithmetic, and the cumulative window runs over the
+    POST-AGGREGATE (cohort, offset) relation — thousands of rows at any
+    corpus size, so PARTITION BY cohort is safe here (the fact-sized
+    windows this catalog avoids are pre-aggregate). One user-keyed
+    join against the broadcast-able first_order relation, two keyed
+    aggregates; the only doubles are the final LTV divide."""
+    o = load(spark, sf_dir, "orders")
+    first_order = o.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort_month")
+    )
+    sized = first_order.groupBy("cohort_month").agg(
+        F.count("*").alias("n_customers")
+    )
+    months = lambda c: F.year(c) * 12 + F.month(c)
+    rev = (
+        o.join(first_order, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (months(F.col("o_orderdate")) - months(F.col("cohort_month")))
+            .cast("int")
+            .alias("month_offset"),
+        )
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+            ).alias("rev_cents")
+        )
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = rev.withColumn(
+        "cum_rev_cents", F.sum("rev_cents").over(w).cast("bigint")
+    )
+    return (
+        cum.join(F.broadcast(sized), "cohort_month")
+        .select(
+            "cohort_month",
+            "month_offset",
+            "n_customers",
+            "rev_cents",
+            "cum_rev_cents",
+            (
+                F.col("cum_rev_cents").cast("double")
+                / (100.0 * F.col("n_customers").cast("double"))
+            ).alias("ltv_per_customer"),
+        )
+        .orderBy("cohort_month", "month_offset")
+    )

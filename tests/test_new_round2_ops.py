@@ -590,3 +590,33 @@ def test_knn_accuracy_bounds_and_counts(spark, sf_small):
     for r in rows:
         assert 0 <= r["n_correct"] <= r["n_eval"]
         assert abs(r["accuracy"] - r["n_correct"] / r["n_eval"]) < 1e-15
+
+
+def test_cohort_ltv_monotone_and_conserving(spark, sf_small):
+    """Cumulative LTV is non-decreasing within each cohort, and the
+    final cumulative cents summed over cohorts equal total order
+    revenue in exact cents."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import load
+
+    rows = REGISTRY["cohort_ltv_monthly"].fn(spark, sf_small).collect()
+    by_c = {}
+    for r in rows:
+        by_c.setdefault(r["cohort_month"], []).append(r)
+    last_total = 0
+    for c, rs in by_c.items():
+        rs.sort(key=lambda r: r["month_offset"])
+        run = 0
+        for r in rs:
+            run += r["rev_cents"]
+            assert r["cum_rev_cents"] == run
+        last_total += rs[-1]["cum_rev_cents"]
+    total_cents = (
+        load(spark, sf_small, "orders")
+        .agg(
+            F.sum(
+                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+            ).alias("t")
+        )
+        .collect()[0]["t"]
+    )
+    assert last_total == total_cents
