@@ -327,3 +327,21 @@ def test_son_recount_join_is_broadcast(spark, sf_small):
     plan = _plan(spark, "frequent_terms_son", sf_small)
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "CartesianProduct" not in plan
+
+
+def test_ks_mannwhitney_no_cartesian_one_row_broadcasts(spark, sf_small):
+    plan = _plan(spark, "stats_ks_mannwhitney_segments", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2000]
+    # the 1-row totals/max relations come back as broadcasts
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_cohort_ltv_sized_join_is_broadcast(spark, sf_small):
+    plan = _plan(spark, "cohort_ltv_monthly", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_markov_eval_pred_table_is_broadcast(spark, sf_small):
+    plan = _plan(spark, "eval_markov_next_event_accuracy", sf_small)
+    assert "BroadcastHashJoin" in plan, plan[:2000]
