@@ -33,9 +33,26 @@ def entry(spark: SparkSession) -> DataFrame:
     return REGISTRY[FLAGSHIP].fn(spark, SMOKE_SF_DIR)
 
 
+def _released_before(fn: Callable) -> Callable:
+    """Deferred ephemeral-cache release: the driver materializes each
+    query before building the next, so releasing the PREVIOUS query's
+    per-query persists (operators/cache.py) at the next call keeps
+    executor storage flat across the 211-query run without ever
+    unpersisting a relation before its consuming action (which would
+    reintroduce the range-sampler hazard, operators/ranking.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from kafka_avro_order_processor_eg_4131_spark.operators import cache
+
+        cache.release_ephemeral()
+        return fn(spark, sf_dir)
+
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return {name: q.fn for name, q in REGISTRY.items()}
+    return {name: _released_before(q.fn) for name, q in REGISTRY.items()}
 
 
 def oracle_sql() -> dict[str, str]:

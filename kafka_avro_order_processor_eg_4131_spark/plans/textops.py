@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..catalog import load, register
+from ..operators import cache as C
 from ..functions import text as T
 
 # SQL twins of the functions/text.py helpers ---------------------------------
@@ -202,7 +203,7 @@ def doc_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join); persisted so the explode+aggregate pipeline runs once, and
     # the per-term/corpus-level aggregates broadcast back onto it
     # (A/B at sf0.1: 6.3s -> 3.6s cold, neutral warm)
-    tf = tok_rows.groupBy("id", "term").agg(F.count("*").alias("tf")).persist()
+    tf = C.ephemeral(tok_rows.groupBy("id", "term").agg(F.count("*").alias("tf")))
     df_ = tf.groupBy("term").agg(F.count_distinct("id").alias("df"))
     n = tf.agg(F.count_distinct("id").alias("n_docs"))
     w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "term")
@@ -1014,7 +1015,7 @@ def doc_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda i: F.array_join(F.slice(toks, i + 1, _BOILER_N), " "),
         ),
     )
-    w = t.select("doc_id", F.explode(w8).alias("w8")).persist()
+    w = C.ephemeral(t.select("doc_id", F.explode(w8).alias("w8")))
     dfq = w.distinct().groupBy("w8").agg(F.count("*").alias("df"))
     boiler = F.when(F.col("df") >= _BOILER_DF, 1).otherwise(0)
     return (

@@ -175,6 +175,7 @@ def run_order_pipeline(
     work_dir: str,
     available_now: bool = True,
     observed_metrics: list | None = None,
+    max_files_per_trigger: int | None = None,
 ) -> PipelineSinks:
     """Broker-free flagship pipeline: parquet envelope stream in
     ``input_dir`` (columns: key binary, value binary, topic string,
@@ -182,7 +183,10 @@ def run_order_pipeline(
 
     ``available_now=True`` processes everything present then stops —
     the batch-bounded mode tests use; with False it runs continuously
-    (production shape)."""
+    (production shape). ``max_files_per_trigger`` bounds each
+    micro-batch to that many input files — bench.py uses it to force a
+    fixed trigger count so the throughput number includes per-batch
+    commit overhead, like a live Kafka consumer would."""
     from ..shipping import ship_package
 
     ship_package(spark)
@@ -192,12 +196,12 @@ def run_order_pipeline(
         retry_dir=os.path.join(work_dir, "retry"),
         agg_dir=os.path.join(work_dir, "agg"),
     )
-    envelope = (
-        spark.readStream.schema(
-            "key binary, value binary, topic string, partition int, offset long"
-        )
-        .parquet(input_dir)
+    reader = spark.readStream.schema(
+        "key binary, value binary, topic string, partition int, offset long"
     )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    envelope = reader.parquet(input_dir)
     routed = observe_routing(route_orders(decode_orders(envelope)))
     writer = (
         routed.writeStream.foreachBatch(

@@ -58,10 +58,13 @@ def main() -> int:
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
 
+    from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+
     fails, rows_only = [], 0
     oracles = mod.oracle_sql()
     for name, fn in sorted(mod.queries().items()):
         sdf = fn(spark, sf_dir).toPandas()
+        C.release_ephemeral()  # per-query persists done once toPandas returns
         o = oracles.get(name)
         if o is None:
             rows_only += 1

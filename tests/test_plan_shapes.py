@@ -345,3 +345,20 @@ def test_cohort_ltv_sized_join_is_broadcast(spark, sf_small):
 def test_markov_eval_pred_table_is_broadcast(spark, sf_small):
     plan = _plan(spark, "eval_markov_next_event_accuracy", sf_small)
     assert "BroadcastHashJoin" in plan, plan[:2000]
+
+
+def test_embedding_neardup_is_banded_equi_join(spark, sf_small):
+    """The registered embedding near-dup plan must generate candidates
+    via the (table, bucket) sign-LSH equi-join — never the O(n^2)
+    cross product the round-2 catalog shipped (round-2 verdict #1).
+    The only nested-loop joins allowed are broadcast crosses against
+    tiny single-row/plane relations, which carry no pair semantics."""
+    plan = _plan(spark, "dedup_embedding_cosine_pairs", sf_small)
+    assert "CartesianProduct" not in plan, plan[:2500]
+    join_lines = [
+        ln for ln in plan.splitlines() if "HashJoin" in ln and "table_id" in ln
+    ]
+    assert join_lines, plan[:2500]
+    # the pair predicate (id1 < id2) rides the bucket equi-join as a
+    # residual condition, not a nested-loop join condition
+    assert any("id1" in ln for ln in join_lines), join_lines

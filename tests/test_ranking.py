@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import random
 
+import pytest
+
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -163,3 +165,89 @@ def test_cumsum_consistent_on_unstable_order_join_agg_input(spark, sf_small):
         for r in rows:
             run += r["n"]
             assert r["cum"] == run, f"prefix corruption at k={r['k']}"
+
+
+# ---------------------------------------------------------------------------
+# Round-3 adversarial skew-stress (verdict r2 #6): the range-sampler
+# re-execution hazard was caught by ONE twin test by accident; these
+# runs provoke it deliberately — heavy duplicate sort keys with a
+# unique tiebreak, a lumpy distribution (most mass on 3 keys), input
+# larger than the sampler reservoir, and an UNSTABLE upstream row order
+# (hash-shuffle + aggregate) — and assert partitioning invariance
+# across cluster shapes (num_partitions 3 / 8 / 16 on the local[4]
+# test session vs the bench's local[32]-like widths).
+# ---------------------------------------------------------------------------
+
+
+def _adversarial_df(spark):
+    """~120k rows, 70% of them on 3 duplicate sort keys, routed through
+    a hash repartition + join + aggregate so upstream row order is NOT
+    stable across re-executions (the exact shape of the sampler
+    hazard documented in _with_pid)."""
+    base = spark.range(120_000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 < 7, (F.col("id") % 3))
+        .otherwise(3 + F.col("id") % 47)
+        .alias("k"),
+        ((F.col("id") * 2654435761) % 97 - 48).alias("v"),
+    )
+    # destabilize: shuffle by hash of v, aggregate back per id (row order
+    # after this depends on task scheduling, not on id)
+    return (
+        base.repartition(16, "v")
+        .groupBy("id")
+        .agg(F.max("k").alias("k"), F.max("v").alias("v"))
+    )
+
+
+@pytest.mark.slow
+def test_skew_stress_row_number_partitioning_invariance(spark):
+    df = _adversarial_df(spark)
+    order = [F.col("k"), F.col("id")]
+    expected = None
+    for parts in (3, 8, 16):
+        got = {
+            r["id"]: r["rn"]
+            for r in distributed_row_number(
+                df, order, rn_col="rn", num_partitions=parts
+            ).collect()
+        }
+        assert sorted(got.values()) == list(range(1, 120_001))
+        if expected is None:
+            # ground truth once: rank of (k, id) in the total order
+            rows = sorted((r["k"], r["id"]) for r in df.collect())
+            expected = {i: rn for rn, (_, i) in enumerate(rows, start=1)}
+        assert got == expected, f"parts={parts}"
+
+
+@pytest.mark.slow
+def test_skew_stress_cumsum_and_cummin_partitioning_invariance(spark):
+    from kafka_avro_order_processor_eg_4131_spark.operators.ranking import (
+        distributed_cummin_exclusive,
+    )
+
+    df = _adversarial_df(spark)
+    order = [F.col("k"), F.col("id")]
+    rows = sorted((r["k"], r["id"], r["v"]) for r in df.collect())
+    exp_cum, acc = {}, 0
+    exp_min, run_min = {}, None
+    for k, i, v in rows:
+        acc += v
+        exp_cum[i] = acc
+        exp_min[i] = run_min
+        run_min = v if run_min is None else min(run_min, v)
+    for parts in (3, 8, 16):
+        got_cum = {
+            r["id"]: r["cum"]
+            for r in distributed_cumsum(
+                df, order, F.col("v"), cum_col="cum", num_partitions=parts
+            ).collect()
+        }
+        assert got_cum == exp_cum, f"cumsum parts={parts}"
+        got_min = {
+            r["id"]: r["m"]
+            for r in distributed_cummin_exclusive(
+                df, order, F.col("v"), out_col="m", num_partitions=parts
+            ).collect()
+        }
+        assert got_min == exp_min, f"cummin parts={parts}"

@@ -1,0 +1,216 @@
+"""Round-3 additions: the scale-safe LSH embedding near-dup plan (vs
+its all-pairs twin), and the cache-lifecycle discipline (every persist
+has an owner; release_all returns the session to zero retained RDDs).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+from kafka_avro_order_processor_eg_4131_spark.operators import similarity as S
+from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
+    _COS_THRESHOLD,
+    _doc_vectors_cached,
+)
+
+
+def _rows(df):
+    return sorted((r.id1, r.id2, r.cos) for r in df.collect())
+
+
+class TestEmbeddingNearDupLSH:
+    def test_lsh_matches_allpairs_twin_sf_small(self, spark, sf_small):
+        """The registered banded-LSH plan must produce EXACTLY the
+        all-pairs result (candidate completeness on the fixture) —
+        bit-identical cosines included."""
+        lsh = _rows(REGISTRY["dedup_embedding_cosine_pairs"].fn(spark, sf_small))
+        twin = _rows(
+            S.allpairs_cosine_pairs(
+                _doc_vectors_cached(spark, sf_small),
+                _COS_THRESHOLD,
+                id_col="doc_id",
+                vec_col="vec",
+            )
+        )
+        assert lsh == twin
+        assert len(lsh) > 0  # the fixture plants real near-dups
+
+    def test_lsh_matches_allpairs_twin_sf_oracle(self, spark, sf_oracle):
+        lsh = _rows(REGISTRY["dedup_embedding_cosine_pairs"].fn(spark, sf_oracle))
+        twin = _rows(
+            S.allpairs_cosine_pairs(
+                _doc_vectors_cached(spark, sf_oracle),
+                _COS_THRESHOLD,
+                id_col="doc_id",
+                vec_col="vec",
+            )
+        )
+        assert lsh == twin and len(lsh) > 0
+
+    @pytest.mark.slow
+    def test_lsh_matches_allpairs_twin_sf01(self, spark):
+        sf = "/root/testdata/sf0.1"
+        lsh = _rows(REGISTRY["dedup_embedding_cosine_pairs"].fn(spark, sf))
+        twin = _rows(
+            S.allpairs_cosine_pairs(
+                _doc_vectors_cached(spark, sf),
+                _COS_THRESHOLD,
+                id_col="doc_id",
+                vec_col="vec",
+            )
+        )
+        assert lsh == twin and len(lsh) > 0
+
+    def test_pairs_are_ordered_and_above_threshold(self, spark, sf_small):
+        rows = _rows(REGISTRY["dedup_embedding_cosine_pairs"].fn(spark, sf_small))
+        assert all(a < b for a, b, _ in rows)
+        assert all(c >= _COS_THRESHOLD for _, _, c in rows)
+        assert len(rows) == len({(a, b) for a, b, _ in rows})  # distinct
+
+
+class TestCacheLifecycle:
+    def test_release_all_frees_everything_this_block_persisted(
+        self, spark, sf_small
+    ):
+        """After materializing queries that exercise family caches,
+        kernel persists, and LSH buckets, release_all() must free every
+        RDD those queries pinned (round-2 verdict #2). Set-based so
+        unrelated retained blocks from earlier tests in the shared
+        session (e.g. localCheckpoints awaiting the ContextCleaner)
+        don't leak into the assertion."""
+        C.release_all()
+        before = C.retained_rdd_ids(spark)
+        # exercises: dedup family caches + LSH ephemeral buckets
+        REGISTRY["dedup_minhash_candidates"].fn(spark, sf_small).count()
+        # exercises: the two-pass kernel's pid-stamped ephemeral persist
+        REGISTRY["latency_pctiles_by_priority"].fn(spark, sf_small).count()
+        # exercises: the new doc-vector family + lsh_near_pairs ephemeral
+        REGISTRY["dedup_embedding_cosine_pairs"].fn(spark, sf_small).count()
+        added = C.retained_rdd_ids(spark) - before
+        assert added, "queries should have pinned relations"
+        C.release_all()
+        assert not (C.retained_rdd_ids(spark) & added)
+
+    def test_release_ephemeral_keeps_families(self, spark, sf_small):
+        C.release_all()
+        before = C.retained_rdd_ids(spark)
+        REGISTRY["dedup_minhash_candidates"].fn(spark, sf_small).count()
+        added = C.retained_rdd_ids(spark) - before
+        assert added
+        C.release_ephemeral()
+        survivors = C.retained_rdd_ids(spark) & added
+        # family caches (shingles, sigs, candidates) survive the sweep;
+        # the ephemeral bucket relation does not
+        assert survivors and survivors < added
+        C.release_families(spark)
+        assert not (C.retained_rdd_ids(spark) & added)
+
+    def test_family_returns_same_object_and_rebuilds_after_release(
+        self, spark, sf_small
+    ):
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(10).toDF("x")
+
+        a = C.family(spark, "test.lifecycle", sf_small, build)
+        b = C.family(spark, "test.lifecycle", sf_small, build)
+        assert a is b and calls["n"] == 1
+        C.release_families(spark)
+        C.family(spark, "test.lifecycle", sf_small, build)
+        assert calls["n"] == 2
+        C.release_families(spark)
+
+
+class TestBfsFrontier:
+    def test_frontier_matches_spark_recursive_cte(self, spark, sf_small):
+        """The registered frontier-dedup BFS must equal the declarative
+        Spark 4 WITH RECURSIVE walk it replaced (which survives as the
+        DuckDB oracle) — this also keeps the Spark recursive-CTE
+        surface exercised. Unique view name per run (advice r2: the old
+        fixed-name global view raced concurrent invocations)."""
+        import uuid
+
+        from pyspark.sql import functions as F
+
+        from kafka_avro_order_processor_eg_4131_spark.catalog import load
+        from kafka_avro_order_processor_eg_4131_spark.plans.relational import (
+            _BFS_MAX_HOPS,
+            _KCORE_MOD,
+        )
+
+        frontier = sorted(
+            (r.node, r.hops)
+            for r in REGISTRY["graph_bfs_hops_recursive"].fn(spark, sf_small).collect()
+        )
+
+        li = (
+            load(spark, sf_small, "lineitem")
+            .filter(F.col("l_orderkey") % _KCORE_MOD == 0)
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
+        und = (
+            li.alias("a")
+            .join(
+                li.alias("b"),
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            )
+            .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+            .distinct()
+            .localCheckpoint()
+        )
+        view = f"bfs_edges_{uuid.uuid4().hex}"
+        und.createOrReplaceTempView(view)
+        try:
+            cte = sorted(
+                (r.node, r.hops)
+                for r in spark.sql(f"""
+                    WITH RECURSIVE walk(node, dist) AS (
+                      SELECT (SELECT MIN(src) FROM {view}), 0
+                      UNION ALL
+                      SELECT e.dst, w.dist + 1
+                      FROM walk w JOIN {view} e ON e.src = w.node
+                      WHERE w.dist < {_BFS_MAX_HOPS}
+                    )
+                    SELECT node, CAST(MIN(dist) AS INT) AS hops
+                    FROM walk GROUP BY node
+                """).collect()
+            )
+        finally:
+            spark.catalog.dropTempView(view)
+        assert frontier == cte and len(frontier) > 1
+
+
+class TestSketchOutputsPinned:
+    """The two rows-only catalog entries (native percentile_approx /
+    approx_count_distinct sketches) have no SQL oracle BY NATURE — their
+    outputs are implementation-defined by Spark's GK/HLL++ internals
+    (xxhash64 + bias tables DuckDB cannot reproduce). The semantic
+    surface IS oracle-checked via the from-scratch md5-register HLL and
+    count-min sketches in plans/sketches.py; here the native outputs
+    are pinned as exact literals per SF so an engine upgrade that shifts
+    them is caught loudly (round-2 verdict #7)."""
+
+    PINNED = {
+        ("sf0.001", "agg_percentile_approx"): [
+            ("F", 242707.75), ("O", 253356.63), ("P", 258770.68)],
+        ("sf0.001", "agg_approx_count_distinct"): [
+            ("F", 146), ("O", 150), ("P", 146)],
+        ("sf0.01", "agg_percentile_approx"): [
+            ("F", 251601.6), ("O", 251271.81), ("P", 251195.71)],
+        ("sf0.01", "agg_approx_count_distinct"): [
+            ("F", 1361), ("O", 1369), ("P", 1367)],
+    }
+
+    @pytest.mark.parametrize("sf,name", sorted(PINNED))
+    def test_pinned(self, spark, sf, name):
+        rows = sorted(
+            tuple(r)
+            for r in REGISTRY[name].fn(spark, f"/root/testdata/{sf}").collect()
+        )
+        assert rows == self.PINNED[(sf, name)]
