@@ -919,6 +919,149 @@ def doc_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --- distributed BPE merge training ----------------------------------------
+
+_BPE_MERGE_ROUNDS = 3
+
+
+def _bpe_cte_chain(rounds: int) -> str:
+    """Loop-unrolled DuckDB twin of operators/bpe.py::_train — generated
+    from the same round count so the two sides cannot drift (the
+    pagerank-oracle pattern). Each round is three CTEs: weighted pair
+    counts, the deterministic argmax, and the merge application via the
+    identical '|sym||sym|' string-replace trick. The chain ends with
+    t1..tN (per-round argmax rows), vN (the final vocabulary), and tokd
+    (the doc_id-carrying filtered token stream)."""
+    parts = [
+        """
+    tok AS (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+      FROM documents WHERE trim(text) <> ''
+    ),
+    tokd AS (
+      SELECT doc_id, w FROM tok WHERE w <> '' AND NOT contains(w, '|')
+    ),
+    v0 AS (
+      SELECT w, CAST(COUNT(*) AS BIGINT) AS cnt,
+             list_transform(generate_series(1, length(w)),
+                            i -> substring(w, i, 1)) AS seq
+      FROM tokd GROUP BY w
+    )"""
+    ]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    p{r} AS (
+      SELECT pr.l AS lhs, pr.r AS rhs, CAST(SUM(cnt) AS BIGINT) AS pair_count
+      FROM (
+        SELECT cnt, unnest(list_transform(generate_series(1, len(seq) - 1),
+                 i -> struct_pack(l := seq[i], r := seq[i + 1]))) AS pr
+        FROM v{r - 1} WHERE len(seq) >= 2
+      ) GROUP BY 1, 2
+    ),
+    t{r} AS (SELECT * FROM p{r} ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    v{r} AS (
+      SELECT w, cnt,
+             string_split(substring(s2, 2, length(s2) - 2), '||') AS seq
+      FROM (
+        SELECT w, cnt,
+               replace('|' || array_to_string(seq, '||') || '|',
+                       '|' || t.lhs || '||' || t.rhs || '|',
+                       '|' || t.lhs || t.rhs || '|') AS s2
+        FROM v{r - 1} CROSS JOIN t{r} t
+      )
+    )""")
+    return "WITH " + "".join(parts)
+
+
+def _bpe_merges_oracle(rounds: int) -> str:
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r} AS INT) AS rnd, lhs, rhs, lhs || rhs AS merged,"
+        f" pair_count FROM t{r}"
+        for r in range(1, rounds + 1)
+    )
+    return _bpe_cte_chain(rounds) + f" SELECT * FROM ({selects}) ORDER BY rnd"
+
+
+def _bpe_segment_oracle(rounds: int) -> str:
+    return _bpe_cte_chain(rounds) + f"""
+    SELECT tokd.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(len(seq)) AS BIGINT) AS n_symbols,
+           CAST(SUM(length(w)) AS BIGINT) AS n_chars,
+           (CAST(SUM(len(seq)) AS DOUBLE) / CAST(SUM(length(w)) AS DOUBLE))
+             AS symbols_per_char
+    FROM tokd JOIN v{rounds} USING (w)
+    GROUP BY tokd.doc_id
+    """
+
+
+@register("bpe_train_merges", oracle=_bpe_merges_oracle(_BPE_MERGE_ROUNDS))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (operators/bpe.py): learn the
+    first 3 merge rules over the corpus in map-reduce form. The corpus
+    contributes ONE word-count aggregation; every training round then
+    runs over the VOCABULARY relation (bounded by distinct words, not
+    corpus size — how production BPE trainers scale to 100 TB): one
+    weighted pair-count aggregate, one TakeOrdered(1) argmax with a
+    full tie-break, one broadcast merge application. The oracle unrolls
+    the identical three rounds in SQL (the pagerank pattern), so the
+    learned merge table is hash-checked end to end."""
+    from ..operators import bpe as B
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    toks = d.select(F.explode(T.norm_tokens(F.col("text"))).alias("w")).filter(
+        (F.col("w") != "") & (~F.col("w").contains("|"))
+    )
+    vocab = (
+        toks.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("seq", B.chars(F.col("w")))
+    )
+    return B.train_merges(vocab, _BPE_MERGE_ROUNDS)
+
+
+@register("bpe_segment_stats", oracle=_bpe_segment_oracle(_BPE_MERGE_ROUNDS))
+def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the learned BPE merge table back to the corpus: per-doc
+    token / symbol / character counts and the symbols-per-char
+    compression ratio — the readout a tokenizer-training run reports
+    before committing a vocabulary. Plan: the trained vocabulary
+    (bounded by distinct words) joins the exploded token stream on the
+    word — one equi-join + one per-doc aggregate; at 100 TB the
+    segmenter table broadcasts (vocab-sized) and the corpus never
+    reshuffles."""
+    from ..operators import bpe as B
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    tokd = d.select(
+        "doc_id", F.explode(T.norm_tokens(F.col("text"))).alias("w")
+    ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
+    vocab = (
+        tokd.groupBy("w")
+        .agg(F.count("*").cast("bigint").alias("cnt"))
+        .withColumn("seq", B.chars(F.col("w")))
+    )
+    seg = B.train_vocab(vocab, _BPE_MERGE_ROUNDS).select(
+        "w", F.size("seq").alias("n_sym")
+    )
+    return (
+        tokd.join(seg, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_tokens"),
+            F.sum("n_sym").cast("bigint").alias("n_symbols"),
+            F.sum(F.length("w")).cast("bigint").alias("n_chars"),
+            (
+                F.sum("n_sym").cast("double")
+                / F.sum(F.length("w")).cast("double")
+            ).alias("symbols_per_char"),
+        )
+    )
+
+
 # GPT-style pretokenizer classes: letter runs, single digits, punctuation
 _BPE_PAT = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
 

@@ -214,3 +214,73 @@ class TestSketchOutputsPinned:
             for r in REGISTRY[name].fn(spark, f"/root/testdata/{sf}").collect()
         )
         assert rows == self.PINNED[(sf, name)]
+
+
+class TestBpeTraining:
+    def test_matches_pure_python_bpe(self, spark, sf_small):
+        """The distributed merge table must equal a from-first-principles
+        Python BPE trainer over the same vocabulary (greedy within-round
+        non-overlapping merges, (count desc, lhs, rhs) tie-break)."""
+        import re
+        from collections import Counter
+
+        import duckdb
+
+        got = [
+            (r.rnd, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in REGISTRY["bpe_train_merges"].fn(spark, sf_small).collect()
+        ]
+
+        con = duckdb.connect()
+        rows = con.execute(
+            f"SELECT text FROM '{sf_small}/documents.parquet'"
+            " WHERE trim(text) <> ''"
+        ).fetchall()
+        vocab = Counter()
+        for (text,) in rows:
+            for w in re.split(r"\s+", text.strip().lower()):
+                if w and "|" not in w:
+                    vocab[w] += 1
+        seqs = {w: list(w) for w in vocab}
+
+        expected = []
+        for rnd in range(1, 4):
+            pairs = Counter()
+            for w, cnt in vocab.items():
+                s = seqs[w]
+                for i in range(len(s) - 1):
+                    pairs[(s[i], s[i + 1])] += cnt
+            (lhs, rhs), n = min(
+                pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            expected.append((rnd, lhs, rhs, lhs + rhs, n))
+            for w, s in seqs.items():
+                out, i = [], 0
+                while i < len(s):
+                    if i + 1 < len(s) and s[i] == lhs and s[i + 1] == rhs:
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(s[i])
+                        i += 1
+                seqs[w] = out
+        assert got == expected
+
+    def test_apply_merge_edge_cases(self, spark):
+        from pyspark.sql import functions as F
+
+        from kafka_avro_order_processor_eg_4131_spark.operators.bpe import (
+            apply_merge,
+        )
+
+        df = spark.createDataFrame(
+            [(["a", "a", "a", "a"],), (["a", "b", "a", "a", "a"],), (["a"],)],
+            "seq array<string>",
+        )
+        out = [
+            r.m
+            for r in df.select(
+                apply_merge(F.col("seq"), F.lit("a"), F.lit("a")).alias("m")
+            ).collect()
+        ]
+        assert out == [["aa", "aa"], ["a", "b", "aa", "a"], ["a"]]
