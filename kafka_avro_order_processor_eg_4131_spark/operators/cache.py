@@ -62,6 +62,22 @@ def family(
     return df
 
 
+_MEMO: dict[tuple[int, str, str], object] = {}
+
+
+def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], object]):
+    """Session-keyed memo for derived objects that are NOT a single
+    persisted relation (e.g. the BPE trainer's (per-round argmax
+    relations, final vocabulary) tuple, whose members are already
+    materialized via localCheckpoint). Cleared by release_families —
+    the entries hold only checkpointed/lazy DataFrames, so dropping the
+    reference lets the ContextCleaner reclaim the checkpoint blocks."""
+    key = (_session_key(spark), name, sf_dir)
+    if key not in _MEMO:
+        _MEMO[key] = builder()
+    return _MEMO[key]
+
+
 def ephemeral(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next ``release_ephemeral``
     sweep. The caller (or its consumer) must materialize before the
@@ -101,6 +117,10 @@ def release_families(spark: SparkSession | None = None) -> int:
             n += 1
         except Exception:
             pass
+    for k in [
+        k for k in _MEMO if spark is None or k[0] == _session_key(spark)
+    ]:
+        del _MEMO[k]
     return n
 
 

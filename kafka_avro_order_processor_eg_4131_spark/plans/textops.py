@@ -996,6 +996,33 @@ def _bpe_segment_oracle(rounds: int) -> str:
     """
 
 
+def _bpe_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    return d.select(
+        "doc_id", F.explode(T.norm_tokens(F.col("text"))).alias("w")
+    ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
+
+
+def _bpe_trained(spark: SparkSession, sf_dir: str):
+    """Session-memoized (per-round argmax relations, final vocabulary):
+    the training loop's eager localCheckpoints materialize once and both
+    BPE catalog queries reuse them."""
+    from ..operators import bpe as B
+
+    def build():
+        vocab = (
+            _bpe_tokens(spark, sf_dir)
+            .groupBy("w")
+            .agg(F.count("*").cast("bigint").alias("cnt"))
+            .withColumn("seq", B.chars(F.col("w")))
+        )
+        return B._train(vocab, _BPE_MERGE_ROUNDS)
+
+    return C.memo(spark, "textops.bpe_trained", sf_dir, build)
+
+
 @register("bpe_train_merges", oracle=_bpe_merges_oracle(_BPE_MERGE_ROUNDS))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed BPE tokenizer training (operators/bpe.py): learn the
@@ -1006,20 +1033,19 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted pair-count aggregate, one TakeOrdered(1) argmax with a
     full tie-break, one broadcast merge application. The oracle unrolls
     the identical three rounds in SQL (the pagerank pattern), so the
-    learned merge table is hash-checked end to end."""
-    from ..operators import bpe as B
-    from ..operators.dedup import _widen
-
-    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
-    toks = d.select(F.explode(T.norm_tokens(F.col("text"))).alias("w")).filter(
-        (F.col("w") != "") & (~F.col("w").contains("|"))
-    )
-    vocab = (
-        toks.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .withColumn("seq", B.chars(F.col("w")))
-    )
-    return B.train_merges(vocab, _BPE_MERGE_ROUNDS)
+    learned merge table is hash-checked end to end. The trained state
+    is session-memoized and shared with bpe_segment_stats."""
+    tops, _ = _bpe_trained(spark, sf_dir)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "rnd",
+        "lhs",
+        "rhs",
+        F.concat("lhs", "rhs").alias("merged"),
+        "pair_count",
+    ).orderBy("rnd")
 
 
 @register("bpe_segment_stats", oracle=_bpe_segment_oracle(_BPE_MERGE_ROUNDS))
@@ -1031,22 +1057,10 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bounded by distinct words) joins the exploded token stream on the
     word — one equi-join + one per-doc aggregate; at 100 TB the
     segmenter table broadcasts (vocab-sized) and the corpus never
-    reshuffles."""
-    from ..operators import bpe as B
-    from ..operators.dedup import _widen
-
-    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
-    tokd = d.select(
-        "doc_id", F.explode(T.norm_tokens(F.col("text"))).alias("w")
-    ).filter((F.col("w") != "") & (~F.col("w").contains("|")))
-    vocab = (
-        tokd.groupBy("w")
-        .agg(F.count("*").cast("bigint").alias("cnt"))
-        .withColumn("seq", B.chars(F.col("w")))
-    )
-    seg = B.train_vocab(vocab, _BPE_MERGE_ROUNDS).select(
-        "w", F.size("seq").alias("n_sym")
-    )
+    reshuffles. Reuses the session-memoized trained vocabulary."""
+    tokd = _bpe_tokens(spark, sf_dir)
+    _, final_vocab = _bpe_trained(spark, sf_dir)
+    seg = final_vocab.select("w", F.size("seq").alias("n_sym"))
     return (
         tokd.join(seg, "w")
         .groupBy("doc_id")

@@ -124,6 +124,21 @@ class TestCacheLifecycle:
         assert calls["n"] == 2
         C.release_families(spark)
 
+    def test_memo_shared_and_cleared_with_families(self, spark, sf_small):
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return ("anything", 42)
+
+        a = C.memo(spark, "test.memo", sf_small, build)
+        b = C.memo(spark, "test.memo", sf_small, build)
+        assert a is b and calls["n"] == 1
+        C.release_families(spark)
+        C.memo(spark, "test.memo", sf_small, build)
+        assert calls["n"] == 2
+        C.release_families(spark)
+
 
 class TestBfsFrontier:
     def test_frontier_matches_spark_recursive_cte(self, spark, sf_small):
