@@ -545,6 +545,101 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_near_pairs(bucketed, _COS_THRESHOLD)
 
 
+_SEMDEDUP_CELLS = 16
+
+
+def _semdedup_oracle() -> str:
+    from ..functions.vectors import dot_sql, norm_sql
+
+    cos_ab = f"({dot_sql('ea.vec', 'eb.vec')} / (ea.nrm * eb.nrm))"
+    cos_ec = f"({dot_sql('e.vec', 'cent.vec')} / (e.nrm * cent.nrm))"
+    return f"""
+    WITH {_doc_vec_sql()},
+    lead16 AS (
+      SELECT doc_id, vec FROM e WHERE nrm > 0 ORDER BY doc_id LIMIT {_SEMDEDUP_CELLS}
+    ),
+    cent AS (
+      SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS INT) AS cell_id,
+             vec, {norm_sql("vec")} AS nrm
+      FROM lead16
+    ),
+    asg AS (
+      SELECT doc_id, cell_id FROM (
+        SELECT e.doc_id, cent.cell_id,
+               ROW_NUMBER() OVER (PARTITION BY e.doc_id
+                 ORDER BY {cos_ec} DESC, cent.cell_id) AS rk
+        FROM e CROSS JOIN cent
+        WHERE e.nrm > 0
+      ) WHERE rk = 1
+    )
+    SELECT a.doc_id, CAST(a.cell_id AS INT) AS cell_id,
+           CASE WHEN EXISTS (
+             SELECT 1
+             FROM asg b
+             JOIN e eb ON eb.doc_id = b.doc_id
+             JOIN e ea ON ea.doc_id = a.doc_id
+             WHERE b.cell_id = a.cell_id AND b.doc_id < a.doc_id
+               AND {cos_ab} >= {_COS_THRESHOLD}
+           ) THEN 0 ELSE 1 END AS kept
+    FROM asg a
+    """
+
+
+@register("semdedup_keep_list", oracle=_semdedup_oracle())
+def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup keep-list: assign every doc vector
+    to its nearest of 16 deterministic centroids (the first 16 docs —
+    production k-means-refines them, identical plan shape), then WITHIN
+    each cell drop any doc whose cosine to a lower-id cellmate is
+    >= 0.95. Cells bound the pairwise work — #cells grows with the
+    corpus so cell size stays constant, which is the entire point of
+    cluster-then-dedup at 100 TB (the within-cell join is an equi-join
+    on cell_id, never corpus-quadratic). One-pass conservative variant:
+    a doc similar to an already-DROPPED lower id is still dropped
+    (deterministic, non-iterative); the transitive keep-one-per-cluster
+    form is dedup_cluster_canonical. Returns (doc_id, cell_id, kept)."""
+    from ..operators import similarity as S
+
+    e = _doc_vectors_cached(spark, sf_dir)
+    centroids = S._dense_index_small(
+        e, "doc_id", "vec", _SEMDEDUP_CELLS, "cell_id"
+    )
+    asg = C.ephemeral(
+        S.ivf_assign(e, centroids, n_probe=1, id_col="doc_id", vec_col="vec")
+    )
+    from ..functions.vectors import dot, norm
+
+    sides = asg.withColumn("nrm", norm(F.col("vec")))
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "cell_id",
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "cell_id",
+    )
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            >= _COS_THRESHOLD
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(0))
+    )
+    return (
+        asg.select(F.col("id").alias("doc_id"), F.col("cell_id").cast("int"))
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cell_id",
+            F.coalesce(F.col("is_dropped"), F.lit(1)).cast("int").alias("kept"),
+        )
+    )
+
+
 @register(
     "dedup_edit_distance_pairs",
     oracle="""

@@ -299,3 +299,22 @@ class TestBpeTraining:
             ).collect()
         ]
         assert out == [["aa", "aa"], ["a", "b", "aa", "a"], ["a"]]
+
+
+class TestSemDedup:
+    def test_keep_list_structure(self, spark, sf_oracle):
+        rows = [
+            (r.doc_id, r.cell_id, r.kept)
+            for r in REGISTRY["semdedup_keep_list"].fn(spark, sf_oracle).collect()
+        ]
+        assert len(rows) == len({d for d, _, _ in rows})  # one row per doc
+        assert {k for _, _, k in rows} <= {0, 1}
+        assert sum(1 for _, _, k in rows if k == 0) > 0  # fixture has dups
+        # the lowest doc_id in every cell can never be dropped (no lower
+        # cellmate exists to drop it against)
+        by_cell = {}
+        for d, c, k in rows:
+            by_cell.setdefault(c, []).append((d, k))
+        for c, members in by_cell.items():
+            d_min, k_min = min(members)
+            assert k_min == 1, (c, d_min)
