@@ -89,3 +89,18 @@ def test_no_single_partition_window(spark, sf_small, name):
     assert not _has_partitionless_window(plan), (
         f"{name} plans a single-partition window:\n{plan[:3000]}"
     )
+
+
+@pytest.mark.parametrize("name", sorted(REGISTRY))
+def test_no_cartesian_product(spark, sf_small, name):
+    """Catalog-wide guard (round 3): no registered plan may contain a
+    CartesianProduct — every cross pairing must be either a broadcast
+    against a provably tiny side (BroadcastNestedLoopJoin) or a keyed
+    equi-join. A CartesianProduct means two non-broadcast sides meet
+    unkeyed — corpus-quadratic at scale, the exact trap the round-2
+    embedding near-dup plan fell into."""
+    df = REGISTRY[name].fn(spark, sf_small)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan, (
+        f"{name} plans a CartesianProduct:\n{plan[:3000]}"
+    )
