@@ -95,11 +95,9 @@ def _train(vocab: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
     return tops, vocab
 
 
-def train_merges(vocab: DataFrame, rounds: int) -> DataFrame:
-    """``rounds`` BPE merges over a (w, cnt, seq) vocabulary relation.
-    Returns (rnd, lhs, rhs, merged, pair_count) — one row per round,
-    the learned merge table in order."""
-    tops, _ = _train(vocab, rounds)
+def merges_table(tops: list[DataFrame]) -> DataFrame:
+    """Assemble the per-round argmax relations into the ordered
+    (rnd, lhs, rhs, merged, pair_count) merge table."""
     out = tops[0]
     for t in tops[1:]:
         out = out.unionAll(t)
@@ -110,6 +108,14 @@ def train_merges(vocab: DataFrame, rounds: int) -> DataFrame:
         F.concat("lhs", "rhs").alias("merged"),
         "pair_count",
     ).orderBy("rnd")
+
+
+def train_merges(vocab: DataFrame, rounds: int) -> DataFrame:
+    """``rounds`` BPE merges over a (w, cnt, seq) vocabulary relation.
+    Returns (rnd, lhs, rhs, merged, pair_count) — one row per round,
+    the learned merge table in order."""
+    tops, _ = _train(vocab, rounds)
+    return merges_table(tops)
 
 
 def train_vocab(vocab: DataFrame, rounds: int) -> DataFrame:

@@ -1035,17 +1035,10 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical three rounds in SQL (the pagerank pattern), so the
     learned merge table is hash-checked end to end. The trained state
     is session-memoized and shared with bpe_segment_stats."""
+    from ..operators import bpe as B
+
     tops, _ = _bpe_trained(spark, sf_dir)
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionAll(t)
-    return out.select(
-        "rnd",
-        "lhs",
-        "rhs",
-        F.concat("lhs", "rhs").alias("merged"),
-        "pair_count",
-    ).orderBy("rnd")
+    return B.merges_table(tops)
 
 
 @register("bpe_segment_stats", oracle=_bpe_segment_oracle(_BPE_MERGE_ROUNDS))
