@@ -1754,3 +1754,126 @@ def eval_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("prev_type")
     )
+
+
+# --- survival analysis -------------------------------------------------------
+
+_KM_CHURN_DAYS = 90
+
+
+@register(
+    "survival_km_churn",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_custkey, MIN(o_orderdate) AS f, MAX(o_orderdate) AS l
+      FROM orders GROUP BY o_custkey
+    ),
+    mx AS (SELECT MAX(o_orderdate) AS mx FROM orders),
+    subj AS (
+      SELECT CAST(date_diff('day', f, l) AS INT) AS dur,
+             CASE WHEN date_diff('day', l, mx.mx) > {_KM_CHURN_DAYS}
+                  THEN 1 ELSE 0 END AS ev
+      FROM per CROSS JOIN mx
+    ),
+    g AS (
+      SELECT dur, CAST(SUM(ev) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS m
+      FROM subj GROUP BY dur
+    ),
+    tot AS (SELECT CAST(SUM(m) AS BIGINT) AS n FROM g),
+    cum AS (
+      SELECT dur, d, m,
+             CAST(SUM(m) OVER (ORDER BY dur ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS cm
+      FROM g
+    ),
+    evr AS (
+      SELECT dur, d, (tot.n - cm + m) AS n_risk,
+             1.0 - CAST(d AS DOUBLE) / CAST(tot.n - cm + m AS DOUBLE)
+               AS factor
+      FROM cum CROSS JOIN tot WHERE d > 0
+    ),
+    rnk AS (
+      SELECT dur, d, n_risk, factor,
+             ROW_NUMBER() OVER (ORDER BY dur) AS rn
+      FROM evr
+    ),
+    fs AS (SELECT list(factor ORDER BY dur) AS fs FROM evr)
+    SELECT dur AS t, CAST(n_risk AS BIGINT) AS n_risk, d AS n_events,
+           list_reduce(list_slice(fs.fs, 1, rn), (a, b) -> a * b) AS surv
+    FROM rnk CROSS JOIN fs ORDER BY t
+    """,
+)
+def survival_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier survival curve for customer lifetime: duration =
+    days between a customer's first and last order; the churn event is
+    observed when the last order precedes the corpus horizon by more
+    than 90 days, otherwise the subject is right-censored (still
+    active). Classic estimator: S(t) = prod over event times t_i <= t
+    of (1 - d_i / n_i), censored subjects counted at risk through
+    their censoring time.
+
+    Scale shape: the per-customer reduce and the per-duration (d, m)
+    aggregate are plain hash aggregates; the at-risk counts ride the
+    two-pass distributed cumsum (never a single-partition window); the
+    ONLY driver-bounded state is the event-time factor array — bounded
+    by DISTINCT durations (the size of the curve itself), not by
+    customers — and the running product folds that array in duration
+    order, the same deterministic left-fold discipline as the dot
+    product (float multiplication is non-associative; a distributed
+    two-pass product would not be bit-portable, a fixed-order fold
+    is)."""
+    from ..operators.ranking import distributed_cumsum, distributed_row_number
+
+    o = load(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per = o.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("f"), F.max("o_orderdate").alias("l")
+    )
+    mx = o.agg(F.max("o_orderdate").alias("mx"))
+    subj = per.crossJoin(F.broadcast(mx)).select(
+        F.date_diff(F.col("l"), F.col("f")).cast("int").alias("dur"),
+        F.when(
+            F.date_diff(F.col("mx"), F.col("l")) > _KM_CHURN_DAYS, 1
+        ).otherwise(0).alias("ev"),
+    )
+    g = subj.groupBy("dur").agg(
+        F.sum("ev").cast("bigint").alias("d"),
+        F.count("*").cast("bigint").alias("m"),
+    )
+    tot = g.agg(F.sum("m").cast("bigint").alias("n"))
+    cum = distributed_cumsum(g, [F.col("dur")], F.col("m"), cum_col="cm")
+    evr = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("n_risk", F.col("n") - F.col("cm") + F.col("m"))
+        .filter(F.col("d") > 0)
+        .select(
+            "dur",
+            "d",
+            "n_risk",
+            (
+                F.lit(1.0)
+                - F.col("d").cast("double") / F.col("n_risk").cast("double")
+            ).alias("factor"),
+        )
+    )
+    rnk = distributed_row_number(evr, [F.col("dur")], rn_col="rn")
+    fs = evr.agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dur", "factor"))),
+            lambda s: s.factor,
+        ).alias("fs")
+    )
+    return (
+        rnk.crossJoin(F.broadcast(fs))
+        .select(
+            F.col("dur").alias("t"),
+            F.col("n_risk").cast("bigint").alias("n_risk"),
+            F.col("d").alias("n_events"),
+            F.aggregate(
+                F.slice("fs", F.lit(1), F.col("rn").cast("int")),
+                F.lit(1.0),
+                lambda acc, v: acc * v,
+            ).alias("surv"),
+        )
+        .orderBy("t")
+    )

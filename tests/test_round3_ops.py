@@ -318,3 +318,21 @@ class TestSemDedup:
         for c, members in by_cell.items():
             d_min, k_min = min(members)
             assert k_min == 1, (c, d_min)
+
+
+class TestSurvivalKM:
+    def test_km_curve_properties(self, spark, sf_oracle):
+        rows = REGISTRY["survival_km_churn"].fn(spark, sf_oracle).collect()
+        assert len(rows) > 10
+        ts = [r.t for r in rows]
+        assert ts == sorted(ts) and len(ts) == len(set(ts))
+        survs = [r.surv for r in rows]
+        assert all(0.0 < s <= 1.0 for s in survs)
+        assert all(a >= b for a, b in zip(survs, survs[1:]))  # non-increasing
+        # at-risk counts shrink over time; events never exceed at-risk
+        assert all(r.n_events <= r.n_risk for r in rows)
+        n_risks = [r.n_risk for r in rows]
+        assert all(a >= b for a, b in zip(n_risks, n_risks[1:]))
+        # first factor: S(t1) = 1 - d1/n1 exactly
+        f = rows[0]
+        assert f.surv == 1.0 - f.n_events / f.n_risk
