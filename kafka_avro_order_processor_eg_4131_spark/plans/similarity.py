@@ -775,3 +775,74 @@ def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_label")
     )
+
+
+# --- retrieval fusion --------------------------------------------------------
+
+_RRF_K = 60
+
+
+def _rrf_oracle() -> str:
+    from ..catalog import REGISTRY as _R
+
+    return f"""
+    WITH lsh AS ({_R["ann_lsh_topk"].oracle}),
+    ivf AS ({_R["ann_ivf_topk"].oracle}),
+    fused AS (
+      SELECT COALESCE(l.query_id, i.query_id) AS query_id,
+             COALESCE(l.neighbor_id, i.neighbor_id) AS neighbor_id,
+             (CASE WHEN l.rank IS NOT NULL
+                   THEN 1.0 / ({_RRF_K} + l.rank) ELSE 0.0 END
+              + CASE WHEN i.rank IS NOT NULL
+                     THEN 1.0 / ({_RRF_K} + i.rank) ELSE 0.0 END) AS rrf
+      FROM lsh l FULL OUTER JOIN ivf i
+        ON l.query_id = i.query_id AND l.neighbor_id = i.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rrf, rank FROM (
+      SELECT query_id, neighbor_id, rrf,
+             CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                     ORDER BY rrf DESC, neighbor_id) AS INT)
+               AS rank
+      FROM fused
+    ) WHERE rank <= {S.TOP_K}
+    """
+
+
+@register("ann_rrf_fusion", oracle=_rrf_oracle())
+def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reciprocal-rank fusion of the two approximate retrievers (sign-
+    LSH and IVF): rrf(d) = sum over lists containing d of
+    1/(60 + rank_list(d)) — the standard score-free way to combine
+    retrievers with incomparable similarity scales, and the multi-index
+    recall amplifier a production vector store runs (each index misses
+    different true neighbors; the union re-ranks cheaply). A full-outer
+    equi-join of two top-k lists (query-bounded, tiny) and one per-query
+    window — nothing corpus-scaled beyond the component retrievers
+    themselves. The two reciprocal terms add in a FIXED textual order,
+    so the score is bit-portable; the oracle composes the component
+    oracles verbatim as CTEs (the corpus_dedup_rate pattern: composed
+    definitions cannot drift from the checked ones)."""
+    lsh = ann_lsh_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r1")
+    )
+    ivf = ann_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.col("rank").alias("r2")
+    )
+    fused = lsh.join(ivf, ["query_id", "neighbor_id"], "full_outer").select(
+        "query_id",
+        "neighbor_id",
+        (
+            F.when(
+                F.col("r1").isNotNull(), F.lit(1.0) / (_RRF_K + F.col("r1"))
+            ).otherwise(F.lit(0.0))
+            + F.when(
+                F.col("r2").isNotNull(), F.lit(1.0) / (_RRF_K + F.col("r2"))
+            ).otherwise(F.lit(0.0))
+        ).alias("rrf"),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.col("rrf").desc(), "neighbor_id")
+    return fused.withColumn("rank", F.row_number().over(w).cast("int")).filter(
+        F.col("rank") <= S.TOP_K
+    )

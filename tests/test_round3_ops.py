@@ -336,3 +336,20 @@ class TestSurvivalKM:
         # first factor: S(t1) = 1 - d1/n1 exactly
         f = rows[0]
         assert f.surv == 1.0 - f.n_events / f.n_risk
+
+
+class TestRrfFusion:
+    def test_fused_ranks_and_scores(self, spark, sf_oracle):
+        rows = REGISTRY["ann_rrf_fusion"].fn(spark, sf_oracle).collect()
+        by_q = {}
+        for r in rows:
+            by_q.setdefault(r.query_id, []).append((r.rank, r.rrf, r.neighbor_id))
+        assert len(by_q) == 20  # every query produced a fused list
+        for q, lst in by_q.items():
+            lst.sort()
+            assert [r for r, _, _ in lst] == list(range(1, len(lst) + 1))
+            scores = [s for _, s, _ in lst]
+            assert all(a >= b for a, b in zip(scores, scores[1:]))
+            # rrf scores are sums of one or two reciprocal terms in
+            # (0, 2/61]
+            assert all(0 < s <= 2.0 / 61.0 + 1e-12 for s in scores)
