@@ -846,3 +846,69 @@ def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= S.TOP_K
     )
+
+
+def _fusion_gain_oracle() -> str:
+    from ..catalog import REGISTRY as _R
+
+    branches = " UNION ALL ".join(
+        f"""
+        SELECT '{label}' AS retriever,
+               CAST(COUNT(ap.neighbor_id) AS BIGINT) AS n_hits,
+               CAST(COUNT(ap.neighbor_id) AS DOUBLE)
+                 / {_N_QUERIES * S.TOP_K}.0 AS mean_recall_at_k
+        FROM gt LEFT JOIN ({_R[name].oracle}) ap
+          ON ap.query_id = gt.query_id AND ap.neighbor_id = gt.neighbor_id
+        """
+        for label, name in [
+            ("ivf", "ann_ivf_topk"),
+            ("lsh", "ann_lsh_topk"),
+            ("rrf", "ann_rrf_fusion"),
+        ]
+    )
+    return f"""
+    WITH gt AS (
+      SELECT query_id, neighbor_id FROM ({_R["ann_cosine_topk"].oracle})
+    )
+    SELECT * FROM ({branches}) ORDER BY retriever
+    """
+
+
+@register("ann_eval_fusion_gain", oracle=_fusion_gain_oracle())
+def ann_eval_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does fusing the two approximate indexes actually buy recall? One
+    summary row per retriever (ivf, lsh, rrf) with hits against the
+    exact brute-force top-k and the mean recall@k — the ablation table
+    that justifies (or kills) running a second index at 100 TB. All
+    inputs are the already-registered oracle-checked plans over the
+    shared embeddings cache; recall is an exact small-integer ratio
+    (one correctly-rounded divide), so the whole report hash-checks."""
+    gt = ann_cosine_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    denom = float(_N_QUERIES * S.TOP_K)
+    outs = []
+    for label, fn in [
+        ("ivf", ann_ivf_topk),
+        ("lsh", ann_lsh_topk),
+        ("rrf", ann_rrf_fusion),
+    ]:
+        ap = fn(spark, sf_dir).select(
+            "query_id", F.col("neighbor_id").alias("ap_nid")
+        )
+        outs.append(
+            gt.join(
+                ap,
+                (ap["query_id"] == gt["query_id"])
+                & (F.col("ap_nid") == gt["neighbor_id"]),
+                "left",
+            ).agg(
+                F.lit(label).alias("retriever"),
+                F.count("ap_nid").cast("bigint").alias("n_hits"),
+                (F.count("ap_nid").cast("double") / denom).alias(
+                    "mean_recall_at_k"
+                ),
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out.orderBy("retriever")

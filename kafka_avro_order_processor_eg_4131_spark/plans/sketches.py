@@ -251,3 +251,128 @@ def sketch_hll_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.crossJoin(F.broadcast(n_exact))
         .select("n_regs", "n_exact", est.alias("hll_estimate"))
     )
+
+
+def _hll_est_sql(regs: str) -> str:
+    """The exact-integer HLL estimator over a (bucket, register) CTE —
+    shared by the single-sketch and merged-sketch queries so the
+    arithmetic cannot drift."""
+    return f"""(
+      SELECT ((0.7213 / (1.0 + 1.079 / {_HLL_M}.0))
+               * {_HLL_M * _HLL_M}.0 * {2 ** (_HLL_VBITS + 1)}.0
+               / (CAST(CAST(SUM((CAST(1 AS BIGINT)
+                      << ({_HLL_VBITS + 1} - register))) AS BIGINT) AS DOUBLE)
+                  + (CAST(({_HLL_M} - COUNT(*)) AS DOUBLE)
+                     * {2 ** (_HLL_VBITS + 1)}.0)))
+      FROM {regs}
+    )"""
+
+
+def _hll_estimate_from(regs: DataFrame) -> DataFrame:
+    """1-row (est double) from a (bucket, register) relation — the
+    Spark twin of _hll_est_sql."""
+    s = regs.agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {_HLL_VBITS + 1} - register)")
+        )
+        .cast("bigint")
+        .alias("sum_scaled"),
+        F.count("*").cast("bigint").alias("n_regs"),
+    )
+    alpha = 0.7213 / (1.0 + 1.079 / float(_HLL_M))
+    full = float(2 ** (_HLL_VBITS + 1))
+    return s.select(
+        (
+            F.lit(alpha)
+            * F.lit(float(_HLL_M * _HLL_M))
+            * F.lit(full)
+            / (
+                F.col("sum_scaled").cast("double")
+                + (F.lit(_HLL_M) - F.col("n_regs")).cast("double") * F.lit(full)
+            )
+        ).alias("est")
+    )
+
+
+@register(
+    "sketch_hll_merge_sources",
+    oracle=f"""
+    WITH per AS (
+      SELECT o_orderpriority AS src, CAST({_HLL_BUCKET_SQL} AS INT) AS bucket,
+             CAST(MAX({_HLL_RHO_SQL}) AS INT) AS register
+      FROM orders GROUP BY 1, 2
+    ),
+    merged AS (
+      SELECT bucket, MAX(register) AS register FROM per GROUP BY bucket
+    ),
+    gall AS (
+      SELECT CAST({_HLL_BUCKET_SQL} AS INT) AS bucket,
+             CAST(MAX({_HLL_RHO_SQL}) AS INT) AS register
+      FROM orders GROUP BY 1
+    ),
+    mism AS (
+      SELECT CAST(SUM(CASE WHEN m.register IS NULL OR g.register IS NULL
+                             OR m.register <> g.register
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatches
+      FROM merged m FULL OUTER JOIN gall g ON m.bucket = g.bucket
+    )
+    SELECT (SELECT CAST(COUNT(DISTINCT src) AS BIGINT) FROM per) AS n_sources,
+           mism.n_mismatches,
+           {_hll_est_sql("merged")} AS merged_estimate,
+           {_hll_est_sql("gall")} AS global_estimate
+    FROM mism
+    """,
+)
+def sketch_hll_merge_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch MERGEABILITY — the property that makes HLL the 100 TB
+    distinct counter: per-source register tables (one per order
+    priority, standing in for per-shard / per-day sketches) merge by a
+    bucketwise MAX into EXACTLY the register table a global pass
+    builds, because max is associative and commutative. The output row
+    carries the proof: zero register mismatches and bit-identical
+    merged vs global estimates. At scale this is the union story — 64
+    registers per shard travel to the coordinator instead of the key
+    sets themselves."""
+    o = load(spark, sf_dir, "orders")
+    bucket, rho = _hll_parts()
+    per = (
+        o.select(
+            F.col("o_orderpriority").alias("src"),
+            bucket.cast("int").alias("bucket"),
+            rho.alias("rho"),
+        )
+        .groupBy("src", "bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+    merged = per.groupBy("bucket").agg(F.max("register").alias("register"))
+    glob = (
+        o.select(bucket.cast("int").alias("bucket"), rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").cast("int").alias("register"))
+    )
+    m = merged.select("bucket", F.col("register").alias("rm"))
+    g = glob.select("bucket", F.col("register").alias("rg"))
+    mism = (
+        m.join(g, "bucket", "full_outer")
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("rm").isNull()
+                    | F.col("rg").isNull()
+                    | (F.col("rm") != F.col("rg")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_mismatches")
+        )
+    )
+    n_src = per.agg(F.count_distinct("src").cast("bigint").alias("n_sources"))
+    em = _hll_estimate_from(merged).select(F.col("est").alias("merged_estimate"))
+    eg = _hll_estimate_from(glob).select(F.col("est").alias("global_estimate"))
+    return (
+        n_src.crossJoin(F.broadcast(mism))
+        .crossJoin(F.broadcast(em))
+        .crossJoin(F.broadcast(eg))
+        .select("n_sources", "n_mismatches", "merged_estimate", "global_estimate")
+    )

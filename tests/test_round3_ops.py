@@ -353,3 +353,21 @@ class TestRrfFusion:
             # rrf scores are sums of one or two reciprocal terms in
             # (0, 2/61]
             assert all(0 < s <= 2.0 / 61.0 + 1e-12 for s in scores)
+
+
+class TestSketchMergeAndFusionGain:
+    def test_hll_merge_is_lossless(self, spark, sf_oracle):
+        [r] = REGISTRY["sketch_hll_merge_sources"].fn(spark, sf_oracle).collect()
+        assert r.n_sources == 5
+        assert r.n_mismatches == 0
+        assert r.merged_estimate == r.global_estimate  # bit-identical
+
+    def test_rrf_fusion_beats_each_component(self, spark, sf_oracle):
+        rows = {
+            r.retriever: r.mean_recall_at_k
+            for r in REGISTRY["ann_eval_fusion_gain"].fn(spark, sf_oracle).collect()
+        }
+        assert set(rows) == {"ivf", "lsh", "rrf"}
+        # on the fixture the fused list strictly improves on both
+        # single indexes (0.74 vs 0.64 / 0.53 at sf0.01)
+        assert rows["rrf"] >= max(rows["ivf"], rows["lsh"])
