@@ -1579,3 +1579,85 @@ def eval_lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("true_lang", "lang_pred")
     )
+
+
+from ..catalog import dsum_sql as _dsum_sql_fn
+
+_dsum_sql_p = _dsum_sql_fn("p")
+
+
+@register(
+    "doc_lm_transition_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      FROM documents WHERE trim(text) <> ''
+    ),
+    inst AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               generate_series(1, greatest(len(toks) - 1, 0)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])
+             )) AS bg
+      FROM t
+    ),
+    cp AS (
+      SELECT bg.w1 AS w1, bg.w2 AS w2, CAST(COUNT(*) AS BIGINT) AS np
+      FROM inst GROUP BY 1, 2
+    ),
+    cw AS (SELECT w1, CAST(SUM(np) AS BIGINT) AS nw FROM cp GROUP BY w1),
+    scored AS (
+      SELECT i.doc_id,
+             CAST(cp.np AS DOUBLE) / CAST(cw.nw AS DOUBLE) AS p
+      FROM inst i
+      JOIN cp ON cp.w1 = i.bg.w1 AND cp.w2 = i.bg.w2
+      JOIN cw ON cw.w1 = i.bg.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           ({_dsum_sql_p} / COUNT(*)) AS mean_transition_prob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def doc_lm_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram language-model scoring of every document against the
+    corpus-wide model: mean P(w_i | w_(i-1)) over the doc's transitions,
+    with P = corpus bigram count / corpus first-word count. This is the
+    perplexity-proxy quality signal a data pipeline uses to find
+    machine-generated or shuffled text (true perplexity needs log() —
+    not bit-portable across engines, catalog.py rules — and the linear
+    mean ranks documents the same way for filtering). The probability
+    sum rides the decimal discipline (order-independent); the model
+    tables are vocab-sized, so the instance joins broadcast at any
+    corpus scale."""
+    from ..operators.dedup import _widen
+
+    d = _widen(load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != ""))
+    toks = T.norm_tokens(F.col("text"))
+    grams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    ).otherwise(F.array().cast("array<struct<w1:string,w2:string>>"))
+    inst = d.select("doc_id", F.explode(grams).alias("bg")).select(
+        "doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2")
+    )
+    cp = inst.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("np"))
+    cw = cp.groupBy("w1").agg(F.sum("np").cast("bigint").alias("nw"))
+    scored = (
+        inst.join(cp, ["w1", "w2"])
+        .join(cw, "w1")
+        .select(
+            "doc_id",
+            (F.col("np").cast("double") / F.col("nw").cast("double")).alias("p"),
+        )
+    )
+    from ..catalog import dsum
+
+    return scored.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_bigrams"),
+        (dsum(F.col("p")) / F.count("*")).alias("mean_transition_prob"),
+    )

@@ -1877,3 +1877,112 @@ def survival_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("t")
     )
+
+
+@register(
+    "trend_theilsen_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY o_orderdate
+    ),
+    x0 AS (SELECT MIN(day) AS d0 FROM daily),
+    pts AS (
+      SELECT CAST(date_diff('day', x0.d0, day) AS BIGINT) AS x, cents AS y
+      FROM daily CROSS JOIN x0
+    ),
+    slopes AS (
+      SELECT a.x AS xi, b.x AS xj,
+             CAST(b.y - a.y AS DOUBLE) / CAST(b.x - a.x AS DOUBLE) AS s
+      FROM pts a JOIN pts b ON a.x < b.x
+    ),
+    r AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s, xi, xj) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    ),
+    med AS (
+      SELECT SUM(CASE WHEN rn = (n + 1) // 2 THEN s ELSE 0 END) AS lo,
+             SUM(CASE WHEN rn = n // 2 + 1 THEN s ELSE 0 END) AS hi
+      FROM r
+    ),
+    ols AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx
+      FROM pts
+    )
+    SELECT ols.n AS n_days,
+           (med.lo + med.hi) / 2.0 AS theilsen_slope_cents_per_day,
+           (CAST(ols.n * ols.sxy - ols.sx * ols.sy AS DOUBLE)
+            / CAST(ols.n * ols.sxx - ols.sx * ols.sx AS DOUBLE))
+             AS ols_slope_cents_per_day
+    FROM ols CROSS JOIN med
+    """,
+)
+def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend of daily revenue (median of all pairwise
+    slopes) next to the OLS slope it robustifies — the estimator a
+    drift monitor uses when a few anomalous days would wreck least
+    squares. Scale shape: the pairwise self-join is over DAILY
+    aggregate points, bounded by the calendar (~2.4k days -> ~3M
+    pairs), never corpus rows; the median rides the two-pass
+    distributed rank; OLS moments are exact integer sums (cents x day
+    index stays far under 2^63) with one final double divide. The even-
+    count median averages the two middle slopes — each an exact-integer
+    ratio, so the average is one correctly-rounded op in both
+    engines."""
+    from ..operators.ranking import distributed_row_number
+
+    o = load(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    x0 = daily.agg(F.min("day").alias("d0"))
+    pts = daily.crossJoin(F.broadcast(x0)).select(
+        F.date_diff(F.col("day"), F.col("d0")).cast("bigint").alias("x"),
+        F.col("cents").alias("y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    slopes = a.join(b, F.col("a.x") < F.col("b.x")).select(
+        F.col("a.x").alias("xi"),
+        F.col("b.x").alias("xj"),
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.x") - F.col("a.x")).cast("double")
+        ).alias("s"),
+    )
+    r = distributed_row_number(
+        slopes, [F.col("s"), F.col("xi"), F.col("xj")], rn_col="rn", total_col="n"
+    )
+    # integer div, NOT `/` (double division would make the even-count
+    # rank land on x.5 and silently select nothing)
+    med = r.agg(
+        F.sum(
+            F.when(F.col("rn") == F.expr("(n + 1) div 2"), F.col("s")).otherwise(0.0)
+        ).alias("lo"),
+        F.sum(
+            F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("s")).otherwise(0.0)
+        ).alias("hi"),
+    )
+    ols = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    return ols.crossJoin(F.broadcast(med)).select(
+        F.col("n").alias("n_days"),
+        ((F.col("lo") + F.col("hi")) / 2.0).alias("theilsen_slope_cents_per_day"),
+        (
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+        ).alias("ols_slope_cents_per_day"),
+    )

@@ -371,3 +371,39 @@ class TestSketchMergeAndFusionGain:
         # on the fixture the fused list strictly improves on both
         # single indexes (0.74 vs 0.64 / 0.53 at sf0.01)
         assert rows["rrf"] >= max(rows["ivf"], rows["lsh"])
+
+
+class TestTheilSen:
+    def test_matches_pure_python_reference(self, spark, sf_small):
+        import duckdb
+
+        [r] = (
+            REGISTRY["trend_theilsen_daily_revenue"].fn(spark, sf_small).collect()
+        )
+        con = duckdb.connect()
+        rows = con.execute(
+            f"""SELECT o_orderdate,
+                       CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                FROM '{sf_small}/orders.parquet' GROUP BY 1 ORDER BY 1"""
+        ).fetchall()
+        d0 = rows[0][0]
+        pts = [((day - d0).days, cents) for day, cents in rows]
+        slopes = sorted(
+            (
+                (yj - yi) / (xj - xi),
+                xi,
+                xj,
+            )
+            for i, (xi, yi) in enumerate(pts)
+            for xj, yj in pts[i + 1:]
+        )
+        n = len(slopes)
+        lo, hi = slopes[(n + 1) // 2 - 1][0], slopes[n // 2][0]
+        assert r.n_days == len(pts)
+        assert r.theilsen_slope_cents_per_day == (lo + hi) / 2.0
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxy = sum(x * y for x, y in pts)
+        sxx = sum(x * x for x, y in pts)
+        m = len(pts)
+        assert r.ols_slope_cents_per_day == (m * sxy - sx * sy) / (m * sxx - sx * sx)
