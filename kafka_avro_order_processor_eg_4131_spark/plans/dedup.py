@@ -1146,3 +1146,85 @@ def pipeline_pretraining_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "batch_id")
     )
+
+
+def _family_agreement_oracle() -> str:
+    from ..catalog import REGISTRY as _R
+
+    return f"""
+    WITH mh AS (SELECT id1, id2 FROM ({_R["dedup_jaccard_verified"].oracle})),
+    sh AS (SELECT id1, id2 FROM ({_R["dedup_simhash_near_pairs"].oracle})),
+    em AS (SELECT id1, id2 FROM ({_R["dedup_embedding_cosine_pairs"].oracle})),
+    u AS (
+      SELECT id1, id2,
+             MAX(in_mh) AS in_mh, MAX(in_sh) AS in_sh, MAX(in_em) AS in_em
+      FROM (
+        SELECT id1, id2, 1 AS in_mh, 0 AS in_sh, 0 AS in_em FROM mh
+        UNION ALL
+        SELECT id1, id2, 0, 1, 0 FROM sh
+        UNION ALL
+        SELECT id1, id2, 0, 0, 1 FROM em
+      ) GROUP BY id1, id2
+    )
+    SELECT CAST(SUM(in_mh) AS BIGINT) AS n_minhash,
+           CAST(SUM(in_sh) AS BIGINT) AS n_simhash,
+           CAST(SUM(in_em) AS BIGINT) AS n_embedding,
+           CAST(SUM(in_mh * in_sh) AS BIGINT) AS n_mh_sh,
+           CAST(SUM(in_mh * in_em) AS BIGINT) AS n_mh_em,
+           CAST(SUM(in_sh * in_em) AS BIGINT) AS n_sh_em,
+           CAST(SUM(in_mh * in_sh * in_em) AS BIGINT) AS n_all3,
+           CAST(COUNT(*) AS BIGINT) AS n_any
+    FROM u
+    """
+
+
+@register("dedup_family_agreement", oracle=_family_agreement_oracle())
+def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-detector agreement report over the three near-dup families
+    (MinHash+Jaccard-verified, SimHash hamming<=3, embedding-cosine
+    LSH): pair counts per detector, every pairwise overlap, the
+    three-way core, and the union — the audit a dedup rollout runs to
+    decide which detectors are redundant and which catch unique dup
+    classes. One union + one (id1, id2) hash aggregate over three
+    pair relations that are each already bounded by their banding;
+    the MinHash and SimHash inputs come from the shared family caches,
+    so the report costs three aggregates when run after its
+    components."""
+    from .similarity import _emb_cached  # noqa: F401  (family warm ordering)
+
+    mh = (
+        _jaccard_cached(spark, sf_dir)
+        .filter(F.col("jaccard") >= 0.8)
+        .select("id1", "id2", F.lit(1).alias("in_mh"), F.lit(0).alias("in_sh"),
+                F.lit(0).alias("in_em"))
+    )
+    sh = D.simhash_near_pairs(_simhash_cached(spark, sf_dir)).select(
+        "id1", "id2", F.lit(0).alias("in_mh"), F.lit(1).alias("in_sh"),
+        F.lit(0).alias("in_em"),
+    )
+    em = dedup_embedding_cosine_pairs(spark, sf_dir).select(
+        "id1", "id2", F.lit(0).alias("in_mh"), F.lit(0).alias("in_sh"),
+        F.lit(1).alias("in_em"),
+    )
+    u = (
+        mh.unionAll(sh)
+        .unionAll(em)
+        .groupBy("id1", "id2")
+        .agg(
+            F.max("in_mh").alias("in_mh"),
+            F.max("in_sh").alias("in_sh"),
+            F.max("in_em").alias("in_em"),
+        )
+    )
+    return u.agg(
+        F.sum("in_mh").cast("bigint").alias("n_minhash"),
+        F.sum("in_sh").cast("bigint").alias("n_simhash"),
+        F.sum("in_em").cast("bigint").alias("n_embedding"),
+        F.sum(F.col("in_mh") * F.col("in_sh")).cast("bigint").alias("n_mh_sh"),
+        F.sum(F.col("in_mh") * F.col("in_em")).cast("bigint").alias("n_mh_em"),
+        F.sum(F.col("in_sh") * F.col("in_em")).cast("bigint").alias("n_sh_em"),
+        F.sum(F.col("in_mh") * F.col("in_sh") * F.col("in_em"))
+        .cast("bigint")
+        .alias("n_all3"),
+        F.count("*").cast("bigint").alias("n_any"),
+    )

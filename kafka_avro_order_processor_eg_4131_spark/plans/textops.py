@@ -1661,3 +1661,80 @@ def doc_lm_transition_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_bigrams"),
         (dsum(F.col("p")) / F.count("*")).alias("mean_transition_prob"),
     )
+
+
+def _quality_lm_corr_oracle() -> str:
+    from ..catalog import REGISTRY as _R
+
+    return f"""
+    WITH q AS (SELECT doc_id, quality_score FROM ({_R["doc_quality_scores"].oracle})),
+    lm AS (SELECT doc_id, mean_transition_prob
+           FROM ({_R["doc_lm_transition_score"].oracle})),
+    j AS (
+      SELECT CAST(floor(q.quality_score * 1000000.0 + 0.5) AS BIGINT) AS x,
+             CAST(floor(lm.mean_transition_prob * 1000000.0 + 0.5) AS BIGINT) AS y
+      FROM q JOIN lm ON lm.doc_id = q.doc_id
+    ),
+    m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy,
+             CAST(SUM(x * x) AS BIGINT) AS sx2,
+             CAST(SUM(y * y) AS BIGINT) AS sy2
+      FROM j
+    )
+    SELECT n AS n_docs,
+           (CAST(n * sxy - sx * sy AS DOUBLE)
+            / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
+               * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))) AS corr_quality_lm
+    FROM m
+    """
+
+
+@register("eval_quality_vs_lm_corr", oracle=_quality_lm_corr_oracle())
+def eval_quality_vs_lm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Do the two independent quality signals agree? Pearson correlation
+    between the heuristic quality score (stopword/alpha/length mix) and
+    the bigram-LM transition score, per corpus — the calibration check
+    a filtering pipeline runs before trusting either signal to gate
+    data. ALL-INTEGER (the KS/Gini pattern): both scores quantize to
+    exact 1e-6 ticks (floor(x*1e6+0.5) — identical doubles floor
+    identically), every moment is an exact BIGINT sum (max ~2.5e17,
+    far under 2^63), and only the final sqrt/divide touches doubles —
+    sidestepping the decimal-cast half-tie hazard that ratio-valued
+    inputs (exact k/n probabilities) would otherwise hit. Docs with no
+    bigrams drop out of both sides identically."""
+    q = doc_quality_scores(spark, sf_dir).select("doc_id", "quality_score")
+    lm = doc_lm_transition_score(spark, sf_dir).select(
+        "doc_id", "mean_transition_prob"
+    )
+    j = q.join(lm, "doc_id").select(
+        F.floor(F.col("quality_score") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("x"),
+        F.floor(F.col("mean_transition_prob") * 1000000.0 + 0.5)
+        .cast("bigint")
+        .alias("y"),
+    )
+    x, y = F.col("x"), F.col("y")
+    m = j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(x).cast("bigint").alias("sx"),
+        F.sum(y).cast("bigint").alias("sy"),
+        F.sum(x * y).cast("bigint").alias("sxy"),
+        F.sum(x * x).cast("bigint").alias("sx2"),
+        F.sum(y * y).cast("bigint").alias("sy2"),
+    )
+    n, sx, sy, sxy, sx2, sy2 = (
+        F.col(c) for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]
+    )
+    return m.select(
+        n.alias("n_docs"),
+        (
+            (n * sxy - sx * sy).cast("double")
+            / (
+                F.sqrt((n * sx2 - sx * sx).cast("double"))
+                * F.sqrt((n * sy2 - sy * sy).cast("double"))
+            )
+        ).alias("corr_quality_lm"),
+    )
