@@ -533,16 +533,26 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the Spark all-pairs twin at three SFs in tests). At corpus
     scale, bits_per_table grows ~log2(n/bucket) to bound bucket sizes;
     candidate cost stays near-linear while all-pairs is quadratic."""
+    return _embedding_pairs_cached(spark, sf_dir)
+
+
+def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family cache for the LSH-verified near-pair relation (tiny —
+    the qualifying pairs themselves): the registered pairs query and
+    the cross-detector agreement audit both consume it."""
     from ..operators import similarity as S
 
-    e = _doc_vectors_cached(spark, sf_dir)
-    planes = S.lsh_planes(
-        e, _LSH_TABLES, _LSH_BITS, id_col="doc_id", vec_col="vec"
-    )
-    bucketed = S.lsh_bucket(
-        e, planes, num_tables=_LSH_TABLES, id_col="doc_id", vec_col="vec"
-    )
-    return S.lsh_near_pairs(bucketed, _COS_THRESHOLD)
+    def build() -> DataFrame:
+        e = _doc_vectors_cached(spark, sf_dir)
+        planes = S.lsh_planes(
+            e, _LSH_TABLES, _LSH_BITS, id_col="doc_id", vec_col="vec"
+        )
+        bucketed = S.lsh_bucket(
+            e, planes, num_tables=_LSH_TABLES, id_col="doc_id", vec_col="vec"
+        )
+        return S.lsh_near_pairs(bucketed, _COS_THRESHOLD)
+
+    return C.family(spark, "dedup.embedding_pairs", sf_dir, build)
 
 
 _SEMDEDUP_CELLS = 16
@@ -1202,7 +1212,7 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id1", "id2", F.lit(0).alias("in_mh"), F.lit(1).alias("in_sh"),
         F.lit(0).alias("in_em"),
     )
-    em = dedup_embedding_cosine_pairs(spark, sf_dir).select(
+    em = _embedding_pairs_cached(spark, sf_dir).select(
         "id1", "id2", F.lit(0).alias("in_mh"), F.lit(0).alias("in_sh"),
         F.lit(1).alias("in_em"),
     )

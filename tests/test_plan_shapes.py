@@ -352,11 +352,21 @@ def test_embedding_neardup_is_banded_equi_join(spark, sf_small):
     via the (table, bucket) sign-LSH equi-join — never the O(n^2)
     cross product the round-2 catalog shipped (round-2 verdict #1).
     The only nested-loop joins allowed are broadcast crosses against
-    tiny single-row/plane relations, which carry no pair semantics."""
+    tiny single-row/plane relations, which carry no pair semantics.
+    Families released first: the pairs relation is family-cached, and a
+    warm cache would present an InMemoryTableScan instead of the join
+    shape under test."""
+    from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+
+    C.release_families(spark)
     plan = _plan(spark, "dedup_embedding_cosine_pairs", sf_small)
     assert "CartesianProduct" not in plan, plan[:2500]
+    # keyed equi-join on the bucket key — BroadcastHashJoin when planned
+    # from raw stats, SortMergeJoin when the sides are cached scans
     join_lines = [
-        ln for ln in plan.splitlines() if "HashJoin" in ln and "table_id" in ln
+        ln
+        for ln in plan.splitlines()
+        if ("HashJoin" in ln or "SortMergeJoin" in ln) and "table_id" in ln
     ]
     assert join_lines, plan[:2500]
     # the pair predicate (id1 < id2) rides the bucket equi-join as a
