@@ -3372,3 +3372,63 @@ def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("auc"),
         )
     )
+
+
+@register(
+    "diag_key_skew_lineitem",
+    oracle="""
+    WITH per AS (
+      SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_partkey
+    ),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             CAST(MAX(cnt) AS BIGINT) AS max_count
+      FROM per
+    )
+    SELECT s.n_keys, s.n_rows, s.max_count,
+           (SELECT MIN(k) FROM per WHERE cnt = s.max_count) AS hottest_key,
+           (CAST(s.max_count * s.n_keys AS DOUBLE) / CAST(s.n_rows AS DOUBLE))
+             AS skew_ratio
+    FROM s
+    """,
+)
+def diag_key_skew_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key diagnostic for the join/aggregation key a pipeline is
+    about to shuffle on: distinct-key count, the hottest key and its
+    row count, and the skew ratio (max over mean per-key count) — the
+    number that decides between a plain shuffle, AQE skew-join, and
+    explicit salting (operators/skew.py). Two hash aggregates (per-key,
+    then 1-row summary) and a broadcast filter for the deterministic
+    hottest key (min key among the maxima — max_by ties are
+    implementation-defined in both engines, so neither side uses it).
+    At 100 TB this is the same single pass a shuffle would take anyway
+    — run it BEFORE committing to a partitioning strategy."""
+    li = load(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count("*").cast("bigint").alias("cnt")
+    )
+    per = C.ephemeral(per)
+    s = per.agg(
+        F.count("*").cast("bigint").alias("n_keys"),
+        F.sum("cnt").cast("bigint").alias("n_rows"),
+        F.max("cnt").cast("bigint").alias("max_count"),
+    )
+    hottest = (
+        per.join(F.broadcast(s.select("max_count")), F.col("cnt") == F.col("max_count"))
+        .agg(F.min("k").alias("hottest_key"))
+    )
+    return (
+        s.crossJoin(F.broadcast(hottest))
+        .select(
+            "n_keys",
+            "n_rows",
+            "max_count",
+            "hottest_key",
+            (
+                (F.col("max_count") * F.col("n_keys")).cast("double")
+                / F.col("n_rows").cast("double")
+            ).alias("skew_ratio"),
+        )
+    )
