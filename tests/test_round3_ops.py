@@ -407,3 +407,75 @@ class TestTheilSen:
         sxx = sum(x * x for x, y in pts)
         m = len(pts)
         assert r.ols_slope_cents_per_day == (m * sxy - sx * sy) / (m * sxx - sx * sx)
+
+
+class TestGraphOperatorUnits:
+    def test_bfs_hops_on_known_graph(self, spark):
+        """Hand-built graph: 1-2-3-4 chain plus a 2-5 branch and a
+        disconnected 8-9 pair; seed = min src = 1. Cycle via 3-1 edge
+        must not revisit."""
+        from pyspark.sql import functions as F
+
+        from kafka_avro_order_processor_eg_4131_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4), (2, 5), (3, 1), (8, 9)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        ).localCheckpoint()
+        got = {
+            r.node: r.hops
+            for r in bfs_hops(edges, 10).select("node", "hops").collect()
+        }
+        assert got == {1: 0, 2: 1, 3: 1, 4: 2, 5: 2}  # 8,9 unreachable
+
+    def test_bfs_hops_respects_max_hops(self, spark):
+        from kafka_avro_order_processor_eg_4131_spark.operators.graph import (
+            bfs_hops,
+        )
+
+        pairs = [(1, 2), (2, 3), (3, 4)]
+        edges = spark.createDataFrame(
+            pairs + [(b, a) for a, b in pairs], "src long, dst long"
+        ).localCheckpoint()
+        got = {r.node: r.hops for r in bfs_hops(edges, 2).collect()}
+        assert got == {1: 0, 2: 1, 3: 2}  # 4 is 3 hops away — excluded
+
+
+class TestLshNearPairsUnit:
+    def test_synthetic_planted_pair(self, spark):
+        """Tiny synthetic corpus: two near-identical vectors among
+        orthogonal noise must be the ONLY pair found, matching the
+        all-pairs twin exactly."""
+        from pyspark.sql import functions as F
+
+        from kafka_avro_order_processor_eg_4131_spark.operators import (
+            similarity as S,
+        )
+
+        dim = 16
+        rows = []
+        for i in range(dim):  # mutually orthogonal one-hot noise
+            v = [0.0] * dim
+            v[i] = 1.0 + i * 0.01
+            rows.append((i, v))
+        planted = [0.0] * dim
+        planted[0], planted[1] = 1.0, 0.5
+        near = list(planted)
+        near[1] = 0.51
+        rows.append((100, planted))
+        rows.append((101, near))
+        emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+        planes = S.lsh_planes(emb, 2, 3)
+        bucketed = S.lsh_bucket(emb, planes, num_tables=2)
+        lsh = sorted(
+            (r.id1, r.id2, r.cos)
+            for r in S.lsh_near_pairs(bucketed, 0.99).collect()
+        )
+        twin = sorted(
+            (r.id1, r.id2, r.cos)
+            for r in S.allpairs_cosine_pairs(emb, 0.99).collect()
+        )
+        assert lsh == twin
+        assert [(a, b) for a, b, _ in lsh] == [(100, 101)]
