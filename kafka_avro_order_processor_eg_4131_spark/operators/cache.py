@@ -24,17 +24,23 @@ hazard documented there. bench.py calls it after each query's count();
 the oracle harness after each comparison.
 
 Registry keys include ``id(spark.sparkContext)`` so a fresh session
-never sees another session's (dead) JVM-backed entries.
+never sees another session's (dead) JVM-backed entries. Ephemeral
+entries are additionally keyed by the REGISTERING THREAD, so a sweep
+issued from one thread can never strip an unmaterialized load-bearing
+persist (ranking's pid-stamped two-pass relation) that a concurrent
+thread or session is still building (round-3 advice).
 """
 
 from __future__ import annotations
 
+import threading
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
 _FAMILY: dict[tuple[int, str, str], DataFrame] = {}
-_EPHEMERAL: list[DataFrame] = []
+# (id(sparkContext), thread_ident) -> per-query persists awaiting release
+_EPHEMERAL: dict[tuple[int, int], list[DataFrame]] = {}
 
 
 def _session_key(spark: SparkSession) -> int:
@@ -57,7 +63,17 @@ def family(
     if df is None:
         df = builder().persist()
         if eager:
-            df.count()
+            try:
+                df.count()
+            except Exception:
+                # A failed materialization must not strand an owner-less
+                # persist — the exact leak class this registry exists to
+                # eliminate (round-3 advice).
+                try:
+                    df.unpersist(blocking=False)
+                except Exception:
+                    pass
+                raise
         _FAMILY[key] = df
     return df
 
@@ -80,24 +96,44 @@ def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], obje
 
 def ephemeral(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next ``release_ephemeral``
-    sweep. The caller (or its consumer) must materialize before the
-    sweep runs — see module docstring."""
+    sweep FROM THE SAME (session, thread). The caller (or its consumer)
+    must materialize before its own sweep runs — see module docstring;
+    other threads'/sessions' sweeps can never touch this entry."""
     df = df.persist()
-    _EPHEMERAL.append(df)
+    key = (id(df.sparkSession.sparkContext), threading.get_ident())
+    _EPHEMERAL.setdefault(key, []).append(df)
     return df
 
 
-def release_ephemeral() -> int:
-    """Unpersist every registered per-query relation. Returns the number
-    released. Safe to call repeatedly; never raises on dead sessions."""
+def _drain(bucket: list[DataFrame]) -> int:
     n = 0
-    while _EPHEMERAL:
-        df = _EPHEMERAL.pop()
+    while bucket:
+        df = bucket.pop()
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:
             pass  # session already stopped — JVM-side cache died with it
+    return n
+
+
+def release_ephemeral(spark: SparkSession | None = None) -> int:
+    """Unpersist the per-query relations registered BY THIS THREAD (for
+    ``spark``'s session only, or this thread's every session when
+    ``spark`` is None — covers the sequential harness loop that stops
+    and restarts sessions between queries). Returns the number released.
+    Safe to call repeatedly; never raises on dead sessions. Entries
+    registered by other threads are left alone — their consuming action
+    may not have run yet (see module docstring)."""
+    tid = threading.get_ident()
+    n = 0
+    for key in list(_EPHEMERAL):
+        if key[1] != tid:
+            continue
+        if spark is not None and key[0] != _session_key(spark):
+            continue
+        n += _drain(_EPHEMERAL[key])
+        del _EPHEMERAL[key]
     return n
 
 
@@ -125,7 +161,12 @@ def release_families(spark: SparkSession | None = None) -> int:
 
 
 def release_all() -> int:
-    return release_ephemeral() + release_families()
+    """Nuclear option for teardown paths: drain EVERY ephemeral bucket
+    (all threads, all sessions) plus the family/memo registries."""
+    n = 0
+    for key in list(_EPHEMERAL):
+        n += _drain(_EPHEMERAL.pop(key))
+    return n + release_families()
 
 
 def retained_rdd_count(spark: SparkSession) -> int:

@@ -249,6 +249,11 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     explode + one groupBy with ``bits`` integer sums. The token md5 is
     materialized ONCE per token row (a projection below the aggregate)
     instead of once per bit — Catalyst does not CSE the 16 copies."""
+    # packing bound: the signature accumulates bit*2^j into ONE signed
+    # long; j = bits-1 must stay below the sign bit or the top term
+    # silently wraps negative (same guard family as the KS 2^31 check,
+    # plans/relational.py).
+    assert bits <= 62, f"simhash bits={bits} overflows signed-long packing"
     tok_rows = _widen(docs).select(
         F.col(id_col).alias("id"), F.explode(norm_tokens((F.col(text_col)))).alias("tok")
     ).select("id", F.md5(F.col("tok")).alias("h"))

@@ -150,6 +150,13 @@ def lsh_planes(emb: DataFrame, num_tables: int, bits_per_table: int,
     vectors. The plane itself is never materialized: sign(dot(v, a-b))
     == sign(dot(v,a) - dot(v,b)), which keeps the SQL oracle a pair of
     left-fold dots. Returns (table_id, bit_id, p1, p2)."""
+    # packing bound: lsh_bucket sums bit*2^bit_id via pow(2.0, bit_id),
+    # exact only while every power of two fits a double's 53-bit
+    # mantissa (same guard family as the KS 2^31 check).
+    assert bits_per_table <= 52, (
+        f"bits_per_table={bits_per_table} exceeds the exact-double "
+        "2^52 bucket-packing bound"
+    )
     lead = _dense_index_small(
         emb, id_col, vec_col, 2 * num_tables * bits_per_table, "rn"
     )
@@ -170,14 +177,14 @@ def lsh_planes(emb: DataFrame, num_tables: int, bits_per_table: int,
     )
 
 
-def lsh_bucket(emb: DataFrame, planes: DataFrame, num_tables: int = NUM_TABLES,
+def lsh_bucket(emb: DataFrame, planes: DataFrame,
                id_col: str = "vec_id", vec_col: str = "embedding",
                width: int | None = None) -> DataFrame:
     """Assign each vector one bucket per hash table: bit j of table t is
     (dot(v, p1) - dot(v, p2) >= 0). ``planes`` must be small (broadcast,
-    one row per (table, bit)); ``num_tables`` is passed, not probed —
-    an action here would run a driver-side job at plan-build time.
-    Returns (id, vec, table_id, bucket).
+    one row per (table, bit)) and fully determines the table count — no
+    separate num_tables knob, so the plan shape can't drift from the
+    plane relation. Returns (id, vec, table_id, bucket).
 
     Shape: the per-(vector, plane) bit terms stay a flat codegen'd
     projection (a nested higher-order formulation was A/B'd and LOSES
@@ -232,7 +239,7 @@ def lsh_topk(
     # candidate join; without it the num_tables-dot bucketing runs
     # twice (ephemeral: harness-released after materialization)
     bucketed = cache.ephemeral(
-        lsh_bucket(emb, planes, num_tables, id_col, vec_col, width)
+        lsh_bucket(emb, planes, id_col, vec_col, width)
     )
     q = queries.select(F.col(id_col).alias("query_id")).join(
         bucketed.select(

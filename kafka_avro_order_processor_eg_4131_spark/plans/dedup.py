@@ -547,9 +547,7 @@ def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes = S.lsh_planes(
             e, _LSH_TABLES, _LSH_BITS, id_col="doc_id", vec_col="vec"
         )
-        bucketed = S.lsh_bucket(
-            e, planes, num_tables=_LSH_TABLES, id_col="doc_id", vec_col="vec"
-        )
+        bucketed = S.lsh_bucket(e, planes, id_col="doc_id", vec_col="vec")
         return S.lsh_near_pairs(bucketed, _COS_THRESHOLD)
 
     return C.family(spark, "dedup.embedding_pairs", sf_dir, build)
@@ -1200,8 +1198,6 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash and SimHash inputs come from the shared family caches,
     so the report costs three aggregates when run after its
     components."""
-    from .similarity import _emb_cached  # noqa: F401  (family warm ordering)
-
     mh = (
         _jaccard_cached(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.8)

@@ -753,15 +753,20 @@ def scalar_try_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def grouping_sets_status_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Explicit GROUPING SETS via Spark SQL over temp views."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("orders")
-    load(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(
+    """Explicit GROUPING SETS via Spark SQL over per-invocation scoped
+    temp views (sources/tables.py sql_over_views — no session-global
+    view names, so concurrent invocations can't collide)."""
+    from ..sources.tables import sql_over_views
+
+    return sql_over_views(
+        spark,
         """
         SELECT o_orderstatus, c_mktsegment, COUNT(*) AS n
-        FROM orders JOIN customer ON o_custkey = c_custkey
+        FROM {orders} JOIN {customer} ON o_custkey = c_custkey
         GROUP BY GROUPING SETS ((o_orderstatus), (c_mktsegment))
-        """
+        """,
+        orders=load(spark, sf_dir, "orders"),
+        customer=load(spark, sf_dir, "customer"),
     )
 
 
@@ -1498,20 +1503,23 @@ def lateral_top2_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
     the windowed row_number form (window_top3_orders_per_customer) is
     the same shape written by hand. Exercises Spark's lateral-join
     planner, which none of the other catalog entries touch."""
-    load(spark, sf_dir, "orders").createOrReplaceTempView("lat_orders_v")
-    load(spark, sf_dir, "lineitem").createOrReplaceTempView("lat_lineitem_v")
-    return spark.sql(
+    from ..sources.tables import sql_over_views
+
+    return sql_over_views(
+        spark,
         """
         SELECT o.o_orderkey, l.l_linenumber, l.l_extendedprice
-        FROM lat_orders_v o JOIN LATERAL (
+        FROM {orders} o JOIN LATERAL (
           SELECT l_linenumber, l_extendedprice
-          FROM lat_lineitem_v
+          FROM {lineitem}
           WHERE l_orderkey = o.o_orderkey
           ORDER BY l_extendedprice DESC, l_linenumber
           LIMIT 2
         ) l
         WHERE o.o_totalprice > 450000.0
-        """
+        """,
+        orders=load(spark, sf_dir, "orders"),
+        lineitem=load(spark, sf_dir, "lineitem"),
     )
 
 

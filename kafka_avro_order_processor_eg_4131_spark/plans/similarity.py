@@ -67,9 +67,21 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector — the brute-force baseline.
     Dot products are left-fold doubles (functions/vectors.py), so the
     scores are bit-identical to DuckDB's list_reduce fold."""
-    e, width = _emb_cached(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.brute_force_topk(e, queries, width=width)
+    return _brute_topk_cached(spark, sf_dir)
+
+
+def _brute_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family cache for the brute-force ground-truth top-k (tiny —
+    N_QUERIES x k rows): consumed by the registered query, the LSH
+    recall/MRR eval, and the fusion-gain ablation. Without it the
+    full corpus scan re-runs per consumer (round-3 verdict)."""
+
+    def build() -> DataFrame:
+        e, width = _emb_cached(spark, sf_dir)
+        queries = e.filter(F.col("vec_id") < _N_QUERIES)
+        return S.brute_force_topk(e, queries, width=width)
+
+    return C.family(spark, "similarity.topk.brute", sf_dir, build)
 
 
 @register(
@@ -112,9 +124,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: corpus indexed into nearest-centroid cells, queries probe
     their 2 nearest cells, exact ranking within the probed cells — the
     inverted-file scale path (candidates ~ corpus/num_cells * probes)."""
-    e, width = _emb_cached(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.ivf_topk(e, queries, width=width)
+    return _ivf_topk_cached(spark, sf_dir)
+
+
+def _ivf_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family cache for the IVF top-k relation — consumed by the
+    registered query, the RRF fusion, and the fusion-gain ablation."""
+
+    def build() -> DataFrame:
+        e, width = _emb_cached(spark, sf_dir)
+        queries = e.filter(F.col("vec_id") < _N_QUERIES)
+        return S.ivf_topk(e, queries, width=width)
+
+    return C.family(spark, "similarity.topk.ivf", sf_dir, build)
 
 
 @register(
@@ -243,9 +265,23 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     any table — the scale path replacing the quadratic cross join.
     Recall@5 ~0.5 on the fixture embeddings vs ~0.01 for a single
     8-bit table (pinned in tests/test_extensions.py)."""
-    e, width = _emb_cached(spark, sf_dir)
-    queries = e.filter(F.col("vec_id") < _N_QUERIES)
-    return S.lsh_topk(e, queries, width=width)
+    return _lsh_topk_cached(spark, sf_dir)
+
+
+def _lsh_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Family cache for the LSH top-k relation. Also what silenced the
+    round-3 `Asked to cache already cached data` warning: the fusion
+    ablation used to build lsh_topk twice in one plan (directly and via
+    ann_rrf_fusion), persisting the identical ephemeral bucketed
+    relation twice; with the result family-cached the builder — and its
+    internal ephemeral — runs once per session."""
+
+    def build() -> DataFrame:
+        e, width = _emb_cached(spark, sf_dir)
+        queries = e.filter(F.col("vec_id") < _N_QUERIES)
+        return S.lsh_topk(e, queries, width=width)
+
+    return C.family(spark, "similarity.topk.lsh", sf_dir, build)
 
 
 @register(

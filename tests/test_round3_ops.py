@@ -468,7 +468,7 @@ class TestLshNearPairsUnit:
         rows.append((101, near))
         emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
         planes = S.lsh_planes(emb, 2, 3)
-        bucketed = S.lsh_bucket(emb, planes, num_tables=2)
+        bucketed = S.lsh_bucket(emb, planes)
         lsh = sorted(
             (r.id1, r.id2, r.cos)
             for r in S.lsh_near_pairs(bucketed, 0.99).collect()
