@@ -284,10 +284,16 @@ def lsh_near_pairs(
     bucketed relation (the output of ``lsh_bucket``: one row per
     (id, vec, table_id, bucket)): candidates are pairs sharing a bucket
     in ANY table — a (table_id, bucket) equi-self-join, never the
-    O(n^2) cross product — then exact cosine verification and a
-    distinct over the (narrow) surviving rows. The same pair colliding
-    in several tables computes the identical cosine bits, so the
-    distinct collapses them exactly.
+    O(n^2) cross product. The candidate join carries ONLY ids (the
+    64-dim vectors stay out of the shuffle), the multi-table collision
+    duplicates collapse with a distinct on the narrow (id1, id2) rows,
+    and exact cosine verification runs ONCE per unique pair after
+    re-attaching vectors by id equi-joins (AQE broadcasts the vector
+    relation while it fits; at corpus scale they are plain linear
+    shuffle joins). The old shape computed the cosine per COLLISION —
+    up to num_tables times per pair — and shuffled the vectors through
+    the candidate join; dedup-before-verify cut the registered query
+    ~2x at sf0.1.
 
     Candidate completeness is empirical (sign-LSH has no recall
     guarantee); the all-pairs twin ``allpairs_cosine_pairs`` pins it in
@@ -295,27 +301,38 @@ def lsh_near_pairs(
     per-bucket lists stay bounded and the join stays linear-ish."""
     from ..functions.vectors import norm
 
-    # persisted: the bucketed relation feeds BOTH sides of the candidate
-    # self-join (same move as lsh_topk); ephemeral — harness-released
-    sides = cache.ephemeral(bucketed.withColumn("nrm", norm(F.col("vec"))))
-    a = sides.select(
-        F.col("id").alias("id1"), F.col("vec").alias("v1"),
-        F.col("nrm").alias("n1"), "table_id", "bucket",
+    # persisted: the bucketed relation feeds the two candidate sides
+    # AND the vector re-attach (ephemeral: harness-released)
+    sides = cache.ephemeral(bucketed)
+    cand = (
+        sides.select(F.col("id").alias("id1"), "table_id", "bucket")
+        .join(
+            sides.select(F.col("id").alias("id2"), "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
+        .distinct()
     )
-    b = sides.select(
-        F.col("id").alias("id2"), F.col("vec").alias("v2"),
-        F.col("nrm").alias("n2"), "table_id", "bucket",
+    # one (id, vec) row per id: every id appears exactly once per table
+    vecs = sides.filter(F.col("table_id") == 0).select("id", "vec").withColumn(
+        "nrm", norm(F.col("vec"))
+    )
+    v1 = vecs.select(
+        F.col("id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1")
+    )
+    v2 = vecs.select(
+        F.col("id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2")
     )
     return (
-        a.join(b, ["table_id", "bucket"])
-        .filter(F.col("id1") < F.col("id2"))
+        cand.join(v1, "id1")
+        .join(v2, "id2")
         .select(
             "id1",
             "id2",
             (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
-        .distinct()
     )
 
 
