@@ -336,6 +336,79 @@ def lsh_near_pairs(
     )
 
 
+def lsh_near_pairs_fused(
+    emb: DataFrame,
+    planes: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """``lsh_near_pairs`` with the shuffle budget cut to the bone —
+    the round-5 A/B winner (2.7x over bucket+near_pairs at sf0.1,
+    bit-identical output):
+
+    - buckets carry NO vectors: the (id, table_id, term) bit rows
+      groupBy straight into (id, table_id, bucket) with no join-back
+      (``lsh_bucket`` re-attaches the vector because ``lsh_topk`` needs
+      it; the near-pair verify can fetch vectors from ``emb`` itself);
+    - the candidate self-join runs on those narrow rows;
+    - NO multi-million-row candidate ``distinct``: with T tables the
+      distinct only collapsed ~1.5x of the collisions (measured) but
+      cost a full extra shuffle of the candidate set. Instead the
+      cosine is verified per COLLISION — the vector attach is an id
+      equi-join against ``emb`` that AQE converts to a broadcast-hash
+      join while the corpus fits (verified: no hint needed; at corpus
+      scale it degrades to a plain shuffle join, at which point the
+      distinct-first shape of ``lsh_near_pairs`` wins again — both are
+      kept for exactly that reason) — and the ``distinct`` runs on the
+      few SURVIVING (id1, id2, cos) rows, where colliding duplicates
+      carry bit-identical cosines (same fold over the same arrays).
+
+    Total: 2 wide shuffles (bucket groupBy, candidate join) vs 4-5.
+    Candidate completeness is empirical, pinned by the all-pairs twins
+    at three SFs (tests/test_round3_ops.py)."""
+    from ..functions.vectors import norm
+
+    e = emb.select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("vec"),
+        norm(F.col(vec_col)).alias("nrm"),
+    ).filter(F.col("nrm") > 0)
+    bits = e.crossJoin(F.broadcast(planes)).select(
+        "id",
+        "table_id",
+        F.when(
+            dot(F.col("vec"), F.col("p1")) - dot(F.col("vec"), F.col("p2")) >= 0,
+            # 2^bit_id as exact long (pow exact for powers of two below
+            # 2^53; lsh_planes asserts bits_per_table <= 52)
+            F.pow(F.lit(2.0), F.col("bit_id")).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term"),
+    )
+    buckets = cache.ephemeral(
+        bits.groupBy("id", "table_id").agg(F.sum("term").cast("long").alias("bucket"))
+    )
+    v1 = e.select(F.col("id").alias("id1"), F.col("vec").alias("v1"), F.col("nrm").alias("n1"))
+    v2 = e.select(F.col("id").alias("id2"), F.col("vec").alias("v2"), F.col("nrm").alias("n2"))
+    return (
+        buckets.select(F.col("id").alias("id1"), "table_id", "bucket")
+        .join(
+            buckets.select(F.col("id").alias("id2"), "table_id", "bucket"),
+            ["table_id", "bucket"],
+        )
+        .filter(F.col("id1") < F.col("id2"))
+        .join(v1, "id1")
+        .join(v2, "id2")
+        .select(
+            "id1",
+            "id2",
+            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+        .distinct()
+    )
+
+
 def allpairs_cosine_pairs(
     emb: DataFrame,
     threshold: float,

@@ -398,7 +398,15 @@ def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tiny, so raw count vectors are all mutually correlated); after
 # centering the bulk collapses toward 0 while true near-dups stay ~1.
 _EMB_DIM = 64
-_LSH_TABLES = 6
+# Round-5 sweep (all-pairs-exact at sf0.001/0.01/0.1 for every config
+# tried): (6,12) 10.1s / (4,12) 7.6s / (4,10) 7.2s / (6,10) 8.4s in the
+# A/B harness; recall breaks only past ~14 bits ((3,14) missed 9 of
+# 553, (4,16) missed 4). (4,12) keeps a 2-bit margin to the cliff and
+# sheds a third of the plane dots; independent RANDOM hyperplanes were
+# also tried — 10-20x fewer candidates but 43-97 missed pairs, because
+# the difference-pair planes' data alignment is exactly what catches
+# the marginal cos~0.95 pairs. See docs/PLANS.md "round-5 LSH notes".
+_LSH_TABLES = 4
 _LSH_BITS = 12
 _COS_THRESHOLD = 0.95
 
@@ -414,8 +422,17 @@ def _doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.vectors import norm
 
     def build() -> DataFrame:
-        d = D._widen(
-            load(spark, sf_dir, "documents").filter(F.trim(F.col("text")) != "")
+        # Hash-repartition by doc_id instead of _widen's round-robin:
+        # same single-core-explode fix, but HashPartitioning(doc_id)
+        # also satisfies the clustered distribution of BOTH downstream
+        # aggregations — groupBy(doc_id, bucket) and groupBy(doc_id) —
+        # so the whole per-doc pipeline runs with ONE shuffle (round-5
+        # A/B: bit-identical, ~20% faster family build).
+        n_part = spark.sparkContext.defaultParallelism * 2
+        d = (
+            load(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .repartition(n_part, "doc_id")
         )
         code = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
         # cnt feeds BOTH the mean and the per-doc map aggregations below;
@@ -523,12 +540,14 @@ def _embedding_oracle() -> str:
 def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup at production threshold (cos >= 0.95)
     via the banded sign-LSH candidate -> exact-verify pipeline: bucket
-    each centered doc vector in 6 hash tables of 12 sign bits
-    (constants above; operators/similarity.py lsh_planes/
-    lsh_bucket — deterministic difference-pair hyperplanes), equi-join
-    on (table, bucket) for candidates, verify exact cosine, distinct.
-    NO O(n^2) self-join anywhere (plan-shape-pinned); the oracle states
-    the all-pairs form, so the green hash-match IS the proof that the
+    each centered doc vector in 4 hash tables of 12 sign bits
+    (constants above; operators/similarity.py lsh_planes —
+    deterministic difference-pair hyperplanes), equi-join narrow
+    (id, table, bucket) rows for candidates, verify exact cosine per
+    collision with AQE-broadcast vector attach, distinct the survivors
+    (lsh_near_pairs_fused — 2 wide shuffles total). NO O(n^2)
+    self-join anywhere (plan-shape-pinned); the oracle states the
+    all-pairs form, so the green hash-match IS the proof that the
     banding recalls every qualifying pair on the fixture (also pinned
     against the Spark all-pairs twin at three SFs in tests). At corpus
     scale, bits_per_table grows ~log2(n/bucket) to bound bucket sizes;
@@ -547,8 +566,9 @@ def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes = S.lsh_planes(
             e, _LSH_TABLES, _LSH_BITS, id_col="doc_id", vec_col="vec"
         )
-        bucketed = S.lsh_bucket(e, planes, id_col="doc_id", vec_col="vec")
-        return S.lsh_near_pairs(bucketed, _COS_THRESHOLD)
+        return S.lsh_near_pairs_fused(
+            e, planes, _COS_THRESHOLD, id_col="doc_id", vec_col="vec"
+        )
 
     return C.family(spark, "dedup.embedding_pairs", sf_dir, build)
 
@@ -605,7 +625,19 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell_id, never corpus-quadratic). One-pass conservative variant:
     a doc similar to an already-DROPPED lower id is still dropped
     (deterministic, non-iterative); the transitive keep-one-per-cluster
-    form is dedup_cluster_canonical. Returns (doc_id, cell_id, kept)."""
+    form is dedup_cluster_canonical. Returns (doc_id, cell_id, kept).
+
+    Round 5: the within-cell pairwise verify is served from the shared
+    near-pair family (_embedding_pairs_cached — the same threshold and
+    the same vectors, completeness pinned by the all-pairs twins), so
+    this plan adds only the centroid assignment plus two tiny joins on
+    the pair relation instead of re-running a within-cell cosine join.
+    A pair qualifies iff both ends landed in the SAME cell; the higher
+    id (id2) is the drop. At 100 TB the near-pair relation is computed
+    once per corpus for the dedup family anyway — SemDeDup's cell
+    structure then just partitions it; the standalone cell-bounded
+    within-cell join remains the fallback when no near-pair relation
+    exists (it was the registered shape through round 4)."""
     from ..operators import similarity as S
 
     e = _doc_vectors_cached(spark, sf_dir)
@@ -615,36 +647,20 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     asg = C.ephemeral(
         S.ivf_assign(e, centroids, n_probe=1, id_col="doc_id", vec_col="vec")
     )
-    from ..functions.vectors import dot, norm
-
-    sides = asg.withColumn("nrm", norm(F.col("vec")))
-    a = sides.select(
-        F.col("id").alias("id_a"), F.col("vec").alias("va"),
-        F.col("nrm").alias("na"), "cell_id",
-    )
-    b = sides.select(
-        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
-        F.col("nrm").alias("nb"), "cell_id",
-    )
+    cells = asg.select(F.col("id").alias("doc_id"), F.col("cell_id").cast("int"))
+    pairs = _embedding_pairs_cached(spark, sf_dir)
     dropped = (
-        a.join(b, "cell_id")
-        .filter(F.col("id_b") < F.col("id_a"))
-        .filter(
-            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
-            >= _COS_THRESHOLD
-        )
-        .select(F.col("id_a").alias("doc_id"))
+        pairs.join(cells.select(F.col("doc_id").alias("id1"), F.col("cell_id").alias("cell1")), "id1")
+        .join(cells.select(F.col("doc_id").alias("id2"), F.col("cell_id").alias("cell2")), "id2")
+        .filter(F.col("cell1") == F.col("cell2"))
+        .select(F.col("id2").alias("doc_id"))
         .distinct()
         .withColumn("is_dropped", F.lit(0))
     )
-    return (
-        asg.select(F.col("id").alias("doc_id"), F.col("cell_id").cast("int"))
-        .join(dropped, "doc_id", "left")
-        .select(
-            "doc_id",
-            "cell_id",
-            F.coalesce(F.col("is_dropped"), F.lit(1)).cast("int").alias("kept"),
-        )
+    return cells.join(dropped, "doc_id", "left").select(
+        "doc_id",
+        "cell_id",
+        F.coalesce(F.col("is_dropped"), F.lit(1)).cast("int").alias("kept"),
     )
 
 
