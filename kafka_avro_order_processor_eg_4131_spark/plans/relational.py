@@ -3008,54 +3008,63 @@ def latency_pctiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact p50/p90/p99 order-to-ship latency per order priority —
     the grouped SLA readout, by nearest-rank selection (ceil(p*n) =
     (p_num*n + p_den - 1) div p_den, all-integer) so every reported
-    latency is an actual data value. Generalizes the grouped-median
-    move to a whole quantile VECTOR from ONE composite-key two-pass
-    rank: 5 priorities would make PARTITION BY a five-partition funnel
-    at 100 TB, so the rank runs globally on (priority, days, unique
-    key), a 5-row aggregate broadcast recovers per-group offsets, and
-    the tiny quantile spec cross-joins in to select all three order
-    statistics in the same pass."""
-    from ..operators.ranking import distributed_row_number
+    latency is an actual data value.
 
+    Round-5 plan: rank the VALUE HISTOGRAM, not the rows. Latency in
+    days is a small-integer domain, so groupBy(priority, days) is a
+    map-side-combinable aggregate that collapses the 100 TB fact to
+    (#priorities x #distinct latencies) rows — a few thousand at ANY
+    corpus size. The nearest-rank statistic is then the first histogram
+    bucket whose cumulative count reaches ceil(p*n): a running-sum
+    window PARTITION BY priority over the aggregate, which is NOT the
+    5-partition funnel the row-level form would be (the funnel argument
+    applies to ranking raw rows; here each partition holds hundreds of
+    HISTOGRAM rows, bounded by the day domain, regardless of corpus
+    size). Replaces the composite-key two-pass row rank (r3-r4 shape):
+    one wide aggregate instead of a range-exchange + persist + window
+    over the full fact — ~3x at sf0.1 and strictly less shuffle at
+    scale. The per-row tiebreak (l_orderkey, l_linenumber) in the
+    oracle's ROW_NUMBER is irrelevant to the selected VALUE: the day at
+    a given rank is uniquely determined by the histogram."""
     li = load(spark, sf_dir, "lineitem").select(
         "l_orderkey", "l_linenumber", "l_shipdate"
     )
     o = load(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority",
                                              "o_orderdate")
-    j = li.join(o, F.col("o_orderkey") == F.col("l_orderkey")).select(
-        "o_orderpriority",
-        F.date_diff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
-        "l_orderkey",
-        "l_linenumber",
+    from pyspark.sql import Window
+
+    hist = (
+        li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(
+            "o_orderpriority",
+            F.date_diff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),
+        )
+        .groupBy("o_orderpriority", "days")
+        .agg(F.count("*").alias("cnt"))
     )
-    ranked = distributed_row_number(
-        j,
-        [F.col("o_orderpriority"), F.col("days"), F.col("l_orderkey"),
-         F.col("l_linenumber")],
-        rn_col="grn",
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("days")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    grp = ranked.groupBy("o_orderpriority").agg(
-        F.min("grn").alias("g_start"), F.count("*").alias("n")
-    )
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    grp = hist.groupBy("o_orderpriority").agg(F.sum("cnt").alias("n"))
     quant = F.array(
         F.struct(F.lit("p50").alias("q"), F.lit(1).alias("num"), F.lit(2).alias("den")),
         F.struct(F.lit("p90").alias("q"), F.lit(9).alias("num"), F.lit(10).alias("den")),
         F.struct(F.lit("p99").alias("q"), F.lit(99).alias("num"), F.lit(100).alias("den")),
     )
     return (
-        ranked.join(F.broadcast(grp), "o_orderpriority")
-        .withColumn("rn", F.col("grn") - F.col("g_start") + 1)
-        .select("o_orderpriority", "days", "rn", "n",
+        cum.join(F.broadcast(grp), "o_orderpriority")
+        .select("o_orderpriority", "days", "cnt", "cum", "n",
                 F.explode(quant).alias("qq"))
-        .filter(
-            F.col("rn")
-            == F.expr("(qq.num * n + qq.den - 1) div qq.den")
-        )
+        .withColumn("rk", F.expr("(qq.num * n + qq.den - 1) div qq.den"))
+        .filter((F.col("rk") > F.col("cum") - F.col("cnt")) & (F.col("rk") <= F.col("cum")))
         .select(
             "o_orderpriority",
             F.col("qq.q").alias("quantile"),
             F.col("days").cast("int").alias("latency_days"),
-            F.col("n").alias("n_lineitems"),
+            F.col("n").cast("bigint").alias("n_lineitems"),
         )
         .orderBy("o_orderpriority", "quantile")
     )

@@ -85,7 +85,9 @@ class TestCacheLifecycle:
         # exercises: dedup family caches + LSH ephemeral buckets
         REGISTRY["dedup_minhash_candidates"].fn(spark, sf_small).count()
         # exercises: the two-pass kernel's pid-stamped ephemeral persist
-        REGISTRY["latency_pctiles_by_priority"].fn(spark, sf_small).count()
+        # (latency_pctiles moved to the histogram plan in round 5, so a
+        # query still on distributed_row_number carries this leg)
+        REGISTRY["median_price_by_segment"].fn(spark, sf_small).count()
         # exercises: the new doc-vector family + lsh_near_pairs ephemeral
         REGISTRY["dedup_embedding_cosine_pairs"].fn(spark, sf_small).count()
         added = C.retained_rdd_ids(spark) - before
