@@ -65,8 +65,17 @@ def _widen(df: DataFrame) -> DataFrame:
 
 def shingle_rows(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                  k: int = 3) -> DataFrame:
-    """(id, shingle) rows — the exploded form both MinHash and Jaccard use."""
-    return _widen(docs).select(
+    """(id, shingle) rows — the exploded form both MinHash and Jaccard use.
+
+    Widened by HASH-partitioning on the id (not _widen's round-robin):
+    the same single-core-explode fix, but HashPartitioning(id) also
+    satisfies the clustered distribution of every downstream per-doc
+    aggregation — minhash_signatures' groupBy(id) and jaccard_pairs'
+    shingle-set sizes — so the signature pipeline runs with ONE shuffle
+    (same round-5 move as the doc-vector family; min/count aggregates
+    are order-free, so the result is bit-identical)."""
+    target = docs.sparkSession.sparkContext.defaultParallelism * 2
+    return docs.repartition(target, id_col).select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), k)).alias("sh")
     )
 
