@@ -263,7 +263,12 @@ def simhash(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     # silently wraps negative (same guard family as the KS 2^31 check,
     # plans/relational.py).
     assert bits <= 62, f"simhash bits={bits} overflows signed-long packing"
-    tok_rows = _widen(docs).select(
+    # hash-partition by id (not _widen's round-robin): parallelizes the
+    # explode AND satisfies the groupBy(id) distribution — one shuffle
+    # for the whole signature (round-5 move; integer vote sums are
+    # order-free, so the result is bit-identical)
+    target = docs.sparkSession.sparkContext.defaultParallelism * 2
+    tok_rows = docs.repartition(target, id_col).select(
         F.col(id_col).alias("id"), F.explode(norm_tokens((F.col(text_col)))).alias("tok")
     ).select("id", F.md5(F.col("tok")).alias("h"))
     votes = [

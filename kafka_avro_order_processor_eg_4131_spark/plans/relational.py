@@ -2000,10 +2000,15 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on dst — the standard scale shape (edges never move; ranks
     do). The rank-relation join carries NO broadcast hint: AQE
     broadcasts while ranks fit and falls back to a shuffle join at
-    node counts where they don't. The top-20 uses the two-pass
-    distributed rank (operators/ranking.py), not a global window. The
-    symmetric graph has no dangling nodes, so no teleport-mass
-    correction term is needed."""
+    node counts where they don't. The top-20 is TakeOrderedAndProject
+    (per-partition top-k, driver merge of 20-row heads — O(n) with no
+    range exchange, persist, or window; round 5 replaced the two-pass
+    distributed rank here, which is the right kernel for FULL rankings
+    but overkill for a constant k) + the catalog's standard sort-
+    aggregate (collect_list -> array_sort -> posexplode over the 20
+    survivors) for the dense rank column, so no partition-less window
+    enters the plan. The symmetric graph has no dangling nodes, so no
+    teleport-mass correction term is needed."""
     li = (
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 4 == 0)
@@ -2022,8 +2027,6 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     edges = C.ephemeral(edges)
     deg = C.ephemeral(edges.groupBy("src").agg(F.count("*").alias("d")))
-    from ..operators.ranking import distributed_row_number
-
     r = deg.select(F.col("src").alias("id"), F.lit(1.0).alias("r"))
     for _ in range(_PR_ITERS):
         # no explicit broadcast hint on the (node,rank) relation: one
@@ -2047,14 +2050,19 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     # additional safety at this fixed depth (unbounded-iteration loops
     # like connected_components DO need per-round truncation).
     r = r.localCheckpoint()
-    ranked = distributed_row_number(r, [F.col("r").desc(), F.col("id")], rn_col="rank")
-    return (
-        ranked.filter(F.col("rank") <= 20)
-        .select(
-            F.col("id").alias("part_id"),
-            F.col("r").alias("pagerank"),
-            F.col("rank").cast("int").alias("rank"),
-        )
+    # negated r as the leading sort field turns (r DESC, id ASC) into
+    # one ascending lexicographic struct sort; r >= 0.15 so the negate
+    # can't manufacture a -0.0
+    take = r.orderBy(F.col("r").desc(), F.col("id")).limit(20)
+    packed = take.agg(
+        F.array_sort(
+            F.collect_list(F.struct((-F.col("r")).alias("nr"), "id", "r"))
+        ).alias("a")
+    )
+    return packed.select(F.posexplode("a").alias("pos", "s")).select(
+        F.col("s.id").alias("part_id"),
+        F.col("s.r").alias("pagerank"),
+        (F.col("pos") + 1).cast("int").alias("rank"),
     )
 
 
