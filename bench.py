@@ -60,7 +60,9 @@ def format_bench_line(
     return line
 
 
-def bench_streaming(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]:
+def bench_streaming(
+    spark, sf_dir: str, n_batches: int = 4, reps: int = 3
+) -> tuple[float, int]:
     """Throughput of the flagship routed streaming pipeline (the
     reference's consumer loop) on the broker-free file-source twin:
     OCF-encode every order at this SF into an envelope parquet (NOT
@@ -68,7 +70,15 @@ def bench_streaming(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]
     decode -> 3-way route -> multi-sink foreachBatch run across a FIXED
     number of micro-batches (maxFilesPerTrigger), so per-batch commit
     overhead is included like a live consumer's. Returns
-    (rows_per_sec, n_rows)."""
+    (rows_per_sec, n_rows).
+
+    MEDIAN OF ``reps`` IN-PROCESS REPETITIONS (round-5 verdict item 2):
+    a single run of this leg swings 14.7-27.6k rows/s on identical code
+    — per-batch sink/commit overhead dominated by filesystem and JVM
+    noise — so driver-to-driver single-run deltas were noise reported
+    as signal. Each repetition reuses the encoded input but gets a
+    FRESH checkpoint/sink dir (a warm checkpoint would skip the work
+    entirely). The reported number is the median repetition's rows/s."""
     import shutil
     import tempfile
 
@@ -109,16 +119,18 @@ def bench_streaming(spark, sf_dir: str, n_batches: int = 4) -> tuple[float, int]
         env.repartition(n_batches).write.parquet(input_dir)
         n_rows = orders.count()
 
-        t0 = time.perf_counter()
-        run_order_pipeline(
-            spark,
-            input_dir,
-            os.path.join(work, "work"),
-            available_now=True,
-            max_files_per_trigger=1,
-        )
-        elapsed = time.perf_counter() - t0
-        return round(n_rows / elapsed, 1), n_rows
+        rates = []
+        for rep in range(reps):
+            t0 = time.perf_counter()
+            run_order_pipeline(
+                spark,
+                input_dir,
+                os.path.join(work, f"work{rep}"),
+                available_now=True,
+                max_files_per_trigger=1,
+            )
+            rates.append(n_rows / (time.perf_counter() - t0))
+        return round(sorted(rates)[len(rates) // 2], 1), n_rows
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

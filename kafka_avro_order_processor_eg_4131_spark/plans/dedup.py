@@ -637,7 +637,20 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus for the dedup family anyway — SemDeDup's cell
     structure then just partitions it; the standalone cell-bounded
     within-cell join remains the fallback when no near-pair relation
-    exists (it was the registered shape through round 4)."""
+    exists (it was the registered shape through round 4).
+
+    COMPLETENESS CAVEAT (round-5 advice): serving the verify from the
+    LSH-candidate pair family couples this plan's completeness to that
+    family's RECALL. On the fixture the coupling is harmless — recall
+    is pinned exact by the all-pairs twins and the oracle at three SFs
+    — but at corpus scale an LSH recall miss now propagates into
+    semdedup too, instead of being caught by the cell-bounded exhaustive
+    join. A deployment that tightens the LSH band constants for speed
+    should either re-verify recall on a held-out sample or switch this
+    plan back to the standalone cell-bounded within-cell cosine join —
+    ``semdedup_keep_list_cell_bounded`` below, kept tested against this
+    plan (tests/test_round6_ops.py::
+    test_semdedup_cell_bounded_fallback_matches)."""
     from ..operators import similarity as S
 
     e = _doc_vectors_cached(spark, sf_dir)
@@ -661,6 +674,55 @@ def semdedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "cell_id",
         F.coalesce(F.col("is_dropped"), F.lit(1)).cast("int").alias("kept"),
+    )
+
+
+def semdedup_keep_list_cell_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standalone cell-bounded fallback for ``semdedup_keep_list`` (the
+    registered shape through round 4): the within-cell drop set comes
+    from an EXHAUSTIVE cosine equi-join on cell_id rather than the LSH
+    near-pair family, so its completeness does not depend on LSH recall.
+    Strictly more compute (every within-cell pair is scored) but the
+    join is still bounded by cell size, never corpus-quadratic. Use this
+    shape when the LSH band constants are tuned for speed and recall is
+    no longer pinned; tests keep it bit-identical to the registered plan
+    on the fixtures."""
+    from ..functions.vectors import dot, norm
+    from ..operators import similarity as S
+
+    e = _doc_vectors_cached(spark, sf_dir)
+    centroids = S._dense_index_small(e, "doc_id", "vec", _SEMDEDUP_CELLS, "cell_id")
+    asg = C.ephemeral(
+        S.ivf_assign(e, centroids, n_probe=1, id_col="doc_id", vec_col="vec")
+    )
+    sides = asg.withColumn("nrm", norm(F.col("vec")))
+    a = sides.select(
+        F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("nrm").alias("na"), "cell_id",
+    )
+    b = sides.select(
+        F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("nrm").alias("nb"), "cell_id",
+    )
+    dropped = (
+        a.join(b, "cell_id")
+        .filter(F.col("id_b") < F.col("id_a"))
+        .filter(
+            (dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+            >= _COS_THRESHOLD
+        )
+        .select(F.col("id_a").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dropped", F.lit(0))
+    )
+    return (
+        asg.select(F.col("id").alias("doc_id"), F.col("cell_id").cast("int"))
+        .join(dropped, "doc_id", "left")
+        .select(
+            "doc_id",
+            "cell_id",
+            F.coalesce(F.col("is_dropped"), F.lit(1)).cast("int").alias("kept"),
+        )
     )
 
 

@@ -55,7 +55,11 @@ def select_names(all_names: list[str], names: str | None, sample: int | None,
         if unknown:
             raise SystemExit(f"unknown query names: {unknown}")
         return picked
-    if sample:
+    if sample is not None:
+        # `if sample:` would let --sample 0 silently fall through to the
+        # full catalog (round-5 advice) — reject non-positive explicitly.
+        if sample <= 0:
+            raise SystemExit(f"--sample must be positive, got {sample}")
         return random.Random(seed).sample(all_sorted, min(sample, len(all_sorted)))
     return all_sorted
 
@@ -111,8 +115,14 @@ def main() -> int:
         odf = con.execute(o).fetch_df()
         if not (canon(sdf) == canon(odf) and sorted(sdf.columns) == sorted(odf.columns)):
             fails.append(name)
+    # selected/total so subset runs can't be misread as catalog totals
+    # (round-5 advice) — the full-catalog line keeps its historic shape.
+    n_total = len(queries)
+    sel = (
+        f"{len(selected)}" if len(selected) == n_total else f"{len(selected)}/{n_total}"
+    )
     print(
-        f"queries: {len(selected)} oracles: {sum(1 for n in selected if n in oracles)} "
+        f"queries: {sel} oracles: {sum(1 for n in selected if n in oracles)} "
         f"rows-only: {rows_only} mismatches: {fails}"
     )
     spark.stop()

@@ -8,8 +8,9 @@ queries <= 1.21x at 3x data (docs/PLANS.md "Round-5 scale rehearsal").
 Usage (writes synthetic dirs under /tmp, never touches the repo or
 /root/testdata):
 
-    python /root/repo/tests/scale_rehearsal.py          # build + run
+    python /root/repo/tests/scale_rehearsal.py          # build + run (batch + streaming)
     python /root/repo/tests/scale_rehearsal.py --build-only
+    python /root/repo/tests/scale_rehearsal.py --streaming-only
 
 Key strides keep joins referentially consistent across copies
 (orders.o_custkey moves with customer.c_custkey, etc.); region/nation
@@ -110,6 +111,12 @@ def main() -> int:
 
     spark = get_spark(app_name="scale-rehearsal")
     spark.sparkContext.setLogLevel("ERROR")
+
+    if "--streaming-only" in sys.argv:
+        bad = streaming_rehearsal(spark, dirs)
+        spark.stop()
+        return 1 if bad else 0
+
     results: dict[str, dict[str, tuple[float, int]]] = {}
     for sf_name, sf_dir in dirs:
         C.release_all()
@@ -126,23 +133,78 @@ def main() -> int:
             results.setdefault(name, {})[sf_name] = (dt, n_rows)
             print(f"{sf_name} {name}: {dt:.2f}s rows={n_rows}", flush=True)
 
-    print("\n| query | " + " | ".join(n for n, _ in dirs) + " | t3/t1 | rows 1->3 |")
-    print("|---" * (len(dirs) + 3) + "|")
-    bad = 0
-    for name in HEAVY:
-        r = results[name]
-        times = [r[n][0] for n, _ in dirs]
-        t1, t3 = times[0], times[-1]
-        ratio = t3 / t1 if t1 > 0 else float("nan")
-        if ratio > 2.0:
-            bad += 1
-        cells = " | ".join(f"{t:.2f}" for t in times)
-        print(
-            f"| {name} | {cells} | {ratio:.2f} | "
-            f"{r[dirs[0][0]][1]}->{r[dirs[-1][0]][1]} |"
-        )
+    bad = curvature_report(results, [n for n, _ in dirs], HEAVY)
+    bad += streaming_rehearsal(spark, dirs)
     spark.stop()
     return 1 if bad else 0
+
+
+def streaming_rehearsal(spark, dirs: list[tuple[str, str]]) -> int:
+    """Round-5 verdict item 3: the batch top-10 have curvature evidence,
+    the flagship streaming pipeline (OCF decode -> route -> multi-sink
+    foreachBatch) did not. Replay the broker-free file-twin at each
+    volume (the synthetic dirs triple `orders`) and record rows/s vs
+    volume. The micro-batch COUNT is held fixed by bench_streaming
+    (repartition(4) + maxFilesPerTrigger=1), so per-batch commit
+    overhead is constant while rows triple — rows/s should rise or stay
+    flat; a FALLING rows/s at 3x exposes per-row cost growing with
+    volume, which 100 TB Kafka would amplify. Bad when rps3 < 0.8*rps1
+    or any leg errors. Each leg is bench.py's median-of-3."""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    if repo not in sys.path:
+        sys.path.insert(0, repo)
+    import bench
+
+    rows_per_sec: dict[str, tuple[float, int]] = {}
+    for sf_name, sf_dir in dirs:
+        try:
+            rps, n_rows = bench.bench_streaming(spark, sf_dir)
+        except Exception as e:  # noqa: BLE001 — report and keep sweeping
+            rps, n_rows = -1.0, -1
+            print(f"ERR streaming_pipeline @ {sf_name}: {type(e).__name__}: {e}",
+                  file=sys.stderr)
+        rows_per_sec[sf_name] = (rps, n_rows)
+        print(f"{sf_name} streaming_pipeline: {rps:.1f} rows/s rows={n_rows}",
+              flush=True)
+
+    names = [n for n, _ in dirs]
+    print("\n| leg | " + " | ".join(f"{n} rows/s" for n in names)
+          + " | rps3/rps1 | rows 1->3 |")
+    print("|---" * (len(names) + 3) + "|")
+    rps = [rows_per_sec[n][0] for n in names]
+    rows = [rows_per_sec[n][1] for n in names]
+    ratio = rps[-1] / rps[0] if rps[0] > 0 else float("nan")
+    bad = int(ratio < 0.8 or any(r < 0 for r in rps) or any(n < 0 for n in rows))
+    cells = " | ".join(f"{r:.1f}" for r in rps)
+    print(f"| streaming_pipeline | {cells} | {ratio:.2f} | {rows[0]}->{rows[-1]} |")
+    return bad
+
+
+def curvature_report(
+    results: dict[str, dict[str, tuple[float, int]]],
+    dir_names: list[str],
+    heavy: list[str],
+) -> int:
+    """Print the curvature table; return the number of BAD queries —
+    super-linear (t3/t1 > 2.0) OR errored at any scale. An erroring
+    query records dt=-1, which makes the ratio negative/NaN and would
+    sail under the 2.0 threshold — a hidden quadratic that OOMs at 3x
+    would then read as flat curvature (round-5 advice), so any error
+    cell is a failure, full stop."""
+    print("\n| query | " + " | ".join(dir_names) + " | t3/t1 | rows 1->3 |")
+    print("|---" * (len(dir_names) + 3) + "|")
+    bad = 0
+    for name in heavy:
+        r = results[name]
+        times = [r[n][0] for n in dir_names]
+        rows = [r[n][1] for n in dir_names]
+        t1, t3 = times[0], times[-1]
+        ratio = t3 / t1 if t1 > 0 else float("nan")
+        if ratio > 2.0 or any(dt < 0 for dt in times) or any(n < 0 for n in rows):
+            bad += 1
+        cells = " | ".join(f"{t:.2f}" for t in times)
+        print(f"| {name} | {cells} | {ratio:.2f} | {rows[0]}->{rows[-1]} |")
+    return bad
 
 
 if __name__ == "__main__":
