@@ -185,6 +185,31 @@ class TestSemdedupFallback:
         assert len(registered) > 0
         assert fallback == registered
 
+    def test_semdedup_cell_bounded_plan_is_cell_equi_join(self, spark, sf_small):
+        """The fallback is unregistered, so the catalog-wide
+        no-CartesianProduct guard never sees it — pin its plan shape
+        here: the within-cell pairing must be a hash/sort-merge equi-join
+        on cell_id (cell-size-bounded), never a cartesian/nested-loop
+        that would go corpus-quadratic."""
+        from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
+            semdedup_keep_list_cell_bounded,
+        )
+
+        plan = (
+            semdedup_keep_list_cell_bounded(spark, sf_small)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        C.release_ephemeral(spark)
+        # The centroid attach IS a BroadcastNestedLoopJoin — that's the
+        # package's accepted tiny-broadcast pattern (the build side is
+        # the _SEMDEDUP_CELLS-row centroid relation), same as in the
+        # registered plan. Only a CartesianProduct (two NON-broadcast
+        # sides) would be the quadratic scale-killer.
+        assert "CartesianProduct" not in plan, plan[:2000]
+        assert "HashJoin" in plan or "SortMergeJoin" in plan, plan[:2000]
+
 
 class TestDriverCheckSampleGuard:
     def test_sample_zero_rejected(self):
