@@ -1678,17 +1678,18 @@ def _quality_lm_corr_oracle() -> str:
       FROM q JOIN lm ON lm.doc_id = q.doc_id
     ),
     m AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sx2,
-             CAST(SUM(y * y) AS BIGINT) AS sy2
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx, SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sx2,
+             SUM(CAST(y AS HUGEINT) * y) AS sy2
       FROM j
     )
-    SELECT n AS n_docs,
-           (CAST(n * sxy - sx * sy AS DOUBLE)
-            / (sqrt(CAST(n * sx2 - sx * sx AS DOUBLE))
-               * sqrt(CAST(n * sy2 - sy * sy AS DOUBLE)))) AS corr_quality_lm
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           (CAST(CAST(n * sxy - sx * sy AS VARCHAR) AS DOUBLE)
+            / (sqrt(CAST(CAST(n * sx2 - sx * sx AS VARCHAR) AS DOUBLE))
+               * sqrt(CAST(CAST(n * sy2 - sy * sy AS VARCHAR) AS DOUBLE))))
+             AS corr_quality_lm
     FROM m
     """
 
@@ -1701,8 +1702,13 @@ def eval_quality_vs_lm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     a filtering pipeline runs before trusting either signal to gate
     data. ALL-INTEGER (the KS/Gini pattern): both scores quantize to
     exact 1e-6 ticks (floor(x*1e6+0.5) — identical doubles floor
-    identically), every moment is an exact BIGINT sum (max ~2.5e17,
-    far under 2^63), and only the final sqrt/divide touches doubles —
+    identically), every moment and cross-product runs in exact WIDE
+    integer arithmetic — DECIMAL(38,0) here, HUGEINT in the oracle —
+    because the normal-equation products (n*sxy, sx*sy) scale as n^2
+    x 1e12 and blow through int64 once the corpus passes ~5e6 docs
+    (the same sf0.1 overflow class the round-6 gate caught in
+    trend_theilsen). The exact differences convert through VARCHAR to
+    double, so only the final sqrt/divide touches floats —
     sidestepping the decimal-cast half-tie hazard that ratio-valued
     inputs (exact k/n probabilities) would otherwise hit. Docs with no
     bigrams drop out of both sides identically."""
@@ -1719,24 +1725,26 @@ def eval_quality_vs_lm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("y"),
     )
     x, y = F.col("x"), F.col("y")
+    wide = "decimal(38,0)"  # x*y fits int64 per row; the SUMS and the
+    # n*sxy / sx*sy cross-products do NOT once n passes ~5e6 docs
     m = j.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum(x).cast("bigint").alias("sx"),
-        F.sum(y).cast("bigint").alias("sy"),
-        F.sum(x * y).cast("bigint").alias("sxy"),
-        F.sum(x * x).cast("bigint").alias("sx2"),
-        F.sum(y * y).cast("bigint").alias("sy2"),
+        F.sum(x.cast(wide)).alias("sx"),
+        F.sum(y.cast(wide)).alias("sy"),
+        F.sum((x * y).cast(wide)).alias("sxy"),
+        F.sum((x * x).cast(wide)).alias("sx2"),
+        F.sum((y * y).cast(wide)).alias("sy2"),
     )
     n, sx, sy, sxy, sx2, sy2 = (
         F.col(c) for c in ["n", "sx", "sy", "sxy", "sx2", "sy2"]
     )
+    nw = n.cast(wide)
+    d = lambda c: c.cast("string").cast("double")  # noqa: E731 — exact
+    # decimal -> string -> correctly-rounded double, both engines
     return m.select(
         n.alias("n_docs"),
         (
-            (n * sxy - sx * sy).cast("double")
-            / (
-                F.sqrt((n * sx2 - sx * sx).cast("double"))
-                * F.sqrt((n * sy2 - sy * sy).cast("double"))
-            )
+            d(nw * sxy - sx * sy)
+            / (F.sqrt(d(nw * sx2 - sx * sx)) * F.sqrt(d(nw * sy2 - sy * sy)))
         ).alias("corr_quality_lm"),
     )

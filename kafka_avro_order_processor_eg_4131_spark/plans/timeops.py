@@ -1909,17 +1909,17 @@ def survival_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM r
     ),
     ols AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(CAST(x AS HUGEINT)) AS sx,
+             SUM(CAST(y AS HUGEINT)) AS sy,
+             SUM(CAST(x AS HUGEINT) * y) AS sxy,
+             SUM(CAST(x AS HUGEINT) * x) AS sxx
       FROM pts
     )
-    SELECT ols.n AS n_days,
+    SELECT CAST(ols.n AS BIGINT) AS n_days,
            (med.lo + med.hi) / 2.0 AS theilsen_slope_cents_per_day,
-           (CAST(ols.n * ols.sxy - ols.sx * ols.sy AS DOUBLE)
-            / CAST(ols.n * ols.sxx - ols.sx * ols.sx AS DOUBLE))
+           (CAST(CAST(ols.n * ols.sxy - ols.sx * ols.sy AS VARCHAR) AS DOUBLE)
+            / CAST(CAST(ols.n * ols.sxx - ols.sx * ols.sx AS VARCHAR) AS DOUBLE))
              AS ols_slope_cents_per_day
     FROM ols CROSS JOIN med
     """,
@@ -1931,11 +1931,17 @@ def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     squares. Scale shape: the pairwise self-join is over DAILY
     aggregate points, bounded by the calendar (~2.4k days -> ~3M
     pairs), never corpus rows; the median rides the two-pass
-    distributed rank; OLS moments are exact integer sums (cents x day
-    index stays far under 2^63) with one final double divide. The even-
-    count median averages the two middle slopes — each an exact-integer
-    ratio, so the average is one correctly-rounded op in both
-    engines."""
+    distributed rank. OLS moments are exact integer sums, but the
+    normal-equation CROSS-PRODUCTS (n*sxy, sx*sy) overflow int64
+    already at sf0.1 (measured 1.18x of 2^63 — caught by the round-6
+    sf0.1 full-catalog gate, invisible at the driver's sf0.01), so the
+    products run in DECIMAL(38,0) on the Spark side and HUGEINT in the
+    oracle — both exact integer arithmetic over the ~2.4k-row daily
+    aggregate, headroom to ~1e38 — and the exact differences convert
+    through VARCHAR to double (the catalog.py dsum discipline) before
+    the one double divide. The even-count median averages the two
+    middle slopes — each an exact-integer ratio, so the average is one
+    correctly-rounded op in both engines."""
     from ..operators.ranking import distributed_row_number
 
     o = load(spark, sf_dir, "orders")
@@ -1971,18 +1977,30 @@ def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("rn") == F.expr("n div 2 + 1"), F.col("s")).otherwise(0.0)
         ).alias("hi"),
     )
+    # DECIMAL(38,0) everywhere the normal equations multiply: n*sxy and
+    # sx*sy measure 1.18x of 2^63 at sf0.1 (ANSI multiplyExact aborts),
+    # and int64 was never the right width for moment cross-products at
+    # corpus scale anyway. x is calendar-bounded (~2.5k) so x*y fits
+    # int64 per row, but the decimal cast rides along from the per-row
+    # product up — this whole aggregate is over ~2.4k daily rows.
+    wide = "decimal(38,0)"
     ols = pts.agg(
         F.count("*").cast("bigint").alias("n"),
-        F.sum("x").cast("bigint").alias("sx"),
-        F.sum("y").cast("bigint").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("x").cast(wide)).alias("sx"),
+        F.sum(F.col("y").cast(wide)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(wide)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(wide)).alias("sxx"),
     )
+    nw = F.col("n").cast(wide)
+    # exact integer difference -> string -> double: string conversion of
+    # an exact decimal and string->double are correctly rounded in BOTH
+    # engines (see catalog.dsum), so the one rounding site is shared
+    num = (nw * F.col("sxy") - F.col("sx") * F.col("sy")).cast("string")
+    den = (nw * F.col("sxx") - F.col("sx") * F.col("sx")).cast("string")
     return ols.crossJoin(F.broadcast(med)).select(
         F.col("n").alias("n_days"),
         ((F.col("lo") + F.col("hi")) / 2.0).alias("theilsen_slope_cents_per_day"),
-        (
-            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
-            / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
-        ).alias("ols_slope_cents_per_day"),
+        (num.cast("double") / den.cast("double")).alias(
+            "ols_slope_cents_per_day"
+        ),
     )
