@@ -109,16 +109,25 @@ def main() -> int:
     from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
     from kafka_avro_order_processor_eg_4131_spark.session import get_spark
 
-    spark = get_spark(app_name="scale-rehearsal")
-    spark.sparkContext.setLogLevel("ERROR")
-
     if "--streaming-only" in sys.argv:
+        spark = get_spark(app_name="scale-rehearsal-streaming")
+        spark.sparkContext.setLogLevel("ERROR")
         bad = streaming_rehearsal(spark, dirs)
         spark.stop()
         return 1 if bad else 0
 
+    # ONE FRESH SESSION PER SF LEG (round-6 lesson): a single JVM
+    # serving all 30 heavy queries plus the streaming sweep degrades
+    # its tail 3-4x — the combined run measured bpe_segment_stats at
+    # 14.2s on the sfx0.3 leg and the sf0.1 streaming leg at 7.7k
+    # rows/s, where a fresh session measures 3.4s and 22.9k on the
+    # SAME data minutes later. Cross-leg session reuse is also not
+    # what any production run does; per-leg sessions make the
+    # curvature column measure DATA scale, not JVM age.
     results: dict[str, dict[str, tuple[float, int]]] = {}
     for sf_name, sf_dir in dirs:
+        spark = get_spark(app_name=f"scale-rehearsal-{sf_name}")
+        spark.sparkContext.setLogLevel("ERROR")
         C.release_all()
         for name in HEAVY:
             t0 = time.time()
@@ -132,8 +141,12 @@ def main() -> int:
             C.release_ephemeral(spark)
             results.setdefault(name, {})[sf_name] = (dt, n_rows)
             print(f"{sf_name} {name}: {dt:.2f}s rows={n_rows}", flush=True)
+        C.release_all()
+        spark.stop()
 
     bad = curvature_report(results, [n for n, _ in dirs], HEAVY)
+    spark = get_spark(app_name="scale-rehearsal-streaming")
+    spark.sparkContext.setLogLevel("ERROR")
     bad += streaming_rehearsal(spark, dirs)
     spark.stop()
     return 1 if bad else 0
