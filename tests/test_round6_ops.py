@@ -262,3 +262,33 @@ class TestScaleRehearsalErrorCounting:
         bad = mod.curvature_report(results, dirs, ["a", "b"])
         capsys.readouterr()
         assert bad == 0
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize(
+    "name", ["trend_theilsen_daily_revenue", "eval_quality_vs_lm_corr"]
+)
+def test_wide_moment_queries_match_oracle_at_sf01(spark, name):
+    """Regression pin for the round-6 int64-overflow class: the OLS /
+    correlation normal-equation cross-products overflow int64 at data
+    magnitudes the sf0.001/sf0.01 suites never reach (n*sxy measured
+    1.18x of 2^63 at sf0.1 in trend_theilsen before the DECIMAL(38,0)/
+    HUGEINT fix; eval_quality's products scale as n^2 and fail past
+    ~5e6 docs). This is the one test in the suite that materializes
+    these two queries' VALUES at sf0.1 — .count()-based checks pass
+    even when the projection overflows, because Catalyst prunes the
+    unconsumed overflowing expression."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+
+    from .oracle_harness import compare_query, duckdb_conn
+
+    sf_dir = "/root/testdata/sf0.1"
+    con = duckdb_conn(sf_dir)
+    try:
+        q = REGISTRY[name]
+        res = compare_query(spark, con, name, q.fn, q.oracle, sf_dir)
+        assert res.ok, f"{name} @ sf0.1: {res.problems}"
+    finally:
+        con.close()
+        C.release_ephemeral(spark)
