@@ -78,37 +78,46 @@ def family(
     the cache immediately — for relations whose consumers would
     otherwise race to fill it with concurrent jobs."""
     key = (_session_key(spark), name, sf_dir)
-    with _LOCK:
-        df = _FAMILY.get(key)
-        if df is not None:
-            return df
-        build_lock = _FAMILY_BUILDING.setdefault(key, threading.Lock())
     # Build under the PER-KEY lock (round-4 advice: the unlocked
     # check-then-act stranded a racing duplicate). Per-key, not the
     # module lock, so an eager multi-second materialization of one
     # family never serializes unrelated families.
-    with build_lock:
+    while True:
         with _LOCK:
             df = _FAMILY.get(key)
             if df is not None:
                 return df
-        built = builder().persist()
-        if eager:
-            try:
-                built.count()
-            except Exception:
-                # A failed materialization must not strand an owner-less
-                # persist — the exact leak class this registry exists to
-                # eliminate (round-3 advice).
+            build_lock = _FAMILY_BUILDING.setdefault(key, threading.Lock())
+        with build_lock:
+            with _LOCK:
+                df = _FAMILY.get(key)
+                if df is not None:
+                    return df
+                if _FAMILY_BUILDING.get(key) is not build_lock:
+                    # Swept by release_families between our setdefault and
+                    # acquire (we held nothing yet, so `not lock.locked()`
+                    # was true) — a later caller may already hold a FRESH
+                    # lock for this key. Retry with the current registry
+                    # lock so two builders can never run concurrently
+                    # under different lock objects (round-6 advice).
+                    continue
+            built = builder().persist()
+            if eager:
                 try:
-                    built.unpersist(blocking=False)
+                    built.count()
                 except Exception:
-                    pass
-                raise
-        with _LOCK:
-            _FAMILY[key] = built
-            _FAMILY_BUILDING.pop(key, None)
-        return built
+                    # A failed materialization must not strand an
+                    # owner-less persist — the exact leak class this
+                    # registry exists to eliminate (round-3 advice).
+                    try:
+                        built.unpersist(blocking=False)
+                    except Exception:
+                        pass
+                    raise
+            with _LOCK:
+                _FAMILY[key] = built
+                _FAMILY_BUILDING.pop(key, None)
+            return built
 
 
 _MEMO: dict[tuple[int, str, str], object] = {}
@@ -129,21 +138,32 @@ def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], obje
 
     Builds run under a PER-KEY lock (not the module lock — BPE training
     is minutes-scale and must not serialize unrelated memo keys), so
-    two racing callers can never run the same expensive build twice."""
+    two racing callers for the same key serialize on one lock and the
+    second sees the first's result. The identity re-check after acquire
+    closes the sweep window (see family()); the one residual overlap is
+    a release_families() issued DURING an in-flight build — the new
+    caller then correctly rebuilds post-release while the doomed build
+    drains, which is the release's documented semantics, not a leak."""
     key = (_session_key(spark), name, sf_dir)
-    with _LOCK:
-        if key in _MEMO:
-            return _MEMO[key]
-        build_lock = _MEMO_BUILDING.setdefault(key, threading.Lock())
-    with build_lock:
+    while True:
         with _LOCK:
             if key in _MEMO:
                 return _MEMO[key]
-        obj = builder()
-        with _LOCK:
-            _MEMO[key] = obj
-            _MEMO_BUILDING.pop(key, None)
-        return obj
+            build_lock = _MEMO_BUILDING.setdefault(key, threading.Lock())
+        with build_lock:
+            with _LOCK:
+                if key in _MEMO:
+                    return _MEMO[key]
+                if _MEMO_BUILDING.get(key) is not build_lock:
+                    # Swept between setdefault and acquire — retry with
+                    # the current registry lock (round-6 advice; same
+                    # window as family()).
+                    continue
+            obj = builder()
+            with _LOCK:
+                _MEMO[key] = obj
+                _MEMO_BUILDING.pop(key, None)
+            return obj
 
 
 def ephemeral(df: DataFrame) -> DataFrame:

@@ -1078,7 +1078,11 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     decimal so both engines do exact integer arithmetic afterwards.
     (Casting the double product x*x directly diverges: Spark's cast
     goes through the 17-significant-digit shortest repr while DuckDB
-    converts exactly — a measured 3-ulp mismatch at sf0.01.)"""
+    converts exactly — a measured 3-ulp mismatch at sf0.01.) Overflow
+    posture (round-7 audit): the (18,4)x(18,4) product is decimal(37,8),
+    its sum accumulates in decimal(38,8) — x <= 6e5 so x*x <= 3.6e11,
+    headroom to ~8e17 rows (~sf500k); no int64 anywhere. The finishing
+    sx*sx is a double op."""
     o = load(spark, sf_dir, "orders")
     xd = F.col("o_totalprice").cast("decimal(18,4)")
     grouped = o.groupBy("o_orderstatus").agg(
@@ -1455,10 +1459,16 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
     of the engines' native corr()/covar_pop() — whose streaming
     update formulas differ between Spark and DuckDB in the last ulps.
     From identical exact moments, the finishing arithmetic is the same
-    IEEE expression on both sides, so the oracle is bit-exact. The
-    moment sums are one map-side-combined aggregation over the scan —
-    the same single-pass shape the native functions use, at 100 TB
-    just one shuffle of 3 groups x 5 decimals."""
+    IEEE expression on both sides, so the oracle is bit-exact. Overflow
+    posture (round-7 audit): NO integer arithmetic anywhere — per-row
+    products are IEEE doubles (identical in both engines), sums ride
+    decimal(30,6) with a decimal(38,6) accumulator (headroom ~1e32;
+    worst moment sy2 <= 1e10/row x 6e11 rows at sf100 ~ 6e21), and the
+    finishing products (n*sxy etc.) are double ops on ~1e2x-magnitude
+    values — nothing to wrap. The moment sums are one map-side-combined
+    aggregation over the scan — the same single-pass shape the native
+    functions use, at 100 TB just one shuffle of 3 groups x 5
+    decimals."""
     li = load(spark, sf_dir, "lineitem")
     x, y = F.col("l_quantity"), F.col("l_extendedprice")
     m = li.groupBy("l_returnflag").agg(
@@ -1631,18 +1641,18 @@ def join_right_outer_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataF
     oracle="""
     WITH s AS (
       SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(q) AS BIGINT) AS s1,
-             CAST(SUM(q * q) AS BIGINT) AS s2,
-             CAST(SUM(q * q * q) AS BIGINT) AS s3,
-             CAST(SUM(q * q * q * q) AS BIGINT) AS s4
+             SUM(CAST(q AS HUGEINT)) AS s1,
+             SUM(CAST(q AS HUGEINT) * q) AS s2,
+             SUM(CAST(q AS HUGEINT) * q * q) AS s3,
+             SUM(CAST(q AS HUGEINT) * q * q * q) AS s4
       FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS q FROM lineitem)
       GROUP BY l_returnflag
     ), m AS (
       SELECT l_returnflag, n,
-             CAST(s1 AS DOUBLE) / n AS m1,
-             CAST(s2 AS DOUBLE) / n AS e2,
-             CAST(s3 AS DOUBLE) / n AS e3,
-             CAST(s4 AS DOUBLE) / n AS e4
+             CAST(CAST(s1 AS VARCHAR) AS DOUBLE) / n AS m1,
+             CAST(CAST(s2 AS VARCHAR) AS DOUBLE) / n AS e2,
+             CAST(CAST(s3 AS VARCHAR) AS DOUBLE) / n AS e3,
+             CAST(CAST(s4 AS VARCHAR) AS DOUBLE) / n AS e4
       FROM s
     )
     SELECT l_returnflag, n,
@@ -1658,29 +1668,37 @@ def join_right_outer_nation_suppliers(spark: SparkSession, sf_dir: str) -> DataF
 def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact population skewness and excess kurtosis of l_quantity per
     return flag, from raw integer power sums: l_quantity is integral
-    (1..50), so SUM(q), SUM(q^2), SUM(q^3), SUM(q^4) are exact BIGINTs
-    (max ~4e12, far inside 2^63 AND 2^53 so the final double conversion
-    is exact too) — order-independent with map-side combine, unlike
-    Spark's built-in skewness()/kurtosis() whose streaming central-
-    moment updates are partition-order-dependent and formula-divergent
-    from DuckDB's. The standardized moments are then identical row-level
-    double arithmetic on both engines. One aggregate, no window."""
+    (1..50), so the PER-ROW powers are structurally bounded (q^4 <=
+    6.25e6, trivially int64) and stay in long arithmetic, while the
+    SUMS run wide — DECIMAL(38,0) here, HUGEINT in the oracle — because
+    SUM(q^4) over N rows crosses int64 at N ~ 1.5e12 rows (~sf1000;
+    round-7 wide-arithmetic audit — the round-6 theilsen overflow
+    class). Wide sums are order-independent with map-side combine,
+    unlike Spark's built-in skewness()/kurtosis() whose streaming
+    central-moment updates are partition-order-dependent and formula-
+    divergent from DuckDB's. Each exact sum converts through VARCHAR to
+    a correctly-rounded double (identical in both engines, and
+    bit-identical to the old BIGINT->DOUBLE path wherever that didn't
+    overflow), then the standardized moments are identical row-level
+    double arithmetic. One aggregate, no window."""
     l = load(spark, sf_dir, "lineitem")
+    wide = "decimal(38,0)"
     q = F.col("l_quantity").cast("long")
+    qc = F.col("q")
     s = l.select("l_returnflag", q.alias("q")).groupBy("l_returnflag").agg(
         F.count("*").alias("n"),
-        F.sum("q").alias("s1"),
-        F.sum(F.col("q") * F.col("q")).alias("s2"),
-        F.sum(F.col("q") * F.col("q") * F.col("q")).alias("s3"),
-        F.sum(F.col("q") * F.col("q") * F.col("q") * F.col("q")).alias("s4"),
+        F.sum(qc.cast(wide)).alias("s1"),
+        F.sum((qc * qc).cast(wide)).alias("s2"),
+        F.sum((qc * qc * qc).cast(wide)).alias("s3"),
+        F.sum((qc * qc * qc * qc).cast(wide)).alias("s4"),
     )
     m = s.select(
         "l_returnflag",
         "n",
-        (F.col("s1").cast("double") / F.col("n")).alias("m1"),
-        (F.col("s2").cast("double") / F.col("n")).alias("e2"),
-        (F.col("s3").cast("double") / F.col("n")).alias("e3"),
-        (F.col("s4").cast("double") / F.col("n")).alias("e4"),
+        (F.col("s1").cast("string").cast("double") / F.col("n")).alias("m1"),
+        (F.col("s2").cast("string").cast("double") / F.col("n")).alias("e2"),
+        (F.col("s3").cast("string").cast("double") / F.col("n")).alias("e3"),
+        (F.col("s4").cast("string").cast("double") / F.col("n")).alias("e4"),
     )
     m1, e2, e3, e4 = F.col("m1"), F.col("e2"), F.col("e3"), F.col("e4")
     var = e2 - m1 * m1
@@ -1944,16 +1962,29 @@ _PR_ITERS = 3
 
 
 def _pr_isum(c):
+    # The SUM accumulates in DECIMAL(38,0), not long: DuckDB's SUM(BIGINT)
+    # already widens to HUGEINT, so a long accumulator here would be the
+    # one asymmetric overflow site (a hub receiving >= ~9.2e6 rank mass —
+    # pathological star topology — wraps int64 at scale 1e12 while the
+    # oracle sails on). Per-row floor(c*1e12+0.5) is long on BOTH sides
+    # (the oracle's CAST(floor(..) AS BIGINT) shares the bound
+    # symmetrically): one contribution c = r/d wraps only past rank
+    # 9.2e6 on a single edge — beyond pathological. The exact
+    # sum converts through VARCHAR to one correctly-rounded double —
+    # bit-identical to the old long->double path wherever that fit
+    # (round-7 wide-arithmetic audit).
     return (
-        F.sum(F.floor(c * F.lit(_PR_SCALE) + F.lit(0.5))).cast("double")
+        F.sum(F.floor(c * F.lit(_PR_SCALE) + F.lit(0.5)).cast("decimal(38,0)"))
+        .cast("string")
+        .cast("double")
         / F.lit(_PR_SCALE)
     )
 
 
 def _pr_isum_sql(e: str) -> str:
     return (
-        f"(CAST(SUM(CAST(floor(({e}) * {_PR_SCALE} + 0.5) AS BIGINT)) AS DOUBLE)"
-        f" / {_PR_SCALE})"
+        f"(CAST(CAST(SUM(CAST(floor(({e}) * {_PR_SCALE} + 0.5) AS BIGINT))"
+        f" AS VARCHAR) AS DOUBLE) / {_PR_SCALE})"
     )
 
 
@@ -2099,6 +2130,11 @@ def stats_chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     TABLE-SIZED cell relation (15 rows here — the windows never touch
     the raw data); the final statistic is a decimal-disciplined sum of
     per-cell (o-e)^2/e terms, so the single output row is bit-exact.
+    Overflow posture (round-7 audit): the only BIGINTs are counts
+    (cells/margins/total, each bounded by the table row count <= ~1.5e14
+    at sf100k); every product — row_n*col_n inside e, (o-e)^2 — runs in
+    double AFTER an int64->double conversion that both engines round
+    identically. No BIGINT products exist.
     At scale: one shuffle for the cells, everything after is
     cardinality-of-categories work."""
     from ..catalog import dsum
@@ -3306,11 +3342,15 @@ def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame
     pipeline runs between crawl snapshots or data sources. ALL-INTEGER:
     values are exact cents, both cumulative counts ride ONE two-pass
     distributed cumsum by packing (a,b) into a single bigint
-    (a*2^32 + b — safe while each cumulative count < 2^31), the KS gap
-    is maximized as |ca*n2 - cb*n1| (no division), and the tie-averaged
-    rank-sum doubles through 2R1 so it stays integral. Only the final
-    ks_stat and auc divides touch doubles. The oracle states the plain
-    window form."""
+    (a*2^32 + b), the KS gap is maximized as |ca*n2 - cb*n1| (no
+    division), and the tie-averaged rank-sum doubles through 2R1 so it
+    stays integral. Every int64 product is bounded by the ENFORCED
+    runtime guard n1 + n2 < 2^31 (see the inline derivation: pack,
+    KS <= (N/2)^2 < 2^60, 2R1 <= N(N+1) < 2^63); past that the plan
+    aborts loudly rather than wrapping — the two-pass-split +
+    decimal-rank-sum variant is the documented escape hatch. Only the
+    final ks_stat and auc divides touch doubles. The oracle states the
+    plain window form."""
     from ..operators.ranking import distributed_cumsum
 
     PACK = 1 << 32
@@ -3340,20 +3380,29 @@ def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(f"cab % {PACK}").alias("cb"),
     )
     t = v.agg(F.sum("a").alias("n1"), F.sum("b").alias("n2"))
-    # ENFORCE the documented packing bound (advice r2): a*2^32+b is only
-    # lossless while every cumulative count < 2^31, and the totals bound
-    # the cumulatives. assert_true returns NULL when the bound holds (the
-    # filter then keeps every row), and raises a loud runtime error
-    # instead of letting the cumsum silently wrap into garbage ks/auc.
+    # ENFORCE the documented packing bound (advice r2), tightened in the
+    # round-7 wide-arithmetic audit to bound EVERY int64 product in the
+    # plan, not just the pack. With N = n1 + n2 < 2^31:
+    #   pack  a*2^32+b        : cumulative counts ca<=n1, cb<=n2 < 2^31  OK
+    #   KS    |ca*n2 - cb*n1| : <= n1*n2 <= (N/2)^2 < 2^60               OK
+    #   MWU   per-row a*(2*rank-ish) <= ~2*N^2 < 2^63, and
+    #         SUM = 2*R1 <= N*(N+1) < 2^62+2^31                          OK
+    # The previous guard (n1 < 2^31 AND n2 < 2^31 separately) left a
+    # window where N approaches 2^32 and 2*R1 ~ N^2 wraps int64 while
+    # both individual guards pass. assert_true returns NULL when the
+    # bound holds (the filter then keeps every row), and raises a loud
+    # runtime error instead of letting any product silently wrap.
     lim = F.lit(1 << 31).cast("bigint")
     t = (
         t.withColumn(
             "__ks_guard",
             F.assert_true(
-                (F.col("n1") < lim) & (F.col("n2") < lim),
+                (F.col("n1") + F.col("n2")) < lim,
                 F.lit(
-                    "stats_ks_mannwhitney_segments: sample counts exceed the"
-                    " 2^31 packing bound — split the cumsum into two passes"
+                    "stats_ks_mannwhitney_segments: combined sample count"
+                    " exceeds the 2^31 bound that keeps the (a,b) pack and"
+                    " the KS/MWU int64 products exact — split the cumsum"
+                    " into two passes and widen the rank-sum to decimal"
                 ),
             ),
         )

@@ -1144,7 +1144,12 @@ def events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     the classic CUSUM statistic argmax_t |sum_{i<=t}(x_i - mean)|,
     computed in ALL-INTEGER arithmetic by scaling through the day count
     (sum(x_i*n - total) = n * sum(x_i - mean) — same argmax, zero
-    rounding anywhere). The cumulative sum uses the two-pass
+    rounding anywhere). int64 bound (round-7 audit): |dev| <= nd*x and
+    |cusum| <= nd*total, with nd calendar-bounded (~2.4e3 at day grain),
+    so overflow needs total >= 2^63/nd ~ 3.8e15 purchase events —
+    document-and-hold, no widening needed; at a finer grain (the 100 TB
+    seconds-grain case) nd grows to ~1e8 and the guard magnitude is
+    still ~9.2e10 rows/grain-bucket. The cumulative sum uses the two-pass
     distributed kernel (a day-grain series still deserves the
     no-single-partition-window discipline — at 100 TB the grain might
     be seconds), and the argmax is TakeOrdered(1) with a day tiebreak.
@@ -1536,7 +1541,9 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
     equi-join of the daily aggregate with itself shifted 7 days (no
     window, handles sparse days by scoring only days whose base
     exists), and the errors are exact integers — only the two final
-    per-type divides touch doubles. Co-partitioned self-join on
+    per-type divides touch doubles. Overflow posture (round-7 audit):
+    no products anywhere; SUM(|c - forecast|) <= total event count, so
+    int64 holds to 9.2e18 events. Co-partitioned self-join on
     (event_type, day): one shuffle of the tiny daily relation."""
     e = load(spark, sf_dir, "events")
     daily = e.groupBy(
@@ -1939,7 +1946,10 @@ def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle — both exact integer arithmetic over the ~2.4k-row daily
     aggregate, headroom to ~1e38 — and the exact differences convert
     through VARCHAR to double (the catalog.py dsum discipline) before
-    the one double divide. The even-count median averages the two
+    the one double divide. The one int64 left is the per-day cents
+    sub-aggregate (y): bounded by a single day's revenue in cents,
+    ~9.4e14 at sf100 — 4 orders of magnitude of headroom, documented
+    rather than widened (round-7 audit). The even-count median averages the two
     middle slopes — each an exact-integer ratio, so the average is one
     correctly-rounded op in both engines."""
     from ..operators.ranking import distributed_row_number
@@ -1980,16 +1990,20 @@ def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # DECIMAL(38,0) everywhere the normal equations multiply: n*sxy and
     # sx*sy measure 1.18x of 2^63 at sf0.1 (ANSI multiplyExact aborts),
     # and int64 was never the right width for moment cross-products at
-    # corpus scale anyway. x is calendar-bounded (~2.5k) so x*y fits
-    # int64 per row, but the decimal cast rides along from the per-row
-    # product up — this whole aggregate is over ~2.4k daily rows.
+    # corpus scale anyway. The per-row products also multiply AFTER the
+    # decimal cast (decimal(19,0) x decimal(19,0) -> decimal(38,0)),
+    # mirroring the oracle's SUM(CAST(x AS HUGEINT) * y): x is
+    # calendar-bounded (~2.5k) but y is daily revenue cents and grows
+    # with SF, so an int64 per-row product has no structural bound.
     wide = "decimal(38,0)"
+    xw = F.col("x").cast("decimal(19,0)")
+    yw = F.col("y").cast("decimal(19,0)")
     ols = pts.agg(
         F.count("*").cast("bigint").alias("n"),
         F.sum(F.col("x").cast(wide)).alias("sx"),
         F.sum(F.col("y").cast(wide)).alias("sy"),
-        F.sum((F.col("x") * F.col("y")).cast(wide)).alias("sxy"),
-        F.sum((F.col("x") * F.col("x")).cast(wide)).alias("sxx"),
+        F.sum((xw * yw).cast(wide)).alias("sxy"),
+        F.sum((xw * xw).cast(wide)).alias("sxx"),
     )
     nw = F.col("n").cast(wide)
     # exact integer difference -> string -> double: string conversion of

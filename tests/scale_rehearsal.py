@@ -116,40 +116,62 @@ def main() -> int:
         spark.stop()
         return 1 if bad else 0
 
-    # ONE FRESH SESSION PER SF LEG (round-6 lesson): a single JVM
-    # serving all 30 heavy queries plus the streaming sweep degrades
-    # its tail 3-4x — the combined run measured bpe_segment_stats at
-    # 14.2s on the sfx0.3 leg and the sf0.1 streaming leg at 7.7k
-    # rows/s, where a fresh session measures 3.4s and 22.9k on the
-    # SAME data minutes later. Cross-leg session reuse is also not
-    # what any production run does; per-leg sessions make the
-    # curvature column measure DATA scale, not JVM age.
-    results: dict[str, dict[str, tuple[float, int]]] = {}
-    for sf_name, sf_dir in dirs:
-        spark = get_spark(app_name=f"scale-rehearsal-{sf_name}")
-        spark.sparkContext.setLogLevel("ERROR")
-        C.release_all()
-        for name in HEAVY:
-            t0 = time.time()
-            try:
-                n_rows = REGISTRY[name].fn(spark, sf_dir).count()
-                dt = time.time() - t0
-            except Exception as e:  # noqa: BLE001 — report and keep sweeping
-                n_rows, dt = -1, -1.0
-                print(f"ERR {name} @ {sf_name}: {type(e).__name__}: {e}",
-                      file=sys.stderr)
-            C.release_ephemeral(spark)
-            results.setdefault(name, {})[sf_name] = (dt, n_rows)
-            print(f"{sf_name} {name}: {dt:.2f}s rows={n_rows}", flush=True)
-        C.release_all()
-        spark.stop()
-
-    bad = curvature_report(results, [n for n, _ in dirs], HEAVY)
+    bad = batch_rehearsal(dirs)
     spark = get_spark(app_name="scale-rehearsal-streaming")
     spark.sparkContext.setLogLevel("ERROR")
     bad += streaming_rehearsal(spark, dirs)
     spark.stop()
     return 1 if bad else 0
+
+
+def batch_rehearsal(
+    dirs: list[tuple[str, str]],
+    heavy: list[str] | None = None,
+    registry=None,
+    spark=None,
+) -> int:
+    """Run the heavy queries at every leg and return the BAD count
+    (super-linear or errored — see curvature_report). ``registry`` /
+    ``heavy`` / ``spark`` are injectable so the suite can drive a
+    throwing query through the REAL per-leg loop (the except branch
+    that records (-1,-1)) and assert the harness fails — not just that
+    pre-cooked error tuples count (round-6 verdict item 4). With
+    ``spark`` given, that session is reused and never stopped (test
+    mode); otherwise ONE FRESH SESSION PER SF LEG (round-6 lesson): a
+    single JVM serving all 30 heavy queries plus the streaming sweep
+    degrades its tail 3-4x — the combined run measured
+    bpe_segment_stats at 14.2s on the sfx0.3 leg where a fresh session
+    measures 3.4s on the SAME data minutes later. Cross-leg session
+    reuse is also not what any production run does; per-leg sessions
+    make the curvature column measure DATA scale, not JVM age."""
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+    from kafka_avro_order_processor_eg_4131_spark.session import get_spark
+
+    heavy = HEAVY if heavy is None else heavy
+    registry = REGISTRY if registry is None else registry
+    results: dict[str, dict[str, tuple[float, int]]] = {}
+    for sf_name, sf_dir in dirs:
+        leg = spark or get_spark(app_name=f"scale-rehearsal-{sf_name}")
+        leg.sparkContext.setLogLevel("ERROR")
+        C.release_all()
+        for name in heavy:
+            t0 = time.time()
+            try:
+                n_rows = registry[name].fn(leg, sf_dir).count()
+                dt = time.time() - t0
+            except Exception as e:  # noqa: BLE001 — report and keep sweeping
+                n_rows, dt = -1, -1.0
+                print(f"ERR {name} @ {sf_name}: {type(e).__name__}: {e}",
+                      file=sys.stderr)
+            C.release_ephemeral(leg)
+            results.setdefault(name, {})[sf_name] = (dt, n_rows)
+            print(f"{sf_name} {name}: {dt:.2f}s rows={n_rows}", flush=True)
+        C.release_all()
+        if spark is None:
+            leg.stop()
+
+    return curvature_report(results, [n for n, _ in dirs], heavy)
 
 
 def streaming_rehearsal(spark, dirs: list[tuple[str, str]]) -> int:
