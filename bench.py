@@ -31,6 +31,7 @@ def format_bench_line(
     sf,
     max_bytes: int = MAX_LINE_BYTES,
     streaming_rows_per_sec: float | None = None,
+    streaming_batch_ms: dict[str, float] | None = None,
 ) -> str:
     """One compact JSON line for the driver: totals plus the slowest
     queries that fit in ``max_bytes``. Deterministic: queries sorted by
@@ -49,6 +50,12 @@ def format_bench_line(
     }
     if streaming_rows_per_sec is not None:
         base["streaming_rows_per_sec"] = streaming_rows_per_sec
+    if streaming_batch_ms:
+        # end-to-end per-micro-batch latency percentiles (pooled across
+        # the median-of-3 leg's repetitions) — throughput says how fast
+        # rows drain, this says how long one commit cycle takes
+        base["streaming_batch_ms_p50"] = streaming_batch_ms.get("p50")
+        base["streaming_batch_ms_p95"] = streaming_batch_ms.get("p95")
     line = json.dumps(base)
     for name, secs in ranked[:10]:
         base["queries"][name] = secs
@@ -60,9 +67,17 @@ def format_bench_line(
     return line
 
 
+def _pctile(sorted_vals: list[float], q: float) -> float:
+    """Nearest-rank percentile of an ASCENDING list (q in (0, 1])."""
+    import math
+
+    idx = max(0, math.ceil(q * len(sorted_vals)) - 1)
+    return sorted_vals[idx]
+
+
 def bench_streaming(
     spark, sf_dir: str, n_batches: int = 4, reps: int = 3
-) -> tuple[float, int]:
+) -> tuple[float, int, dict[str, float]]:
     """Throughput of the flagship routed streaming pipeline (the
     reference's consumer loop) on the broker-free file-source twin:
     OCF-encode every order at this SF into an envelope parquet (NOT
@@ -70,7 +85,11 @@ def bench_streaming(
     decode -> 3-way route -> multi-sink foreachBatch run across a FIXED
     number of micro-batches (maxFilesPerTrigger), so per-batch commit
     overhead is included like a live consumer's. Returns
-    (rows_per_sec, n_rows).
+    (rows_per_sec, n_rows, batch_ms) where batch_ms = {"p50": ...,
+    "p95": ...} — per-micro-batch end-to-end latency percentiles from
+    the queries' recentProgress durations, pooled across the
+    repetitions (round-6 verdict item 7: throughput alone hides how
+    long one decode->route->commit cycle takes).
 
     MEDIAN OF ``reps`` IN-PROCESS REPETITIONS (round-5 verdict item 2):
     a single run of this leg swings 14.7-27.6k rows/s on identical code
@@ -120,7 +139,9 @@ def bench_streaming(
         n_rows = orders.count()
 
         rates = []
+        batch_ms: list[float] = []
         for rep in range(reps):
+            progress: list = []
             t0 = time.perf_counter()
             run_order_pipeline(
                 spark,
@@ -128,9 +149,23 @@ def bench_streaming(
                 os.path.join(work, f"work{rep}"),
                 available_now=True,
                 max_files_per_trigger=1,
+                progress_out=progress,
             )
             rates.append(n_rows / (time.perf_counter() - t0))
-        return round(sorted(rates)[len(rates) // 2], 1), n_rows
+            for p in progress:
+                d = p.get("batchDuration") or (p.get("durationMs") or {}).get(
+                    "triggerExecution"
+                )
+                if d is not None:
+                    batch_ms.append(float(d))
+        lat = {}
+        if batch_ms:
+            batch_ms.sort()
+            lat = {
+                "p50": round(_pctile(batch_ms, 0.50), 1),
+                "p95": round(_pctile(batch_ms, 0.95), 1),
+            }
+        return round(sorted(rates)[len(rates) // 2], 1), n_rows, lat
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -261,10 +296,10 @@ def main() -> None:
     # streaming throughput: the reference IS a streaming pipeline, so the
     # bench line carries one streaming number alongside the batch catalog
     try:
-        stream_rps, stream_rows = bench_streaming(spark, sf_dir)
+        stream_rps, stream_rows, stream_lat = bench_streaming(spark, sf_dir)
     except Exception as exc:
         print(f"BENCH ERROR streaming: {exc}", file=sys.stderr)
-        stream_rps, stream_rows = None, 0
+        stream_rps, stream_rows, stream_lat = None, 0, {}
 
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
@@ -279,12 +314,21 @@ def main() -> None:
                 "sf": sf,
                 "streaming_rows_per_sec": stream_rps,
                 "streaming_rows": stream_rows,
+                "streaming_batch_ms": stream_lat,
             },
             f,
             indent=1,
             sort_keys=True,
         )
-    print(format_bench_line(timings, total, sf, streaming_rows_per_sec=stream_rps))
+    print(
+        format_bench_line(
+            timings,
+            total,
+            sf,
+            streaming_rows_per_sec=stream_rps,
+            streaming_batch_ms=stream_lat,
+        )
+    )
     spark.stop()
 
 

@@ -37,9 +37,17 @@ SIMHASH_BITS = 16
 
 def shingles(text, k: int = 3):
     """Distinct k-word shingles of the normalized text (array column).
-    Documents shorter than k tokens yield an empty array."""
+    Documents shorter than k tokens yield an empty array — guarded
+    explicitly: sequence(0, size-k) with size < k would produce a
+    DESCENDING [0, -1, ...] (Spark defaults step to -1 when start >
+    stop) and the element_at lookups then throw under ANSI. The parquet
+    fixtures contain no sub-k docs, so this only ever fired on the
+    round-7 pathological-corpus suite; the DuckDB oracle's
+    generate_series(1, greatest(len-2, 0)) was always empty-safe."""
     toks = norm_tokens((text))
-    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - k, F.lit(-1)))
+    idx = F.when(
+        F.size(toks) >= k, F.sequence(F.lit(0), F.size(toks) - k)
+    ).otherwise(F.array().cast("array<int>"))
     return F.array_distinct(
         F.transform(
             idx,
@@ -166,6 +174,58 @@ def jaccard_pairs(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame:
                 / (F.col("n1.n") + F.col("n2.n") - F.col("inter")).cast("double")
             ).alias("jaccard"),
         )
+    )
+
+
+def expand_rep_pairs(
+    members: DataFrame, rep_pairs: DataFrame, payload: list[str]
+) -> DataFrame:
+    """Expand representative-level pairs back to ALL member-level pairs
+    (round-7 structural exact-dup collapse): for every rep pair
+    (id1 < id2, *payload), emit every cross pair of the two exact-dup
+    groups as (least, greatest, *payload). Exact by construction:
+    members of a group share the normalized text, hence behave
+    identically in every hash family (shingles, MinHash, SimHash votes,
+    hashed-tf vectors), so a rep-level pair qualifies iff every one of
+    its member pairs does — and every payload value (jaccard, hamming,
+    cosine) is computed from group-invariant inputs. Two equi-joins on
+    the rep key; output size is the true pair count, which is the
+    consumer's contract, but nothing quadratic is ever PERSISTED or
+    self-joined at member grain."""
+    m1 = members.select(F.col("rep").alias("id1"), F.col("id").alias("m1"))
+    m2 = members.select(F.col("rep").alias("id2"), F.col("id").alias("m2"))
+    return (
+        rep_pairs.join(m1, "id1")
+        .join(m2, "id2")
+        .select(
+            F.least("m1", "m2").alias("id1"),
+            F.greatest("m1", "m2").alias("id2"),
+            *payload,
+        )
+    )
+
+
+def intra_group_pairs(
+    members: DataFrame, qualified_reps: DataFrame
+) -> DataFrame:
+    """(id1 < id2) pairs WITHIN each exact-duplicate group whose rep
+    appears in ``qualified_reps`` (the groups the hash family actually
+    sees — e.g. reps with >= 1 shingle / >= 1 token / nonzero vector
+    norm; a group of sub-shingle-length docs produces no signatures and
+    therefore no raw pairs). Identical members always collide in every
+    band (equal signatures), so every within-group pair is a raw
+    candidate/near-pair by construction. One equi-join on the group
+    key: per-group quadratic — the output's own size — never a
+    corpus-level self-join."""
+    g = members.join(
+        qualified_reps.select(F.col("id").alias("rep")), "rep", "left_semi"
+    )
+    a = g.select("rep", F.col("id").alias("id1"))
+    b = g.select("rep", F.col("id").alias("id2"))
+    return (
+        a.join(b, "rep")
+        .filter(F.col("id1") < F.col("id2"))
+        .select("id1", "id2")
     )
 
 

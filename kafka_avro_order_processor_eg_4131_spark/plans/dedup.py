@@ -29,9 +29,75 @@ from .textops import _ALPHA, _AVGLEN, _STOPRATIO
 # (each query's plan still starts from the same rows). All entries are
 # owned by operators/cache.py's family registry, which gives them a
 # release lifecycle (round-2 verdict: no persist without an owner).
+#
+# STRUCTURAL EXACT-DUP COLLAPSE (round-7, verdict item 2): every pair
+# family (MinHash/LSH candidates, jaccard, components, SimHash pairs,
+# embedding-cosine pairs) is BUILT over exact-duplicate-group
+# REPRESENTATIVES only (rep = min doc_id per normalized-text
+# fingerprint — the dedup_exact_groups key) and lazily EXPANDED back to
+# member grain on consumption (operators/dedup.py::expand_rep_pairs /
+# intra_group_pairs). Exactness: members of a group share the
+# normalized text, so every hash family (shingles, signatures, votes,
+# hashed-tf vectors) treats them identically — a rep pair qualifies iff
+# all its member pairs do, within-group pairs always qualify (equal
+# signatures collide in every band), and every payload value is
+# group-invariant. The round-6 10x sweep measured WHY this must be
+# structural, not just the pipeline_clean_corpus ordering: a corpus
+# where every doc has 9 exact copies inflates LSH bucket occupancy 10x
+# and within-bucket candidate volume ~100x (~200M pairs), killing a 4g
+# single-JVM heap in the band self-joins and the persisted pair
+# relations. Rep-side relations restore ~1x occupancy no matter how
+# duplicate-dense the corpus is; the expanded relations are never
+# persisted — they stream from two equi-joins over the persisted rep
+# relations and the (id, rep) map. Oracles are untouched: they state
+# the raw member-grain form, and every consuming query hash-matches
+# (the gate + tests/test_round7_dedup_collapse.py's pathological-corpus
+# equivalence suite).
+
+
+def _exact_rep_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, rep, gsz): every document's exact-duplicate-group
+    representative (rep = MIN(doc_id) over the normalized-text
+    fingerprint — the same md5 key as dedup_exact_groups, so an md5
+    collision (2^-128) is the one shared, accepted failure mode of the
+    whole exact-dedup semantic) plus the group size, carried on every
+    row so consumers (the weighted vector mean, the components
+    expansion) never re-aggregate it. One hash aggregate + one
+    co-partitioned join back on the fingerprint; 3 narrow columns,
+    linear in the corpus."""
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", fingerprint(F.col("text")).alias("fp")
+        )
+        reps = d.groupBy("fp").agg(
+            F.min("doc_id").alias("rep"), F.count("*").alias("gsz")
+        )
+        return d.join(reps, "fp").select(
+            F.col("doc_id").alias("id"), "rep", "gsz"
+        )
+
+    return C.family(spark, "dedup.exact_rep", sf_dir, build)
+
+
+def _rep_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents rows of group representatives only (lazy semi-join
+    against the persisted rep map — not its own family)."""
+    m = _exact_rep_cached(spark, sf_dir)
+    return load(spark, sf_dir, "documents").join(
+        m.filter(F.col("id") == F.col("rep")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
 
 
 def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL-doc (id, shingle) rows — still needed at member grain by
+    doc_shingle_novelty and the decontamination stage of
+    pipeline_pretraining_batches (linear relations, never the pair
+    blowup)."""
     return C.family(
         spark,
         "dedup.shingles",
@@ -40,59 +106,183 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-doc MinHash signature relation — feeds both the candidate
-    derivation and the estimator-accuracy audit."""
+def _rep_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Representative-only shingle rows (lazy semi-join over the
+    persisted all-doc relation; not persisted separately — on low-dup
+    corpora it would duplicate nearly the whole shingle cache)."""
+    m = _exact_rep_cached(spark, sf_dir)
+    return _shingles_cached(spark, sf_dir).join(
+        m.filter(F.col("id") == F.col("rep")).select("id"), "id", "left_semi"
+    )
+
+
+def _rep_sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REPRESENTATIVE MinHash signatures (the only signature
+    aggregation that runs; member signatures are a map lookup)."""
     return C.family(
         spark,
-        "dedup.minhash_sigs",
+        "dedup.rep_minhash_sigs",
         sf_dir,
-        lambda: D.minhash_signatures(_shingles_cached(spark, sf_dir)),
+        lambda: D.minhash_signatures(_rep_shingles(spark, sf_dir)),
+    )
+
+
+def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc MinHash signature relation at MEMBER grain — lazy
+    expansion of the rep signatures through the (id, rep) map
+    (bit-identical: equal normalized text => equal shingle set => equal
+    per-hash minima). Feeds the estimator-accuracy audit."""
+    m = _exact_rep_cached(spark, sf_dir)
+    rs = _rep_sigs_cached(spark, sf_dir).withColumnRenamed("id", "rep")
+    return m.join(rs, "rep").select(
+        "id", *[f"sig{h}" for h in range(D.NUM_HASHES)]
+    )
+
+
+def _rep_cands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs among REPRESENTATIVES — the band self-join
+    runs at ~1x bucket occupancy regardless of duplicate density."""
+    return C.family(
+        spark,
+        "dedup.rep_lsh_candidates",
+        sf_dir,
+        lambda: D.candidate_pairs(D.lsh_buckets(_rep_sigs_cached(spark, sf_dir))),
     )
 
 
 def _candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain LSH candidate pairs — lazy expansion: cross pairs
+    of every rep candidate's two groups, plus all within-group pairs of
+    shingled groups (equal signatures collide in every band). Equals
+    the raw all-doc band join bit-for-bit; never persisted."""
+    m = _exact_rep_cached(spark, sf_dir)
+    inter = D.expand_rep_pairs(m, _rep_cands_cached(spark, sf_dir), [])
+    intra = D.intra_group_pairs(m, _rep_sigs_cached(spark, sf_dir))
+    return inter.unionAll(intra)
+
+
+def _rep_jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shingle-set Jaccard for the REP candidate pairs (the
+    expensive shingle-intersection join runs once per rep pair, not per
+    member pair)."""
     return C.family(
         spark,
-        "dedup.lsh_candidates",
+        "dedup.rep_jaccard",
         sf_dir,
-        lambda: D.candidate_pairs(D.lsh_buckets(_sigs_cached(spark, sf_dir))),
+        lambda: D.jaccard_pairs(
+            _rep_shingles(spark, sf_dir), _rep_cands_cached(spark, sf_dir)
+        ),
     )
 
 
 def _jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain jaccard-scored pairs — lazy expansion. Cross pairs
+    inherit the rep pair's jaccard (identical shingle sets => identical
+    intersection/union integers => identical double). Within-group
+    pairs score n/(n+n-n) = n/n, which is EXACTLY 1.0 in IEEE for any
+    finite nonzero n — the literal is bit-identical to the raw
+    computation."""
+    m = _exact_rep_cached(spark, sf_dir)
+    inter = D.expand_rep_pairs(
+        m, _rep_jaccard_cached(spark, sf_dir), ["jaccard"]
+    )
+    intra = D.intra_group_pairs(m, _rep_sigs_cached(spark, sf_dir)).select(
+        "id1", "id2", F.lit(1.0).alias("jaccard")
+    )
+    return inter.unionAll(intra)
+
+
+def _rep_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the REP near-dup graph (>= 0.8
+    jaccard). The iterative propagation touches only rep edges."""
     return C.family(
         spark,
-        "dedup.jaccard",
+        "dedup.rep_components",
         sf_dir,
-        lambda: D.jaccard_pairs(
-            _shingles_cached(spark, sf_dir), _candidates_cached(spark, sf_dir)
+        lambda: D.connected_components(
+            _rep_jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
         ),
     )
 
 
 def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected-components labeling — the iterative min-label
-    propagation is the most expensive derivation after shingling, and
-    both the component-listing and canonical-selection queries need the
-    same (id, component) relation."""
+    """Member-grain (id, component) — lazy expansion of the rep
+    components. Groups are cliques in the raw graph (within-group
+    jaccard = 1.0 >= 0.8), so contracting each group to its rep
+    preserves connectivity exactly, and the raw min-reachable-id label
+    equals the rep-graph label because every group's minimum member IS
+    its rep. Three member populations:
+      1. members of groups whose rep sits in a rep edge -> the rep
+         component's label;
+      2. members of size>=2 SHINGLED groups with no external edge ->
+         their own clique, label = rep;
+      3. everyone else (singletons without edges, sub-shingle-length
+         groups) -> absent, exactly as in the raw graph."""
+    m = _exact_rep_cached(spark, sf_dir)
+    comp_rep = _rep_components_cached(spark, sf_dir).withColumnRenamed(
+        "id", "rep"
+    )
+    part1 = m.join(comp_rep, "rep").select("id", "component")
+    sizes = m.filter(F.col("id") == F.col("rep")).select("rep", "gsz")
+    iso = (
+        sizes.filter(F.col("gsz") >= 2)
+        .join(
+            _rep_sigs_cached(spark, sf_dir).select(F.col("id").alias("rep")),
+            "rep",
+            "left_semi",
+        )
+        .join(comp_rep.select("rep"), "rep", "left_anti")
+        .select("rep")
+    )
+    part2 = m.join(iso, "rep").select("id", F.col("rep").alias("component"))
+    return part1.unionAll(part2)
+
+
+def _rep_simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-REPRESENTATIVE SimHash signatures (the token-vote aggregate
+    runs over rep docs only)."""
     return C.family(
         spark,
-        "dedup.components",
+        "dedup.rep_simhash",
         sf_dir,
-        lambda: D.connected_components(
-            _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
-        ),
+        lambda: D.simhash(_rep_docs(spark, sf_dir)),
     )
 
 
 def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain (id, simhash) — lazy expansion (equal token
+    multisets => equal votes => equal signature). Empty-token groups
+    produce no rep signature and stay absent, as in the raw build."""
+    m = _exact_rep_cached(spark, sf_dir)
+    rs = _rep_simhash_cached(spark, sf_dir).withColumnRenamed("id", "rep")
+    return m.join(rs, "rep").select("id", "simhash")
+
+
+def _rep_simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hamming<=3 pairs among REPRESENTATIVES (band self-join at ~1x
+    occupancy)."""
     return C.family(
         spark,
-        "dedup.simhash",
+        "dedup.rep_simhash_pairs",
         sf_dir,
-        lambda: D.simhash(load(spark, sf_dir, "documents")),
+        lambda: D.simhash_near_pairs(_rep_simhash_cached(spark, sf_dir)),
     )
+
+
+def _simhash_pairs_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain SimHash near pairs — lazy expansion. The 4-band
+    prefilter is COMPLETE for hamming < 4 (pigeonhole), so the raw
+    output is exactly {pairs with hamming <= 3}: cross pairs inherit
+    the rep hamming, within-group pairs (of token-bearing groups) have
+    hamming 0."""
+    m = _exact_rep_cached(spark, sf_dir)
+    inter = D.expand_rep_pairs(
+        m, _rep_simhash_pairs_cached(spark, sf_dir), ["hamming"]
+    )
+    intra = D.intra_group_pairs(
+        m, _rep_simhash_cached(spark, sf_dir)
+    ).select("id1", "id2", F.lit(0).cast("int").alias("hamming"))
+    return inter.unionAll(intra)
 
 # shared SQL fragments --------------------------------------------------------
 
@@ -376,8 +566,10 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming <= 3) via 4-bit band LSH — the
     banding guarantees recall for hamming < 4 by pigeonhole while keeping
-    the join linear in practice."""
-    return D.simhash_near_pairs(_simhash_cached(spark, sf_dir))
+    the join linear in practice. Served from the rep-collapsed family
+    (band join over representatives, exact member expansion — see the
+    module-top collapse note)."""
+    return _simhash_pairs_expanded(spark, sf_dir)
 
 
 # --- embedding cosine near-dup -------------------------------------------------
@@ -411,13 +603,17 @@ _LSH_BITS = 12
 _COS_THRESHOLD = 0.95
 
 
-def _doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _rep_doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, vec: 64-dim mean-centered hashed-tf vector, nrm) for
-    non-empty documents. Counts are exact integers, the mean is one
-    exact-integer sum divided by the doc count, and centering is a
-    per-element double subtract — all bit-portable to the DuckDB twin
-    (catalog.py determinism rules). Shared by the LSH near-dup plan and
-    its all-pairs twin test."""
+    non-empty group REPRESENTATIVES (round-7 collapse: members share
+    the normalized text, hence the token counts, hence the vector — the
+    tokenize/hash/aggregate work runs once per distinct text). The
+    corpus MEAN still weights every member: per-bucket mass is
+    sum(group_size * rep_count) — a sum of exact integer-valued double
+    products, equal to the raw per-doc sum in any order — divided by
+    the FULL non-empty doc count. Counts are exact integers, centering
+    is a per-element double subtract — all bit-portable to the DuckDB
+    twin (catalog.py determinism rules)."""
     from ..functions.text import norm_tokens
     from ..functions.vectors import norm
 
@@ -426,16 +622,17 @@ def _doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # same single-core-explode fix, but HashPartitioning(doc_id)
         # also satisfies the clustered distribution of BOTH downstream
         # aggregations — groupBy(doc_id, bucket) and groupBy(doc_id) —
-        # so the whole per-doc pipeline runs with ONE shuffle (round-5
+        # so the whole per-rep pipeline runs with ONE shuffle (round-5
         # A/B: bit-identical, ~20% faster family build).
         n_part = spark.sparkContext.defaultParallelism * 2
+        m = _exact_rep_cached(spark, sf_dir)
         d = (
-            load(spark, sf_dir, "documents")
+            _rep_docs(spark, sf_dir)
             .filter(F.trim(F.col("text")) != "")
             .repartition(n_part, "doc_id")
         )
         code = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
-        # cnt feeds BOTH the mean and the per-doc map aggregations below;
+        # cnt feeds BOTH the mean and the per-rep map aggregations below;
         # without the ephemeral persist the tokenize+hash pipeline runs
         # twice inside the one family materialization
         cnt = C.ephemeral(
@@ -444,10 +641,22 @@ def _doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id", "bucket")
             .agg(F.count("*").cast("double").alias("c"))
         )
-        ndocs = d.agg(F.count("*").alias("n"))
+        # the mean divides by the FULL non-empty doc count (members
+        # included), and each rep's bucket counts carry its group size —
+        # exact integer arithmetic in doubles, so the per-bucket mass
+        # equals the raw all-doc sum bit-for-bit (any summation order)
+        ndocs = (
+            load(spark, sf_dir, "documents")
+            .filter(F.trim(F.col("text")) != "")
+            .agg(F.count("*").alias("n"))
+        )
+        sizes = m.filter(F.col("id") == F.col("rep")).select(
+            "rep", F.col("gsz").cast("double").alias("gszd")
+        )
         mean_row = (
-            cnt.groupBy("bucket")
-            .agg(F.sum("c").alias("s"))
+            cnt.join(sizes, cnt["doc_id"] == sizes["rep"])
+            .groupBy("bucket")
+            .agg(F.sum(F.col("c") * F.col("gszd")).alias("s"))
             .agg(
                 F.map_from_entries(
                     F.array_sort(F.collect_list(F.struct("bucket", "s")))
@@ -480,7 +689,23 @@ def _doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         return vec.withColumn("nrm", norm(F.col("vec"))).filter(F.col("nrm") > 0)
 
-    return C.family(spark, "dedup.doc_vectors", sf_dir, build)
+    return C.family(spark, "dedup.rep_doc_vectors", sf_dir, build)
+
+
+def _doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain (doc_id, vec, nrm) — lazy expansion of the rep
+    vectors through the (id, rep) map; bit-identical to the raw per-doc
+    build (same counts, same mean, same subtracts). Shared by the LSH
+    near-dup plan's plane/centroid derivations (which must see the
+    leading MEMBER ids so the planes stay exactly the raw build's), the
+    semdedup assignment, and the all-pairs twin tests."""
+    m = _exact_rep_cached(spark, sf_dir)
+    rv = _rep_doc_vectors_cached(spark, sf_dir).withColumnRenamed(
+        "doc_id", "rep"
+    )
+    return m.join(rv, "rep").select(
+        F.col("id").alias("doc_id"), "vec", "nrm"
+    )
 
 
 def _doc_vec_sql() -> str:
@@ -555,10 +780,15 @@ def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _embedding_pairs_cached(spark, sf_dir)
 
 
-def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Family cache for the LSH-verified near-pair relation (tiny —
-    the qualifying pairs themselves): the registered pairs query and
-    the cross-detector agreement audit both consume it."""
+def _rep_embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-verified cosine near pairs among REPRESENTATIVES. The
+    difference-pair hyperplanes are derived from the EXPANDED
+    member-grain relation (leading 2*T*B vectors BY MEMBER id), so they
+    are bit-identical to the raw build's planes — bucket(member) =
+    bucket(its rep) then holds by vector equality, which makes the rep
+    candidate set exactly the raw candidate set restricted to reps (no
+    recall drift; the banding's empirical completeness pins carry
+    over verbatim)."""
     from ..operators import similarity as S
 
     def build() -> DataFrame:
@@ -567,10 +797,49 @@ def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             e, _LSH_TABLES, _LSH_BITS, id_col="doc_id", vec_col="vec"
         )
         return S.lsh_near_pairs_fused(
-            e, planes, _COS_THRESHOLD, id_col="doc_id", vec_col="vec"
+            _rep_doc_vectors_cached(spark, sf_dir),
+            planes,
+            _COS_THRESHOLD,
+            id_col="doc_id",
+            vec_col="vec",
         )
 
-    return C.family(spark, "dedup.embedding_pairs", sf_dir, build)
+    return C.family(spark, "dedup.rep_embedding_pairs", sf_dir, build)
+
+
+def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Member-grain LSH-verified near-pair relation — lazy expansion:
+    cross pairs inherit the rep pair's cosine (identical vectors =>
+    identical fold => identical double); within-group pairs carry the
+    group's SELF-cosine dot(v,v)/(nrm*nrm) — the exact IEEE expression
+    the raw verify computes for two identical vectors (NOT a 1.0
+    literal: nrm*nrm re-rounds sqrt(d)^2, so d/(nrm*nrm) can sit an ulp
+    off 1.0) — filtered at the same threshold. The registered pairs
+    query, semdedup, and the cross-detector agreement audit consume
+    this; nothing quadratic is persisted."""
+    from ..functions.vectors import dot
+
+    m = _exact_rep_cached(spark, sf_dir)
+    inter = D.expand_rep_pairs(
+        m, _rep_embedding_pairs_cached(spark, sf_dir), ["cos"]
+    )
+    self_cos = _rep_doc_vectors_cached(spark, sf_dir).select(
+        F.col("doc_id").alias("id"),
+        (dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm"))).alias(
+            "self_cos"
+        ),
+    ).filter(F.col("self_cos") >= _COS_THRESHOLD)
+    intra = (
+        D.intra_group_pairs(m, self_cos)
+        .join(
+            m.select(F.col("id").alias("id1"), "rep").join(
+                self_cos.select(F.col("id").alias("rep"), "self_cos"), "rep"
+            ),
+            "id1",
+        )
+        .select("id1", "id2", F.col("self_cos").alias("cos"))
+    )
+    return inter.unionAll(intra)
 
 
 _SEMDEDUP_CELLS = 16
@@ -1282,7 +1551,7 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id1", "id2", F.lit(1).alias("in_mh"), F.lit(0).alias("in_sh"),
                 F.lit(0).alias("in_em"))
     )
-    sh = D.simhash_near_pairs(_simhash_cached(spark, sf_dir)).select(
+    sh = _simhash_pairs_expanded(spark, sf_dir).select(
         "id1", "id2", F.lit(0).alias("in_mh"), F.lit(1).alias("in_sh"),
         F.lit(0).alias("in_em"),
     )

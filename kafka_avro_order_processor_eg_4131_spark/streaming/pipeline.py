@@ -176,6 +176,7 @@ def run_order_pipeline(
     available_now: bool = True,
     observed_metrics: list | None = None,
     max_files_per_trigger: int | None = None,
+    progress_out: list | None = None,
 ) -> PipelineSinks:
     """Broker-free flagship pipeline: parquet envelope stream in
     ``input_dir`` (columns: key binary, value binary, topic string,
@@ -217,6 +218,11 @@ def run_order_pipeline(
                 m = (p.get("observedMetrics") or {}).get(OBSERVE_NAME)
                 if m is not None:
                     observed_metrics.append(m)
+        if progress_out is not None:
+            # raw StreamingQueryProgress dicts — bench.py reads per-batch
+            # durations (batchDuration / durationMs.triggerExecution) for
+            # its end-to-end latency percentiles
+            progress_out.extend(q.recentProgress)
     else:
         writer.start()
     return sinks

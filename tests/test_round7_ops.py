@@ -218,6 +218,79 @@ def test_memo_swept_lock_retries_instead_of_duplicate_build(spark):
 # -- 3. rehearsal harness: a throwing query must fail the run ---------------
 
 
+class TestStreamingLatencyPercentiles:
+    def test_pctile_nearest_rank(self):
+        import bench
+
+        vals = [float(v) for v in range(1, 11)]
+        assert bench._pctile(vals, 0.50) == 5.0
+        assert bench._pctile(vals, 0.95) == 10.0
+        assert bench._pctile([7.0], 0.95) == 7.0
+
+    def test_bench_line_carries_latency_keys(self):
+        import json
+
+        import bench
+
+        line = bench.format_bench_line(
+            {"q": 1.0},
+            1.0,
+            0.1,
+            streaming_rows_per_sec=1000.0,
+            streaming_batch_ms={"p50": 800.0, "p95": 1500.0},
+        )
+        d = json.loads(line)
+        assert d["streaming_batch_ms_p50"] == 800.0
+        assert d["streaming_batch_ms_p95"] == 1500.0
+        assert len(line.encode()) <= bench.MAX_LINE_BYTES
+
+    def test_pipeline_progress_out_captures_batch_durations(
+        self, spark, tmp_path
+    ):
+        """progress_out must surface one progress entry per micro-batch
+        with a readable duration — the raw material for the bench
+        line's p50/p95."""
+        from kafka_avro_order_processor_eg_4131_spark.functions.avro_ocf import (
+            ocf_encode,
+        )
+        from kafka_avro_order_processor_eg_4131_spark.schemas import (
+            ORDER_AVRO_SCHEMA,
+        )
+        from kafka_avro_order_processor_eg_4131_spark.streaming.pipeline import (
+            run_order_pipeline,
+        )
+
+        rows = []
+        for i in range(6):
+            blob = ocf_encode(
+                ORDER_AVRO_SCHEMA,
+                [{"orderId": f"o-{i}", "product": "P", "price": 10.0 + i}],
+            )
+            rows.append((f"o-{i}".encode(), blob, "orders", 0, i))
+        df = spark.createDataFrame(
+            rows, "key binary, value binary, topic string, partition int, offset long"
+        )
+        input_dir = str(tmp_path / "input")
+        df.coalesce(2).write.parquet(input_dir)
+
+        progress: list = []
+        run_order_pipeline(
+            spark,
+            input_dir,
+            str(tmp_path / "work"),
+            available_now=True,
+            max_files_per_trigger=1,
+            progress_out=progress,
+        )
+        assert progress, "no progress entries captured"
+        durations = [
+            p.get("batchDuration")
+            or (p.get("durationMs") or {}).get("triggerExecution")
+            for p in progress
+        ]
+        assert all(d is not None and float(d) >= 0 for d in durations)
+
+
 class TestRehearsalExitOnError:
     def test_throwing_query_drives_bad_count_through_real_loop(
         self, spark, sf_small, capsys
