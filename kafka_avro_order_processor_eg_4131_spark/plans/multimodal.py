@@ -245,14 +245,38 @@ def multimodal_feature_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     Features are unit-norm so the left-fold dot IS the cosine; the
     oracle recomputes the exact float32-rounded features from hex
     nibble counts, so the whole decode->featurize->dedup pipeline is
-    hash-checked."""
+    hash-checked.
+
+    STRUCTURAL EXACT-DUP COLLAPSE (round-7, same move as the dedup
+    family): the Python featurize UDF and the band self-join run over
+    RAW-BYTE exact-duplicate group representatives only, then the pair
+    relation expands back to member grain. The group key here is md5 of
+    the payload bytes — NOT the dedup family's normalized-text
+    fingerprint: this family's features, byte lengths, and bands are
+    case- and whitespace-SENSITIVE, so only byte-identical docs may
+    collapse. Exactness: equal payload => equal features/n_bytes/band,
+    the three band branches are disjoint and band-invariant, the cos
+    payload is group-invariant, and within-group pairs carry the rep's
+    self-cos dot(fv,fv) under the same threshold (a zero-norm payload
+    scores 0 and drops, exactly as raw). Measured: the 10x pathological
+    sweep leg fell 111.7s -> see PLANS.md (it was the slowest plan in
+    the round-7 sweep; the band join saw 10x occupancy = ~100x
+    collision dots)."""
     from pyspark.sql import functions as F
 
     from ..functions.vectors import dot
+    from ..operators import dedup as D
 
-    d = load(spark, sf_dir, "documents")
-    feats = M.extract_features(M.attach_payload(d))
-    lens = d.select(
+    m = _raw_rep_cached(spark, sf_dir)
+    d_rep = load(spark, sf_dir, "documents").join(
+        m.filter(F.col("id") == F.col("rep")).select(
+            F.col("id").alias("doc_id")
+        ),
+        "doc_id",
+        "left_semi",
+    )
+    feats = M.extract_features(M.attach_payload(d_rep))
+    lens = d_rep.select(
         "doc_id", F.octet_length(F.encode(F.col("text"), "utf-8")).cast("bigint").alias("n_bytes")
     )
     f = (
@@ -283,8 +307,40 @@ def multimodal_feature_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     cand = same.unionByName(adj_up).unionByName(adj_dn)
     cos = dot(F.col("fv1"), F.col("fv2"))
-    return (
+    rep_pairs = (
         cand.filter(F.abs(F.col("len1") - F.col("len2")) <= _NF_MAXDIFF)
         .select("id1", "id2", cos.alias("cos"))
         .filter(F.col("cos") >= _NF_THRESH)
     )
+    inter = D.expand_rep_pairs(m, rep_pairs, ["cos"])
+    self_cos = f.select(
+        F.col("doc_id").alias("id"),
+        dot(F.col("fv"), F.col("fv")).alias("self_cos"),
+    ).filter(F.col("self_cos") >= _NF_THRESH)
+    intra = (
+        D.intra_group_pairs(m, self_cos)
+        .join(
+            m.select(F.col("id").alias("id1"), "rep").join(
+                self_cos.select(F.col("id").alias("rep"), "self_cos"), "rep"
+            ),
+            "id1",
+        )
+        .select("id1", "id2", F.col("self_cos").alias("cos"))
+    )
+    return inter.unionAll(intra)
+
+
+def _raw_rep_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id, rep): RAW-BYTE exact-duplicate groups for the multimodal
+    family — rep = MIN(doc_id) over md5(payload bytes). Distinct from
+    plans/dedup.py's normalized-text map on purpose (see
+    multimodal_feature_near_pairs docstring)."""
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents").select(
+            "doc_id", F.md5(F.encode(F.col("text"), "utf-8")).alias("fp")
+        )
+        reps = d.groupBy("fp").agg(F.min("doc_id").alias("rep"))
+        return d.join(reps, "fp").select(F.col("doc_id").alias("id"), "rep")
+
+    return C.family(spark, "multimodal.exact_rep_raw", sf_dir, build)

@@ -274,6 +274,91 @@ class TestEmbeddingFamilyEquivalence:
         assert {(1, 2), (1, 3), (1, 4), (5, 6), (7, 8)} <= got_pairs
 
 
+class TestMultimodalFamilyEquivalence:
+    def _raw_near_pairs(self, spark, patho_dir):
+        """The pre-collapse member-grain band join, restated as the
+        reference twin."""
+        from kafka_avro_order_processor_eg_4131_spark.functions.vectors import dot
+        from kafka_avro_order_processor_eg_4131_spark.operators import (
+            multimodal as M,
+        )
+        from kafka_avro_order_processor_eg_4131_spark.plans.multimodal import (
+            _NF_BAND,
+            _NF_MAXDIFF,
+            _NF_THRESH,
+        )
+
+        d = _docs(spark, patho_dir)
+        feats = M.extract_features(M.attach_payload(d))
+        lens = d.select(
+            "doc_id",
+            F.octet_length(F.encode(F.col("text"), "utf-8"))
+            .cast("bigint")
+            .alias("n_bytes"),
+        )
+        f = feats.join(lens, "doc_id").select(
+            "doc_id",
+            "n_bytes",
+            F.expr(f"n_bytes div {_NF_BAND}").alias("band"),
+            F.col("features").alias("fv"),
+        )
+        a = f.select(
+            F.col("doc_id").alias("id1"), F.col("n_bytes").alias("len1"),
+            F.col("band").alias("band1"), F.col("fv").alias("fv1"),
+        )
+        b = f.select(
+            F.col("doc_id").alias("id2"), F.col("n_bytes").alias("len2"),
+            F.col("band").alias("band2"), F.col("fv").alias("fv2"),
+        )
+        same = a.join(
+            b, (F.col("band1") == F.col("band2")) & (F.col("id1") < F.col("id2"))
+        )
+        up = a.join(
+            b, (F.col("band1") + 1 == F.col("band2")) & (F.col("id1") < F.col("id2"))
+        )
+        dn = a.join(
+            b, (F.col("band1") == F.col("band2") + 1) & (F.col("id1") < F.col("id2"))
+        )
+        cos = dot(F.col("fv1"), F.col("fv2"))
+        return (
+            same.unionByName(up)
+            .unionByName(dn)
+            .filter(F.abs(F.col("len1") - F.col("len2")) <= _NF_MAXDIFF)
+            .select("id1", "id2", cos.alias("cos"))
+            .filter(F.col("cos") >= _NF_THRESH)
+        )
+
+    def test_near_pairs_match_raw(self, spark, patho_dir):
+        from kafka_avro_order_processor_eg_4131_spark.plans.multimodal import (
+            multimodal_feature_near_pairs,
+        )
+
+        cols = ("id1", "id2", "cos")
+        got = _pairs(multimodal_feature_near_pairs(spark, patho_dir), cols)
+        raw = _pairs(self._raw_near_pairs(spark, patho_dir), cols)
+        C.release_ephemeral(spark)
+        assert got == raw
+
+    def test_raw_byte_groups_are_not_normalized_groups(self, spark, patho_dir):
+        """The multimodal rep map keys on RAW bytes: the case-only (doc
+        4) and whitespace-only (doc 3) variants of doc 1 share the
+        dedup family's normalized fingerprint but must be their OWN
+        raw-byte groups — collapsing them here would corrupt lengths,
+        bands, and features."""
+        from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
+            _exact_rep_cached,
+        )
+        from kafka_avro_order_processor_eg_4131_spark.plans.multimodal import (
+            _raw_rep_cached,
+        )
+
+        raw_rep = dict(_pairs(_raw_rep_cached(spark, patho_dir), ("id", "rep")))
+        norm_rep = dict(_pairs(_exact_rep_cached(spark, patho_dir), ("id", "rep")))
+        assert norm_rep[3] == norm_rep[4] == norm_rep[1] == 1
+        assert raw_rep[1] == raw_rep[2] == 1  # byte-identical copies
+        assert raw_rep[3] == 3 and raw_rep[4] == 4  # ws/case differ in bytes
+
+
 class TestFixtureEdgeCoverageAssumption:
     def test_fixture_lacks_the_edge_cases(self, spark, sf_small):
         """Documents the reason this synthetic suite exists: the parquet
