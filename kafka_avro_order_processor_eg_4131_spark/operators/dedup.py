@@ -148,11 +148,16 @@ def candidate_pairs(buckets: DataFrame) -> DataFrame:
 def jaccard_pairs(sh_rows: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact shingle-set Jaccard for the given candidate pairs.
 
-    Deliberately NOT semi-join-pruned to candidate ids: A/B-measured at
-    sf0.1, the prefilter RECOMPUTES the candidate pipeline for its
-    broadcast and nearly doubles wall-clock (4.7s -> 9.1s). With a
-    persisted candidate relation (very large corpora) the prune pays;
-    at this shape the straight join wins."""
+    Deliberately NOT semi-join-pruned to candidate ids, re-confirmed
+    round 7 AFTER the precondition changed: the round-5 loss was the
+    prefilter recomputing an unpersisted candidate pipeline (4.7s ->
+    9.1s); with candidates now a PERSISTED rep-grain family the prune
+    was re-A/B'd and still loses — sf0.1 0.97s -> 2.49s, pathological
+    10x 3.04s -> 4.25s, identical output — because the structural
+    exact-dup collapse already removed the duplicate shingle volume the
+    prune would have cut, and the distinct+semi overhead is all that
+    remains. Revisit only if this ever runs over a MEMBER-grain shingle
+    relation again."""
     sizes = sh_rows.groupBy("id").agg(F.count("*").alias("n"))
     inter = (
         pairs.join(sh_rows.alias("s1"), F.col("id1") == F.col("s1.id"))
