@@ -209,7 +209,7 @@ _MIX_LO_FRAC_HEX = "4"   # src10+: 0.25 epoch
     oracle=f"""
     WITH w AS (
       SELECT doc_id, source,
-             CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_idx,
+             TRY_CAST(regexp_extract(source, '(\\d+)', 1) AS INT) AS src_idx,
              substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS gate
       FROM documents
     ), copies AS (
@@ -232,9 +232,15 @@ def corpus_mix_epoch_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5 hash gate. The output is the physical training mixture — one
     row per (doc, epoch). Pure per-row arithmetic + explode: no
     shuffle at all, so the mixture materializes at scan speed at any
-    scale, and reruns reproduce the identical mixture (no rand())."""
+    scale, and reruns reproduce the identical mixture (no rand()).
+    Sources WITHOUT a digit (possible in foreign corpora; the round-7
+    edge-corpus smoke crashed here on ANSI CAST('' AS INT)) take the
+    try_cast->NULL path: both CASE branches' NULL comparisons are
+    false, so they fall to the hash-gated 0.25x low band — identical
+    in both engines, and a no-op on the fixtures (every fixture source
+    carries its index)."""
     d = load(spark, sf_dir, "documents")
-    src_idx = F.regexp_extract(F.col("source"), r"(\d+)", 1).cast("int")
+    src_idx = F.regexp_extract(F.col("source"), r"(\d+)", 1).try_cast("int")
     gate = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
     n_copies = (
         F.when(
