@@ -84,6 +84,12 @@ def read_bytes(buf: io.BytesIO) -> bytes:
 # schema-driven datum codec
 # ---------------------------------------------------------------------------
 
+def _has_null(vals) -> bool:
+    """True when any struct field is null as pandas renders it: None
+    for object/string columns, NaN for float columns."""
+    return any(v is None or (isinstance(v, float) and v != v) for v in vals)
+
+
 _PRIMITIVE_WRITERS = {
     "string": lambda out, v: write_bytes(out, str(v).encode("utf-8")),
     "bytes": write_bytes,
@@ -323,6 +329,14 @@ def ocf_encode_udf(schema_json: str):
         cols = [rows[n] for n in names]
         out = []
         for vals in zip(*cols):
+            if _has_null(vals):
+                # this schema's primitives are all non-nullable: a null
+                # field is UNENCODABLE — emit NULL rather than silently
+                # stringifying (str(None) wrote a literal "None" until
+                # the round-8 edge probe caught it); downstream decode
+                # of NULL yields a null struct -> the DLQ route
+                out.append(None)
+                continue
             body = io.BytesIO()
             for (_, writer), v in zip(writers, vals):
                 writer(body, v)
@@ -458,6 +472,11 @@ def avro_datum_encode_udf(schema_json: str, confluent_schema_id: int | None = No
         cols = [rows[n] for n in names]
         out = []
         for vals in zip(*cols):
+            if _has_null(vals):
+                # unencodable record (null in a non-nullable Avro
+                # field) -> NULL datum, see ocf_encode_udf
+                out.append(None)
+                continue
             body = io.BytesIO()
             for (_, writer), v in zip(writers, vals):
                 writer(body, v)

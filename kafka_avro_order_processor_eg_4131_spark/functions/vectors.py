@@ -28,7 +28,11 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    # try_divide, not `/`: a zero-norm vector makes the divisor 0.0,
+    # which ANSI Spark raises on while DuckDB's float division returns
+    # NULL — try_divide IS DuckDB's semantics (round-8 edge-relational
+    # probe). Clean embeddings are unaffected.
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 # --- SQL twins (DuckDB) -----------------------------------------------------

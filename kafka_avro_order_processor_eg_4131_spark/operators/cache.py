@@ -39,6 +39,13 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+# Sweep-retry bound for family()/memo(): each retry means a
+# release_families() swept the key between our setdefault and acquire.
+# One or two retries is the realistic worst case; a caller racing a
+# pathological tight release loop should fail loudly rather than spin
+# forever minting (GC-able but unbounded) Lock objects (round-7 advice).
+_MAX_BUILD_RETRIES = 100
+
 # One lock for every registry mutation (round-4 advice: family() had a
 # check-then-act race that could strand a loser's owner-less persist,
 # and ephemeral()/release_* interleavings could append to an
@@ -82,7 +89,7 @@ def family(
     # check-then-act stranded a racing duplicate). Per-key, not the
     # module lock, so an eager multi-second materialization of one
     # family never serializes unrelated families.
-    while True:
+    for _ in range(_MAX_BUILD_RETRIES):
         with _LOCK:
             df = _FAMILY.get(key)
             if df is not None:
@@ -118,6 +125,10 @@ def family(
                 _FAMILY[key] = built
                 _FAMILY_BUILDING.pop(key, None)
             return built
+    raise RuntimeError(
+        f"family({name!r}): build lock swept {_MAX_BUILD_RETRIES} times in a "
+        "row — a release_families() storm is racing this builder"
+    )
 
 
 _MEMO: dict[tuple[int, str, str], object] = {}
@@ -145,7 +156,7 @@ def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], obje
     caller then correctly rebuilds post-release while the doomed build
     drains, which is the release's documented semantics, not a leak."""
     key = (_session_key(spark), name, sf_dir)
-    while True:
+    for _ in range(_MAX_BUILD_RETRIES):
         with _LOCK:
             if key in _MEMO:
                 return _MEMO[key]
@@ -164,6 +175,10 @@ def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], obje
                 _MEMO[key] = obj
                 _MEMO_BUILDING.pop(key, None)
             return obj
+    raise RuntimeError(
+        f"memo({name!r}): build lock swept {_MAX_BUILD_RETRIES} times in a "
+        "row — a release_families() storm is racing this builder"
+    )
 
 
 def ephemeral(df: DataFrame) -> DataFrame:

@@ -28,6 +28,12 @@ _DAY_US = 86_400_000_000
 
 
 def _merge_asof_bucket(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
+    # NULL-time rows mirror the SQL ASOF semantics pandas would other-
+    # wise raise on ("Merge keys contain null values", round-8 edge-
+    # relational probe): `ts >= o_orderdate` is never true against a
+    # NULL, so null-dated orders can never match anyone (drop from the
+    # right) and null-ts events emit unmatched (left join keeps them
+    # with NULL payload).
     le = le.sort_values("ts", kind="mergesort").reset_index(drop=True)
     out = pd.DataFrame(
         {
@@ -36,25 +42,29 @@ def _merge_asof_bucket(le: pd.DataFrame, ri: pd.DataFrame) -> pd.DataFrame:
             "ts": le["ts"],
         }
     )
-    if ri.empty:
-        out["last_orderkey"] = pd.array([None] * len(le), dtype="Int64")
-        out["days_since_order"] = pd.array([None] * len(le), dtype="Int64")
-        return out
-    ri = ri.sort_values("o_orderdate", kind="mergesort").reset_index(drop=True)
-    m = pd.merge_asof(
-        le,
-        ri,
-        left_on="ts",
-        right_on="o_orderdate",
-        by="user_id",  # per-user matching INSIDE one vectorized call
-        direction="backward",  # latest order with o_orderdate <= ts
-    )
-    out["last_orderkey"] = m["o_orderkey"].astype("Int64")
-    # exact floor of the elapsed days (microsecond integer division —
-    # mirrors the oracle's date_diff('microsecond')//86400e6)
-    delta = m["ts"] - m["o_orderdate"]
-    days = delta // pd.Timedelta(microseconds=1) // _DAY_US
-    out["days_since_order"] = days.astype("Int64")
+    ri = ri[ri["o_orderdate"].notna()]
+    ok = le["ts"].notna()
+    lk = pd.array([None] * len(le), dtype="Int64")
+    ds = pd.array([None] * len(le), dtype="Int64")
+    if not ri.empty and ok.any():
+        ri = ri.sort_values("o_orderdate", kind="mergesort").reset_index(drop=True)
+        m = pd.merge_asof(
+            le.loc[ok].reset_index(drop=True),
+            ri,
+            left_on="ts",
+            right_on="o_orderdate",
+            by="user_id",  # per-user matching INSIDE one vectorized call
+            direction="backward",  # latest order with o_orderdate <= ts
+        )
+        # exact floor of the elapsed days (microsecond integer division
+        # — mirrors the oracle's date_diff('microsecond')//86400e6)
+        delta = m["ts"] - m["o_orderdate"]
+        days = delta // pd.Timedelta(microseconds=1) // _DAY_US
+        idx = ok.to_numpy().nonzero()[0]
+        lk[idx] = pd.array(m["o_orderkey"].astype("Int64"))
+        ds[idx] = pd.array(days.astype("Int64"))
+    out["last_orderkey"] = lk
+    out["days_since_order"] = ds
     return out
 
 

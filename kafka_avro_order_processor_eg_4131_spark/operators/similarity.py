@@ -113,9 +113,9 @@ def _pairwise_topk(
     )
     scored = q.crossJoin(c).filter(pred).select(
         *out,
-        (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias(
-            "cos"
-        ),
+        F.try_divide(
+            dot(F.col("qvec"), F.col("cvec")), F.col("qnrm") * F.col("cnrm")
+        ).alias("cos"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col(other_id))
     return (
@@ -330,7 +330,9 @@ def lsh_near_pairs(
         .select(
             "id1",
             "id2",
-            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+            F.try_divide(
+                dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )
@@ -402,7 +404,9 @@ def lsh_near_pairs_fused(
         .select(
             "id1",
             "id2",
-            (dot(F.col("v1"), F.col("v2")) / (F.col("n1") * F.col("n2"))).alias("cos"),
+            F.try_divide(
+                dot(F.col("v1"), F.col("v2")), F.col("n1") * F.col("n2")
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
         .distinct()
@@ -431,9 +435,9 @@ def allpairs_cosine_pairs(
         .select(
             F.col("a.id").alias("id1"),
             F.col("b.id").alias("id2"),
-            (
-                dot(F.col("a.vec"), F.col("b.vec"))
-                / (F.col("a.nrm") * F.col("b.nrm"))
+            F.try_divide(
+                dot(F.col("a.vec"), F.col("b.vec")),
+                F.col("a.nrm") * F.col("b.nrm"),
             ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
@@ -462,7 +466,7 @@ def ivf_assign(emb: DataFrame, centroids: DataFrame, n_probe: int = 1,
         .select(
             "id", "vec",
             "cell_id",
-            (dot(F.col("vec"), F.col("cvec")) / (F.col("vnrm") * F.col("cnrm"))).alias("aff"),
+            F.try_divide(dot(F.col("vec"), F.col("cvec")), F.col("vnrm") * F.col("cnrm")).alias("aff"),
         )
     )
     w = Window.partitionBy("id").orderBy(F.col("aff").desc(), F.col("cell_id"))
@@ -511,7 +515,7 @@ def ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+            F.try_divide(dot(F.col("qvec"), F.col("cvec")), F.col("qnrm") * F.col("cnrm")).alias("cos"),
         )
         .distinct()  # a neighbor can reach the query through both probed cells
     )
@@ -622,7 +626,7 @@ def ivf_kmeans_topk(
         .select(
             "query_id",
             "neighbor_id",
-            (dot(F.col("qvec"), F.col("cvec")) / (F.col("qnrm") * F.col("cnrm"))).alias("cos"),
+            F.try_divide(dot(F.col("qvec"), F.col("cvec")), F.col("qnrm") * F.col("cnrm")).alias("cos"),
         )
         .distinct()
     )

@@ -150,7 +150,7 @@ def _rep_cands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _candidates_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _candidates_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-grain LSH candidate pairs — lazy expansion: cross pairs
     of every rep candidate's two groups, plus all within-group pairs of
     shingled groups (equal signatures collide in every band). Equals
@@ -175,7 +175,7 @@ def _rep_jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _jaccard_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-grain jaccard-scored pairs — lazy expansion. Cross pairs
     inherit the rep pair's jaccard (identical shingle sets => identical
     intersection/union integers => identical double). Within-group
@@ -205,7 +205,7 @@ def _rep_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _components_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-grain (id, component) — lazy expansion of the rep
     components. Groups are cliques in the raw graph (within-group
     jaccard = 1.0 >= 0.8), so contracting each group to its rep
@@ -249,7 +249,7 @@ def _rep_simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _simhash_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-grain (id, simhash) — lazy expansion (equal token
     multisets => equal votes => equal signature). Empty-token groups
     produce no rep signature and stay absent, as in the raw build."""
@@ -357,7 +357,7 @@ def dedup_minhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup candidates: shingle -> 8-hash signature ->
     4 bands -> bucket equi-join. Only bucket-colliding docs ever meet —
     the candidate set is ~linear in corpus size, not quadratic."""
-    return _candidates_cached(spark, sf_dir)
+    return _candidates_expanded(spark, sf_dir)
 
 
 @register(
@@ -384,7 +384,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     set similarity >= 0.8 — the verify stage that makes MinHash output
     trustworthy (candidates are probabilistic, this is exact)."""
     # shingle rows feed BOTH the signature and the verification joins
-    return _jaccard_cached(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
+    return _jaccard_expanded(spark, sf_dir).filter(F.col("jaccard") >= 0.8)
 
 
 @register(
@@ -431,7 +431,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load(spark, sf_dir, "documents")
     losers = (
-        _jaccard_cached(spark, sf_dir)
+        _jaccard_expanded(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.8)
         .select(F.col("id2").alias("doc_id"))
         .distinct()
@@ -491,7 +491,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators with an exact SQL twin. Note the oracle needs WITH
     RECURSIVE, which DuckDB supports; the prefix CTE is shared with
     dedup_jaccard_verified."""
-    return _components_cached(spark, sf_dir)
+    return _components_expanded(spark, sf_dir)
 
 
 # --- SimHash ------------------------------------------------------------------
@@ -533,7 +533,7 @@ def dedup_simhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash per document: token hash bits vote ±1 per position,
     sign of each sum sets the bit. All integer arithmetic — JVM-side and
     bit-identical to the oracle."""
-    return _simhash_cached(spark, sf_dir)
+    return _simhash_expanded(spark, sf_dir)
 
 
 @register(
@@ -1144,7 +1144,7 @@ def dedup_cluster_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.text import quality_score
     from pyspark.sql import Window
 
-    comp = _components_cached(spark, sf_dir)
+    comp = _components_expanded(spark, sf_dir)
     d = load(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), quality_score(F.col("text")).alias("q")
     )
@@ -1254,7 +1254,7 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     # every component member IS a near-dup: connected_components only
     # emits nodes that appear in a >=0.8-Jaccard edge, so no cluster-
     # size filter is needed (a singleton component cannot exist)
-    clustered = _components_cached(spark, sf_dir).select(
+    clustered = _components_expanded(spark, sf_dir).select(
         F.col("id").alias("doc_id")
     )
     per_src = d.groupBy("source").agg(
@@ -1327,7 +1327,7 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     signature joins over the candidate list; the estimate is an exact
     small-integer ratio and the error a single correctly-rounded IEEE
     subtraction."""
-    cands = _candidates_cached(spark, sf_dir)
+    cands = _candidates_expanded(spark, sf_dir)
     sigs = _sigs_cached(spark, sf_dir)
     match = sum(
         F.when(F.col(f"a.sig{h}") == F.col(f"b.sig{h}"), 1).otherwise(0)
@@ -1342,7 +1342,7 @@ def dedup_minhash_estimate_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
             (match.cast("double") / float(D.NUM_HASHES)).alias("est_jaccard"),
         )
     )
-    exact = _jaccard_cached(spark, sf_dir).select(
+    exact = _jaccard_expanded(spark, sf_dir).select(
         "id1", "id2", F.col("jaccard").alias("exact_jaccard")
     )
     return (
@@ -1546,7 +1546,7 @@ def dedup_family_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the report costs three aggregates when run after its
     components."""
     mh = (
-        _jaccard_cached(spark, sf_dir)
+        _jaccard_expanded(spark, sf_dir)
         .filter(F.col("jaccard") >= 0.8)
         .select("id1", "id2", F.lit(1).alias("in_mh"), F.lit(0).alias("in_sh"),
                 F.lit(0).alias("in_em"))

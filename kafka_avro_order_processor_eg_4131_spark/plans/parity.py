@@ -25,12 +25,15 @@ from ..functions.routing import (
 from ..schemas import PERMANENT_THRESHOLD, STATUS_PERMANENT, STATUS_SUCCESS, STATUS_TRANSIENT
 
 # ``o_totalprice`` is TPC-H-scaled (~1e3..5e5) so raw values would route
-# 100% permanent. ``fmod(o_totalprice, 1500)`` maps the fixture onto the
+# 100% permanent. ``o_totalprice % 1500`` maps the fixture onto the
 # reference producer's price domain Uniform(5.0, 1500.0) (producer.py:123)
 # and reproduces BASELINE.md's derived routing mix (~3% transient,
-# ~33% permanent, ~64% success). fmod is IEEE-exact, hence identical in
-# Spark (`%`) and DuckDB (`fmod`).
-_PRICE = "fmod(o_totalprice, 1500.0)"
+# ~33% permanent, ~64% success). The `%` OPERATOR, not DuckDB's fmod():
+# both engines' `%` is IEEE truncated-mod (result carries the DIVIDEND's
+# sign), but DuckDB's fmod() is FLOORED-mod (divisor's sign) — identical
+# on the all-positive fixtures, divergent on a negative price (round-8
+# edge probe: -50.25 routed success in Spark, permanent via fmod).
+_PRICE = "(o_totalprice % 1500.0)"
 _STATUS_SQL = status_case_sql(_PRICE)
 
 
@@ -126,12 +129,12 @@ def route_permanent_dlq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "codec_roundtrip_routing",
     oracle=f"""
     WITH decoded AS (
-      SELECT CAST(CAST({_PRICE} AS REAL) AS DOUBLE) AS price
+      SELECT CASE WHEN o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+                   AND o_totalprice IS NOT NULL
+             THEN CAST(CAST({_PRICE} AS REAL) AS DOUBLE) END AS price
       FROM orders
     )
-    SELECT CASE WHEN price >= 5.0 AND price <= 50.0 THEN 'transient_failure'
-                WHEN price > 1000.0 THEN 'permanent_failure'
-                ELSE 'success' END AS status,
+    SELECT {status_case_sql("price")} AS status,
            {bigcount_sql()} AS n,
            {dsum_sql("price")} AS total_price
     FROM decoded
@@ -143,7 +146,13 @@ def codec_roundtrip_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
     record, reference producer.py:36-48) -> decode -> route -> aggregate.
     The oracle mirrors the only lossy step, float32 quantization of
     ``price`` (order.avsc:14-17, SURVEY.md §1.2), via CAST(... AS REAL).
-    Exercises the real codec UDFs on every row."""
+    Exercises the real codec UDFs on every row.
+
+    Null-field records (round-8 edge probe): the Avro schema's fields
+    are non-nullable, so a null product makes the record UNENCODABLE —
+    the encoder emits NULL, the decoder yields a null struct, and the
+    row lands in the CASE's ELSE branch with a NULL price on both
+    engines (the oracle's CASE guard mirrors the encoder's check)."""
     from ..functions.avro_ocf import ocf_decode_udf, ocf_encode_udf
     from ..schemas import ORDER_AVRO_SCHEMA_JSON
 
@@ -251,18 +260,20 @@ def failure_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     "avro_datum_roundtrip",
     oracle=f"""
     WITH decoded AS (
-      SELECT CAST(CAST({_PRICE} AS REAL) AS DOUBLE) AS price,
+      SELECT CASE WHEN o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+                   AND o_totalprice IS NOT NULL
+             THEN CAST(CAST({_PRICE} AS REAL) AS DOUBLE) END AS price,
              -- exact wire size of the Confluent-framed datum: 5-byte
              -- wire prefix + 1-byte string length varint (both strings
              -- are < 64 chars, so zigzag(len) fits one byte) + utf-8
-             -- payloads + 4-byte little-endian float32
+             -- payloads + 4-byte little-endian float32. A null-field
+             -- record is unencodable -> NULL datum, NULL size (the
+             -- length() of a NULL product propagates it).
              CAST(5 + 1 + length(CAST(o_orderkey AS VARCHAR))
                     + 1 + length(o_orderpriority) + 4 AS BIGINT) AS nb
       FROM orders
     )
-    SELECT CASE WHEN price >= 5.0 AND price <= 50.0 THEN 'transient_failure'
-                WHEN price > 1000.0 THEN 'permanent_failure'
-                ELSE 'success' END AS status,
+    SELECT {status_case_sql("price")} AS status,
            {bigcount_sql()} AS n,
            {dsum_sql("price")} AS total_price,
            {bigsum_sql("nb")} AS wire_bytes

@@ -1090,7 +1090,11 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
         F.count("*").alias("n"),
     )
-    var = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    # try_divide: a single-row group has n-1 = 0, which DuckDB's float
+    # division maps to NULL while ANSI Spark raises (round-8 edge probe)
+    var = F.try_divide(
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"), F.col("n") - 1
+    )
     return grouped.select(
         "o_orderstatus", "n", var.alias("var_samp"), F.sqrt(var).alias("stddev_samp")
     )
@@ -1243,7 +1247,7 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
            UPPER(p_name)                       AS name_upper,
            CAST(LENGTH(p_name) AS INT)         AS name_len,
            SUBSTRING(p_name, 1, 8)             AS name_prefix,
-           CONCAT(p_brand, ':', p_type)        AS brand_type,
+           (p_brand || ':' || p_type)          AS brand_type,
            REPLACE(p_name, ' ', '_')           AS name_snake,
            REVERSE(p_brand)                    AS brand_rev,
            CAST(STRPOS(p_name, 'a') AS INT)    AS first_a
@@ -1252,7 +1256,11 @@ def pivot_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String function surface: upper/length/substring/concat/replace/
-    reverse/instr — all JVM-side, whole-stage codegen'd."""
+    reverse/instr — all JVM-side, whole-stage codegen'd.
+
+    NULL concat (round-8 edge probe): Spark's CONCAT propagates NULL
+    (SQL standard), DuckDB's CONCAT skips NULL arguments — the oracle
+    uses the `||` operator, which null-propagates in both engines."""
     p = load(spark, sf_dir, "part")
     return p.select(
         "p_partkey",
@@ -1326,14 +1334,23 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_json_funcs",
     oracle="""
+    WITH p AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props) THEN props END AS props
+      FROM events
+    )
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
            (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
-    FROM events
+    FROM p
     """,
 )
 def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON scalar functions over the events.props payload column."""
+    """JSON scalar functions over the events.props payload column.
+    Malformed/empty payloads (round-8 edge probe): Spark's
+    get_json_object is already NULL-on-malformed; DuckDB's
+    json_extract_string RAISES, so the oracle pre-nulls invalid props
+    with json_valid — identical NULL results on both sides."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")
     return e.select(
@@ -1346,12 +1363,17 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "scalar_variant_funcs",
     oracle="""
+    WITH p AS (
+      SELECT event_id,
+             CASE WHEN json_valid(props) THEN props END AS props
+      FROM events
+    )
     SELECT event_id,
            CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
            CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
            CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
            (json_extract_string(props, '$.k') IS NOT NULL)   AS has_k
-    FROM events
+    FROM p
     """,
 )
 def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1361,9 +1383,13 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle states the same values via DuckDB's JSON accessors — the
     comparison is on extracted scalars, since the variant binary itself
     is engine-internal. At scale this is the shredded-access pattern:
-    parse once per row, extract many, no re-parse per path."""
+    parse once per row, extract many, no re-parse per path.
+
+    Malformed payloads (round-8 edge probe): try_parse_json -> NULL
+    variant (parse_json is FAILFAST), mirrored by the oracle's
+    json_valid pre-null — every extraction is NULL on both sides."""
     e = load(spark, sf_dir, "events")
-    v = F.parse_json(F.col("props"))
+    v = F.try_parse_json(F.col("props"))
     return e.select(
         "event_id",
         F.variant_get(v, "$.k", "int").alias("k_int"),
@@ -1484,9 +1510,12 @@ def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         n.cast("bigint").alias("n_rows"),
         ((sxy - (sx * sy) / n) / n).alias("covar_pop_qty_price"),
-        (
-            (n * sxy - sx * sy)
-            / (F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy))
+        # try_divide: a zero-variance side (constant or single-row
+        # group) zeroes the denominator — DuckDB float /0 is NULL,
+        # ANSI Spark raises (round-8 edge probe)
+        F.try_divide(
+            n * sxy - sx * sy,
+            F.sqrt(n * sx2 - sx * sx) * F.sqrt(n * sy2 - sy * sy),
         ).alias("corr_qty_price"),
     )
 
@@ -1707,18 +1736,21 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         m1.alias("mean_qty"),
         var.alias("var_pop"),
-        (
-            (e3 - F.lit(3.0) * m1 * e2 + F.lit(2.0) * m1 * m1 * m1)
-            / (var * F.sqrt(var))
+        # try_divide: a zero-variance group (constant/single-row) makes
+        # both denominators 0 — DuckDB float /0 is NULL, ANSI Spark
+        # raises (round-8 edge probe)
+        F.try_divide(
+            e3 - F.lit(3.0) * m1 * e2 + F.lit(2.0) * m1 * m1 * m1,
+            var * F.sqrt(var),
         ).alias("skewness"),
         (
-            (
+            F.try_divide(
                 e4
                 - F.lit(4.0) * m1 * e3
                 + F.lit(6.0) * m1 * m1 * e2
-                - F.lit(3.0) * m1 * m1 * m1 * m1
+                - F.lit(3.0) * m1 * m1 * m1 * m1,
+                var * var,
             )
-            / (var * var)
             - F.lit(3.0)
         ).alias("kurtosis_excess"),
     )
@@ -2744,10 +2776,15 @@ def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n"),
         )
     )
-    vn = (
-        (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-        / (F.col("n") - 1)
-        / F.col("n")
+    # try_divide on (n-1): a single-order segment has zero degrees of
+    # freedom — DuckDB float /0 is NULL, ANSI Spark raises (round-8
+    # edge probe)
+    vn = F.try_divide(
+        F.try_divide(
+            F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+            F.col("n") - 1,
+        ),
+        F.col("n"),
     )
     stats = s.select(
         "seg",
@@ -2755,24 +2792,29 @@ def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("sx") / F.col("n")).alias("m"),
         vn.alias("vn"),
     )
-    a = stats.filter(F.col("seg") == "BUILDING").select(
-        F.col("n").alias("n1"), F.col("m").alias("m1"), F.col("vn").alias("v1n")
+    # conditional aggregation, not filter+crossJoin: an ABSENT segment
+    # (edge corpora) must still yield the oracle's one row of NULL
+    # scalar-subquery results, and an empty-input agg is exactly that
+    # single all-NULL row (round-8 edge probe; also one plan node
+    # cheaper than the two filters + crossJoin it replaces)
+    pick = lambda seg, col: F.max(F.when(F.col("seg") == seg, F.col(col)))
+    w = stats.agg(
+        pick("BUILDING", "n").alias("n1"),
+        pick("MACHINERY", "n").alias("n2"),
+        pick("BUILDING", "m").alias("m1"),
+        pick("MACHINERY", "m").alias("m2"),
+        pick("BUILDING", "vn").alias("v1n"),
+        pick("MACHINERY", "vn").alias("v2n"),
     )
-    b = stats.filter(F.col("seg") == "MACHINERY").select(
-        F.col("n").alias("n2"), F.col("m").alias("m2"), F.col("vn").alias("v2n")
+    t = F.try_divide(
+        F.col("m1") - F.col("m2"), F.sqrt(F.col("v1n") + F.col("v2n"))
     )
-    t = (F.col("m1") - F.col("m2")) / F.sqrt(F.col("v1n") + F.col("v2n"))
-    df = (
-        (F.col("v1n") + F.col("v2n")) * (F.col("v1n") + F.col("v2n"))
-        / (
-            F.col("v1n") * F.col("v1n") / (F.col("n1") - 1)
-            + F.col("v2n") * F.col("v2n") / (F.col("n2") - 1)
-        )
+    df = F.try_divide(
+        (F.col("v1n") + F.col("v2n")) * (F.col("v1n") + F.col("v2n")),
+        F.try_divide(F.col("v1n") * F.col("v1n"), F.col("n1") - 1)
+        + F.try_divide(F.col("v2n") * F.col("v2n"), F.col("n2") - 1),
     )
-    return (
-        a.crossJoin(F.broadcast(b))
-        .select("n1", "n2", "m1", "m2", t.alias("t_stat"), df.alias("df_welch"))
-    )
+    return w.select("n1", "n2", "m1", "m2", t.alias("t_stat"), df.alias("df_welch"))
 
 
 @register(
@@ -2824,8 +2866,18 @@ def median_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg = ranked.groupBy("c_mktsegment").agg(
         F.min("grn").alias("seg_start"), F.count("*").alias("n_orders")
     )
+    # eqNullSafe, not USING: a NULL segment is a real group for the
+    # oracle's PARTITION BY, but a plain equi-join would drop its rows
+    # here (round-8 edge probe — null-segment customers vanished)
+    seg2 = seg.select(
+        F.col("c_mktsegment").alias("__seg"), "seg_start", "n_orders"
+    )
     return (
-        ranked.join(F.broadcast(seg), "c_mktsegment")
+        ranked.join(
+            F.broadcast(seg2),
+            F.col("c_mktsegment").eqNullSafe(F.col("__seg")),
+        )
+        .drop("__seg")
         .withColumn("seg_rn", F.col("grn") - F.col("seg_start") + F.lit(1))
         .filter(F.col("seg_rn") == F.expr("(n_orders + 1) div 2"))
         .select(
@@ -2899,7 +2951,7 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     "dq_benford_first_digit",
     oracle=f"""
     WITH dd AS (
-      SELECT CAST(substring(CAST(CAST(floor(o_totalprice * 100.0 + 0.5)
+      SELECT CAST(substring(CAST(CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
                                   AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
       FROM orders
     ),
@@ -2924,8 +2976,17 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     itself would not be), and the Benford probabilities are embedded as
     identical repr literals parsed string->double on both sides. Plan:
     one 9-group hash aggregate, a 1-row broadcast total, per-row IEEE
-    arithmetic for expected counts and chi-square terms."""
-    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    arithmetic for expected counts and chi-square terms.
+
+    Edge hardening (round-8 edge-relational probe): the leading digit is
+    taken from ABS(price) — a negative amount's first character is '-'
+    and crashed the ANSI CAST (Benford reads the leading SIGNIFICANT
+    digit, so abs is the standard treatment) — and a zero amount's
+    digit 0 goes through try_element_at -> NULL expected/chi2_term,
+    exactly DuckDB's CASE-without-match. Both engines changed together;
+    clean fixtures have no zero/negative totals, so sf* output is
+    byte-identical."""
+    cents = F.floor(F.abs(F.col("o_totalprice")) * 100.0 + 0.5).cast("bigint")
     digit = F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
     c = (
         load(spark, sf_dir, "orders")
@@ -2935,7 +2996,15 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     t = c.agg(F.sum("n").alias("total"))
     parr = F.array(*[F.lit(float(p)) for p in _BENFORD_P])
-    e = F.col("total").cast("double") * F.element_at(parr, F.col("digit"))
+    # when-guard: try_element_at tolerates out-of-range but still
+    # raises INVALID_INDEX_OF_ZERO for index 0 (a zero amount's
+    # digit); when() short-circuits so the lookup only sees >= 1 and
+    # digit 0/NULL yields NULL, same as DuckDB's CASE without a match.
+    # (Not nullif: a nullable conditional index triggers a Spark 4.1.2
+    # element_at codegen bug — see events_ewma_value.)
+    e = F.col("total").cast("double") * F.when(
+        F.col("digit") > 0, F.try_element_at(parr, F.col("digit"))
+    )
     nd = F.col("n").cast("double")
     return (
         c.crossJoin(F.broadcast(t))
@@ -3098,8 +3167,15 @@ def latency_pctiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.lit("p90").alias("q"), F.lit(9).alias("num"), F.lit(10).alias("den")),
         F.struct(F.lit("p99").alias("q"), F.lit(99).alias("num"), F.lit(100).alias("den")),
     )
+    # eqNullSafe: the NULL-priority group must survive the stats join
+    # (same class as median_price_by_segment, round-8 edge probe)
+    grp2 = grp.select(F.col("o_orderpriority").alias("__prio"), "n")
     return (
-        cum.join(F.broadcast(grp), "o_orderpriority")
+        cum.join(
+            F.broadcast(grp2),
+            F.col("o_orderpriority").eqNullSafe(F.col("__prio")),
+        )
+        .drop("__prio")
         .select("o_orderpriority", "days", "cnt", "cum", "n",
                 F.explode(quant).alias("qq"))
         .withColumn("rk", F.expr("(qq.num * n + qq.den - 1) div qq.den"))

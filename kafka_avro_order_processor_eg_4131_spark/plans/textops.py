@@ -1743,8 +1743,11 @@ def eval_quality_vs_lm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     # decimal -> string -> correctly-rounded double, both engines
     return m.select(
         n.alias("n_docs"),
-        (
-            d(nw * sxy - sx * sy)
-            / (F.sqrt(d(nw * sx2 - sx * sx)) * F.sqrt(d(nw * sy2 - sy * sy)))
+        # try_divide: a constant-score or single-doc corpus zeroes the
+        # denominator — DuckDB float /0 is NULL, ANSI Spark raises
+        # (round-8 edge probe)
+        F.try_divide(
+            d(nw * sxy - sx * sy),
+            F.sqrt(d(nw * sx2 - sx * sx)) * F.sqrt(d(nw * sy2 - sy * sy)),
         ).alias("corr_quality_lm"),
     )

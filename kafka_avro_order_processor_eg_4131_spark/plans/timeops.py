@@ -916,19 +916,21 @@ _EWMA_W = 8  # truncated history: current event + 7 preceding
     oracle=f"""
     WITH w AS (
       SELECT event_id, user_id, ts, value,
-             list(value) OVER (
+             list_filter(list(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW
-             ) AS a
+             ), v -> v IS NOT NULL) AS a
       FROM events
     )
     SELECT event_id, user_id, ts, value,
-           list_reduce(
-             list_transform(generate_series(1, len(a)),
-               i -> a[i] / CAST(1 << (len(a) - i) AS DOUBLE)),
-             (x, y) -> x + y)
-           / (CAST((1 << len(a)) - 1 AS DOUBLE)
-              / CAST(1 << (len(a) - 1) AS DOUBLE)) AS ewma
+           CASE WHEN len(a) = 0 THEN NULL ELSE
+             list_reduce(
+               list_transform(generate_series(1, len(a)),
+                 i -> a[i] / CAST(1 << (len(a) - i) AS DOUBLE)),
+               (x, y) -> x + y)
+             / (CAST((1 << len(a)) - 1 AS DOUBLE)
+                / CAST(1 << (len(a) - 1) AS DOUBLE))
+           END AS ewma
     FROM w
     ORDER BY user_id, ts, event_id
     """,
@@ -944,7 +946,15 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     normalizer (2^m - 1)/2^(m-1) is an exact odd/power-of-two quotient.
     Scale shape: per-user window partitions (bounded), frame capped at
     8 rows, so state per row is O(8) — the same plan Structured
-    Streaming's sliding aggregate would run. No global window, no UDF."""
+    Streaming's sliding aggregate would run. No global window, no UDF.
+
+    NULL values (round-8 edge-relational probe): Spark's collect_list
+    silently DROPS frame nulls while DuckDB's list() keeps them, so the
+    oracle applies list_filter to reach the identical array; a frame of
+    only-null values leaves an EMPTY array, whose EWMA is NULL on both
+    sides (the nullif guard below — element_at(den, 0) is an ANSI error
+    — and the oracle's CASE, since DuckDB's list_reduce refuses empty
+    input)."""
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
@@ -976,7 +986,13 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "user_id",
             "ts",
             "value",
-            (num / F.element_at(den, m)).alias("ewma"),
+            # when-guard, NOT nullif: feeding a nullable conditional
+            # index into element_at hits a Spark 4.1.2 codegen bug —
+            # the null flag of `if (m=0) null else m` is ignored and
+            # the garbage 0 value indexes arr[size] (last element);
+            # the interpreted path returns NULL correctly. when()
+            # short-circuits so element_at only ever sees m >= 1.
+            F.when(m > 0, num / F.element_at(den, m)).alias("ewma"),
         )
         .orderBy("user_id", "ts", "event_id")
     )
@@ -1597,7 +1613,7 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
     cum AS (
       SELECT cohort_month, month_offset, rev_cents,
              CAST(SUM(rev_cents) OVER (PARTITION BY cohort_month
-                                       ORDER BY month_offset
+                                       ORDER BY month_offset NULLS LAST
                                        ROWS UNBOUNDED PRECEDING) AS BIGINT)
                AS cum_rev_cents
       FROM rev
@@ -1646,7 +1662,11 @@ def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = (
         Window.partitionBy("cohort_month")
-        .orderBy("month_offset")
+        # explicit NULLS LAST (DuckDB's default; Spark's ASC default is
+        # NULLS FIRST) — a null-date order yields a NULL month_offset
+        # and must accumulate at the END on both engines (round-8 edge
+        # probe; see plans/windows.py docstring for the convention)
+        .orderBy(F.col("month_offset").asc_nulls_last())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     cum = rev.withColumn(

@@ -4,6 +4,10 @@ aggregate-over-frame (rows & range), ntile/percent_rank/cume_dist.
 Determinism rules applied throughout:
 - every ORDER BY inside a window ends in a unique key, so ranks and
   lag/lead are reproducible;
+- NULLABLE sort keys carry an explicit NULLS LAST on BOTH sides:
+  Spark defaults to NULLS FIRST for ASC, DuckDB to NULLS LAST — on the
+  clean fixtures (no null dates) the divergence is invisible, on a
+  null-bearing corpus every frame shifts (round-8 edge probe);
 - windowed sums of doubles go through DECIMAL(30,6) — DuckDB evaluates
   frames with a segment tree (arbitrary add order), Spark incrementally;
   only an exact type makes them agree.
@@ -82,14 +86,14 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
            o_totalprice - LAG(o_totalprice)  OVER w AS delta_prev,
            LEAD(o_totalprice) OVER w - o_totalprice AS delta_next
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def window_lag_lead_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LAG/LEAD analytics: per-customer order-to-order price deltas
     (row-level double arithmetic — IEEE-identical across engines)."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",
@@ -104,7 +108,7 @@ def window_lag_lead_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
                 OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate, o_orderkey
+                      ORDER BY o_orderdate NULLS LAST, o_orderkey
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS VARCHAR) AS DOUBLE) AS running_spend
     FROM orders
@@ -115,7 +119,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return o.select(
@@ -133,7 +137,7 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
              / COUNT(*) OVER w AS moving_avg_4
     FROM orders
     WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate, o_orderkey
+                 ORDER BY o_orderdate NULLS LAST, o_orderkey
                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
@@ -142,7 +146,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
+        .orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
         .rowsBetween(-3, Window.currentRow)
     )
     return o.select(
@@ -188,19 +192,19 @@ def window_range_frame_peers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_custkey, o_orderkey,
            FIRST_VALUE(o_orderkey) OVER w AS first_order,
            LAST_VALUE(o_orderkey)  OVER (PARTITION BY o_custkey
-                                         ORDER BY o_orderdate, o_orderkey
+                                         ORDER BY o_orderdate NULLS LAST, o_orderkey
                                          ROWS BETWEEN UNBOUNDED PRECEDING
                                                   AND UNBOUNDED FOLLOWING)
                                           AS last_order
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey)
     """,
 )
 def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FIRST_VALUE / LAST_VALUE with an explicit full frame for last
     (the default frame would stop at CURRENT ROW)."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
     wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     return o.select(
         "o_custkey",
@@ -215,7 +219,7 @@ def window_first_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_custkey, o_orderkey,
            NTH_VALUE(o_orderkey, 2) OVER (
-             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, o_orderkey
            ) AS second_order
     FROM orders
     """,
@@ -225,7 +229,7 @@ def window_nth_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     partition's 2nd row (by date, unique-key tiebreak) enters the
     frame, then that key thereafter."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderdate").asc_nulls_last(), "o_orderkey")
     return o.select(
         "o_custkey",
         "o_orderkey",

@@ -41,6 +41,49 @@ from .retry import with_retry
 ORDER_DDL = "orderId string, product string, price float"
 
 
+class _ProgressTap:
+    """StreamingQueryListener that accumulates every progress event as a
+    plain dict, uncapped — ``recentProgress`` retains only the newest
+    ``spark.sql.streaming.numRecentProgressUpdates`` (default 100)
+    entries, so a long availableNow run's early batches would otherwise
+    vanish from the latency percentiles (round-7 advice). Deferred
+    subclassing: pyspark's StreamingQueryListener is imported lazily so
+    merely importing this module never touches the listener machinery.
+    """
+
+    def __new__(cls):
+        from pyspark.sql.streaming import StreamingQueryListener
+
+        class _Impl(StreamingQueryListener):
+            def __init__(self) -> None:
+                import threading
+
+                self._lock = threading.Lock()
+                self._events: list[dict] = []
+
+            def onQueryStarted(self, event) -> None:
+                pass
+
+            def onQueryProgress(self, event) -> None:
+                import json
+
+                p = json.loads(event.progress.json)
+                with self._lock:
+                    self._events.append(p)
+
+            def onQueryIdle(self, event) -> None:
+                pass
+
+            def onQueryTerminated(self, event) -> None:
+                pass
+
+            def progress_for(self, query_id: str) -> list[dict]:
+                with self._lock:
+                    return [p for p in self._events if p.get("id") == query_id]
+
+        return _Impl()
+
+
 # ---------------------------------------------------------------------------
 # stages (each usable on batch or streaming DataFrames)
 # ---------------------------------------------------------------------------
@@ -211,18 +254,45 @@ def run_order_pipeline(
         .option("checkpointLocation", os.path.join(work_dir, "checkpoint"))
     )
     if available_now:
-        q = writer.trigger(availableNow=True).start()
-        q.awaitTermination()
-        if observed_metrics is not None:
+        want_progress = observed_metrics is not None or progress_out is not None
+        tap = _ProgressTap() if want_progress else None
+        if tap is not None:
+            spark.streams.addListener(tap)
+        try:
+            q = writer.trigger(availableNow=True).start()
+            q.awaitTermination()
+        finally:
+            if tap is not None:
+                spark.streams.removeListener(tap)
+        if want_progress:
+            # recentProgress alone is capped at
+            # spark.sql.streaming.numRecentProgressUpdates (default 100)
+            # entries, so a >100-micro-batch run would silently report
+            # only the newest 100 (round-7 advice). The listener tap has
+            # no cap but its bus is async — the newest event(s) may still
+            # be in flight at drain time. Union by batchId: the tap
+            # covers everything older than the cap, recentProgress covers
+            # the newest tail; together they are complete.
+            merged: dict[int, dict] = {
+                p["batchId"]: p
+                for p in tap.progress_for(str(q.id))
+                if "batchId" in p
+            }
             for p in q.recentProgress:
-                m = (p.get("observedMetrics") or {}).get(OBSERVE_NAME)
-                if m is not None:
-                    observed_metrics.append(m)
-        if progress_out is not None:
-            # raw StreamingQueryProgress dicts — bench.py reads per-batch
-            # durations (batchDuration / durationMs.triggerExecution) for
-            # its end-to-end latency percentiles
-            progress_out.extend(q.recentProgress)
+                if "batchId" in p:
+                    merged[p["batchId"]] = p
+            progresses = [merged[b] for b in sorted(merged)]
+            if observed_metrics is not None:
+                for p in progresses:
+                    m = (p.get("observedMetrics") or {}).get(OBSERVE_NAME)
+                    if m is not None:
+                        observed_metrics.append(m)
+            if progress_out is not None:
+                # raw StreamingQueryProgress dicts — bench.py reads
+                # per-batch durations (batchDuration /
+                # durationMs.triggerExecution) for its end-to-end latency
+                # percentiles
+                progress_out.extend(progresses)
     else:
         writer.start()
     return sinks

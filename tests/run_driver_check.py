@@ -16,7 +16,16 @@ to replicate exactly that statistical shape):
 - ``--sample N --seed S``  run N entries drawn without replacement from
   the sorted catalog by ``random.Random(S)`` — seeding by round number
   makes the draw reproducible across the round;
-- default (neither flag): the full catalog, as before.
+- ``--complement-of CORRECTNESS_rN.json``  restrict the draw (or the
+  full run) to entries NOT in that file's keys — the driver has sampled
+  the *same* 50 entries for consecutive rounds (r6∩r7 = 50/50), so the
+  other ~173 are invisible to it; this flag points the gate straight at
+  the driver's blind spot (round-7 verdict item 6):
+
+      python tests/run_driver_check.py --sample 50 --seed 8 \\
+          --complement-of /root/repo/CORRECTNESS_r07.json
+
+- default (no flag): the full catalog, as before.
 """
 
 from __future__ import annotations
@@ -45,16 +54,24 @@ def canon(df):
 
 
 def select_names(all_names: list[str], names: str | None, sample: int | None,
-                 seed: int) -> list[str]:
+                 seed: int, exclude: set[str] | None = None) -> list[str]:
     """The subset to check: explicit names, a seeded random draw, or
-    everything. Sorted input so the draw is reproducible."""
+    everything. Sorted input so the draw is reproducible. ``exclude``
+    (the --complement-of set) is removed before sampling; --names
+    bypasses it (an explicit name is always honored)."""
     all_sorted = sorted(all_names)
     if names:
+        # explicit names bypass the exclusion — an operator asking for a
+        # specific entry always gets it
         picked = [n.strip() for n in names.split(",") if n.strip()]
         unknown = [n for n in picked if n not in set(all_sorted)]
         if unknown:
             raise SystemExit(f"unknown query names: {unknown}")
         return picked
+    if exclude:
+        all_sorted = [n for n in all_sorted if n not in exclude]
+        if not all_sorted:
+            raise SystemExit("--complement-of excluded every catalog entry")
     if sample is not None:
         # `if sample:` would let --sample 0 silently fall through to the
         # full catalog (round-5 advice) — reject non-positive explicitly.
@@ -71,7 +88,18 @@ def main() -> int:
     ap.add_argument("--sample", type=int, help="check N randomly drawn entries")
     ap.add_argument("--seed", type=int, default=0,
                     help="PRNG seed for --sample (use the round number)")
+    ap.add_argument("--complement-of", metavar="CORRECTNESS_JSON",
+                    help="exclude this driver CORRECTNESS file's keys — "
+                         "check the entries the driver never samples")
     args = ap.parse_args()
+    exclude: set[str] = set()
+    if args.complement_of:
+        import json
+
+        with open(args.complement_of) as f:
+            exclude = set(json.load(f))
+        if not exclude:
+            raise SystemExit(f"{args.complement_of} has no query keys")
     sf_dir = args.sf_dir
     entry_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
     spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
@@ -104,7 +132,9 @@ def main() -> int:
     fails, rows_only = [], 0
     queries = mod.queries()
     oracles = mod.oracle_sql()
-    selected = select_names(list(queries), args.names, args.sample, args.seed)
+    selected = select_names(
+        list(queries), args.names, args.sample, args.seed, exclude
+    )
     for name in selected:
         sdf = queries[name](spark, sf_dir).toPandas()
         C.release_ephemeral()  # per-query persists done once toPandas returns

@@ -1,0 +1,402 @@
+"""Round-8 edge RELATIONAL fixture crash smoke (round-7 verdict item 2).
+
+The round-7 edge-corpus probe covered only the 62 document-path queries
+and immediately found two latent ANSI crashes the clean fixtures could
+never show. The other ~160 queries read orders/lineitem/events/customer
+fixtures that are equally clean — this module gives them the same
+treatment: a full fixture-set directory whose every table carries the
+shapes the generator never produces:
+
+- empty partitions (a zero-row parquet part-file inside the table dir);
+- all-null optional columns (customer.c_acctbal/c_mktsegment,
+  events.value, lineitem.l_shipdate/l_returnflag/l_linestatus,
+  orders.o_orderstatus/o_orderdate/o_orderpriority);
+- single-row tables (supplier);
+- zero and negative prices/quantities/balances, a 1.0 (=100%) discount;
+- unicode and empty-string names (part, nation, region, events);
+- single-customer / single-user corpora (every non-orphan order belongs
+  to custkey 1; every event to user 7, five of them at the IDENTICAL
+  nanosecond — zero-duration sessions);
+- orphan foreign keys in both directions (an order whose customer does
+  not exist, a lineitem whose order does not exist, an order with no
+  lineitems, a nation pointing at a missing region);
+- a zero-norm embedding, bit-identical duplicate embeddings, a null
+  label, and fewer vectors than the ANN default k;
+- malformed / empty / null JSON in events.props.
+
+The slow test runs EVERY catalog entry; all tables exist, so nothing
+may skip — any raise is a regression to fix symmetrically in both
+engines (the round-7 discipline).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+
+_US = "us"
+_NS = "ns"
+
+
+def _write(d, name: str, table: pa.Table, with_empty_file: bool = False) -> None:
+    """Write ``table`` as a directory ``<name>.parquet/`` of part files,
+    optionally including a ZERO-ROW file — the empty-partition shape a
+    multi-writer cluster job produces all the time and the clean
+    single-file fixtures never do."""
+    tdir = d / f"{name}.parquet"
+    tdir.mkdir()
+    pq.write_table(table, str(tdir / "part-0.parquet"))
+    if with_empty_file:
+        pq.write_table(table.slice(0, 0), str(tdir / "part-1-empty.parquet"))
+
+
+def _ts(s: str, unit: str = _US):
+    import datetime as dt
+
+    return None if s is None else dt.datetime.fromisoformat(s)
+
+
+_LONG_A = (
+    "alpha bravo charlie delta echo foxtrot golf hotel india juliet"
+    " kilo lima mike november oscar papa quebec romeo sierra tango"
+)
+
+
+def build_edge_rel_fixture(d) -> None:
+    """Write the full edge fixture set under ``d`` (a pathlib.Path).
+    Pure pyarrow — callable from scripts as well as the pytest fixture
+    (tests/aging_probe.py-style ad-hoc probing needs it outside pytest).
+    """
+    _write(
+        d,
+        "region",
+        pa.table(
+            {
+                "r_regionkey": pa.array([0, 1, 2], pa.int32()),
+                "r_name": pa.array(["EUROPE", "", "РЕГИОН-Ω"], pa.string()),
+            }
+        ),
+        with_empty_file=True,
+    )
+    _write(
+        d,
+        "nation",
+        pa.table(
+            {
+                "n_nationkey": pa.array([0, 1, 2, 3], pa.int32()),
+                "n_name": pa.array(["NATION_EDGE", "中文國", "N", None], pa.string()),
+                # nationkey 2 points at region 3, which does not exist
+                "n_regionkey": pa.array([0, 2, 3, 0], pa.int32()),
+            }
+        ),
+    )
+    _write(
+        d,
+        "customer",
+        pa.table(
+            {
+                "c_custkey": pa.array([1, 2], pa.int64()),
+                "c_name": pa.array(["Customer#EDGE", "Z☃"], pa.string()),
+                "c_nationkey": pa.array([0, 1], pa.int32()),
+                # all-null optional + a negative balance
+                "c_acctbal": pa.array([None, -999.99], pa.float64()),
+                "c_mktsegment": pa.array([None, ""], pa.string()),
+            }
+        ),
+    )
+    _write(
+        d,
+        "supplier",
+        pa.table(
+            {
+                "s_suppkey": pa.array([1], pa.int64()),
+                "s_name": pa.array(["S"], pa.string()),
+                "s_nationkey": pa.array([2], pa.int32()),
+                "s_acctbal": pa.array([None], pa.float64()),
+            }
+        ),
+    )
+    _write(
+        d,
+        "part",
+        pa.table(
+            {
+                "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+                "p_name": pa.array(
+                    ["ümläut wídget 中文", "emoji \U0001f600 bolt", "", "plain part"],
+                    pa.string(),
+                ),
+                "p_brand": pa.array(["Brand#1", "", "Brand#1", "Brand#2"], pa.string()),
+                "p_type": pa.array(["PROMO", None, "ECONOMY", "STANDARD"], pa.string()),
+                "p_size": pa.array([0, -5, 50, 1], pa.int32()),
+                "p_retailprice": pa.array([0.0, -12.5, 1.0e9, 10.0], pa.float64()),
+            }
+        ),
+    )
+    _write(
+        d,
+        "orders",
+        pa.table(
+            {
+                "o_orderkey": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+                # single-customer corpus: every present customer is 1;
+                # order 104's customer 99 does not exist
+                "o_custkey": pa.array([1, 1, 1, 1, 99, 1], pa.int64()),
+                "o_orderstatus": pa.array(["F", "O", None, "F", "F", "O"], pa.string()),
+                "o_totalprice": pa.array(
+                    [0.0, -50.25, 123.45, 1.0e7, 10.0, 10.0], pa.float64()
+                ),
+                "o_orderdate": pa.array(
+                    [
+                        _ts("1995-01-01"),
+                        _ts("1995-01-01"),
+                        None,
+                        _ts("2099-12-31"),
+                        _ts("1995-06-01"),
+                        _ts("1995-06-01"),
+                    ],
+                    pa.timestamp(_US),
+                ),
+                "o_orderpriority": pa.array(
+                    ["1-URGENT", None, "5-LOW", "2-HIGH", "3-MEDIUM", "3-MEDIUM"],
+                    pa.string(),
+                ),
+            }
+        ),
+        with_empty_file=True,
+    )
+    _write(
+        d,
+        "lineitem",
+        pa.table(
+            {
+                # orderkey 999 has no order; order 105 has no lineitems
+                "l_orderkey": pa.array([100, 100, 101, 102, 103, 999, 104], pa.int64()),
+                "l_partkey": pa.array([1, 2, 3, 4, 1, 1, 2], pa.int64()),
+                "l_suppkey": pa.array([1] * 7, pa.int64()),
+                "l_linenumber": pa.array([1, 2, 1, 1, 1, 1, 1], pa.int32()),
+                "l_quantity": pa.array(
+                    [0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()
+                ),
+                "l_extendedprice": pa.array(
+                    [0.0, 10.0, -20.0, 30.0, 40.0, 50.0, 60.0], pa.float64()
+                ),
+                # 1.0 = a 100% discount (revenue terms become exactly 0)
+                "l_discount": pa.array(
+                    [0.0, 1.0, 0.05, 0.0, 0.02, 0.0, 0.1], pa.float64()
+                ),
+                "l_tax": pa.array(
+                    [0.0, 0.1, 0.0, 0.08, 0.01, 0.0, 0.02], pa.float64()
+                ),
+                "l_returnflag": pa.array(
+                    ["R", "N", "A", None, "R", "N", "N"], pa.string()
+                ),
+                "l_linestatus": pa.array(
+                    ["F", "O", "F", None, "F", "O", "O"], pa.string()
+                ),
+                "l_shipdate": pa.array(
+                    [
+                        _ts("1995-01-02"),
+                        _ts("1995-01-03"),
+                        None,
+                        _ts("1995-02-01"),
+                        _ts("2099-12-31"),
+                        _ts("1995-03-01"),
+                        _ts("1995-03-02"),
+                    ],
+                    pa.timestamp(_US),
+                ),
+            }
+        ),
+    )
+    _write(
+        d,
+        "events",
+        pa.table(
+            {
+                "event_id": pa.array(list(range(1, 9)), pa.int64()),
+                # TIMESTAMP(NANOS) like the real fixture; five events at
+                # the IDENTICAL instant -> zero-duration sessions
+                "ts": pa.array(
+                    [_ts("2024-01-01T00:00:00")] * 5
+                    + [
+                        _ts("2024-01-01T00:00:01"),
+                        _ts("2024-01-05T12:00:00"),
+                        _ts("2024-02-01T00:00:00"),
+                    ],
+                    pa.timestamp(_NS),
+                ),
+                "user_id": pa.array([7] * 8, pa.int64()),
+                "event_type": pa.array(
+                    ["", None, "клик", "purchase", "view", "view", "click", "error"],
+                    pa.string(),
+                ),
+                "value": pa.array([None] * 8, pa.float64()),
+                "props": pa.array(
+                    [None, "", "not json", '{"k": 1}', "{}", '{"k": -3}', "[]", "{"],
+                    pa.string(),
+                ),
+            }
+        ),
+        with_empty_file=True,
+    )
+    docs = [
+        (1, _LONG_A, "en", "web"),
+        (2, _LONG_A, "en", "web"),
+        (3, "tiny doc", "en", "news"),
+        (4, "", "en", "web"),
+        (5, "naive cafe ümläut 中文 \U0001f600 end", "zz", "web"),
+        (6, "a b", "en", "books"),
+    ]
+    _write(
+        d,
+        "documents",
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+                "text": pa.array([r[1] for r in docs], pa.string()),
+                "lang": pa.array([r[2] for r in docs], pa.string()),
+                "source": pa.array([r[3] for r in docs], pa.string()),
+                "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+            }
+        ),
+    )
+    dim = 64
+    zero = [0.0] * dim
+    same = [0.1] * dim
+    basis = [1.0] + [0.0] * (dim - 1)
+    small = [float(i % 3) * 0.01 for i in range(dim)]
+    _write(
+        d,
+        "embeddings",
+        pa.table(
+            {
+                "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "embedding": pa.array(
+                    [zero, same, same, basis, small], pa.list_(pa.float32())
+                ),
+                # a NULL label and otherwise a single label
+                "label": pa.array([0, 0, 0, None, 0], pa.int32()),
+            }
+        ),
+    )
+
+
+@pytest.fixture(scope="module")
+def edge_rel_dir(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("edge_relational")
+    build_edge_rel_fixture(d)
+    yield str(d)
+    C.release_families(spark)
+
+
+def test_edge_fixture_readable_by_both_engines(spark, edge_rel_dir):
+    """Fast sanity pin: every table loads in Spark AND DuckDB with the
+    expected row counts (empty part-files included transparently)."""
+    import duckdb
+
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import (
+        TABLE_NAMES,
+        load_table,
+    )
+
+    want = {
+        "region": 3,
+        "nation": 4,
+        "customer": 2,
+        "supplier": 1,
+        "part": 4,
+        "orders": 6,
+        "lineitem": 7,
+        "events": 8,
+        "documents": 6,
+        "embeddings": 5,
+    }
+    con = duckdb.connect()
+    for name in TABLE_NAMES:
+        assert load_table(spark, edge_rel_dir, name).count() == want[name], name
+        n = con.execute(
+            "SELECT count(*) FROM "
+            f"read_parquet('{edge_rel_dir}/{name}.parquet/*.parquet')"
+        ).fetchone()[0]
+        assert n == want[name], f"duckdb {name}"
+    con.close()
+
+
+def _canon(df):
+    """Edge-fixture canon: the driver-gate shape (sorted columns, sorted
+    rows, bit-exact floats) plus pandas' nullable sentinels (pd.NA/NaT
+    from Int64 round-trips) mapped to NULL like None."""
+    import math
+
+    import pandas as pd
+
+    cols = sorted(df.columns)
+
+    def c(v):
+        if v is None or v is pd.NA or v is pd.NaT:
+            return "NULL"
+        if isinstance(v, float):
+            return "NAN" if math.isnan(v) else v.hex()
+        if isinstance(v, (list, tuple)) or "ndarray" in str(type(v)):
+            return "[" + ",".join(c(x) for x in v) + "]"
+        return repr(v)
+
+    return sorted(
+        tuple(c(df[col].iloc[i]) for col in cols) for i in range(len(df))
+    )
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_edge_relational(spark, edge_rel_dir):
+    """FULL-PARITY sweep over the edge relational fixture: every catalog
+    entry runs AND hash-matches its DuckDB oracle (rows-only entries
+    just run). Round 8 drove this to 223/223 after fixing, among
+    others: ANSI negative-amount CAST + zero-variance/zero-norm
+    divisions, fmod-vs-% sign semantics, Spark-vs-DuckDB null ordering
+    in windows, null-key equi-join group drops, str(None) Avro
+    encoding, malformed-JSON parsing, and a Spark 4.1.2 element_at
+    codegen bug. Any regression here is a latent production divergence
+    the clean fixtures cannot see."""
+    import duckdb
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings"
+    ).split():
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{edge_rel_dir}/{t}.parquet/*.parquet')"
+        )
+    problems: list[str] = []
+    for name in sorted(REGISTRY):
+        q = REGISTRY[name]
+        try:
+            sdf = q.fn(spark, edge_rel_dir).toPandas()
+        except Exception as e:  # noqa: BLE001 — classify, don't mask
+            problems.append(f"CRASH {name}: {type(e).__name__}: {e}"[:300])
+            C.release_ephemeral(spark)
+            continue
+        C.release_ephemeral(spark)
+        if q.oracle is None:
+            continue
+        try:
+            odf = con.execute(q.oracle).fetch_df()
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"ORACLE-CRASH {name}: {e}"[:300])
+            continue
+        if sorted(sdf.columns) != sorted(odf.columns):
+            problems.append(f"COLUMNS {name}")
+        elif _canon(sdf) != _canon(odf):
+            problems.append(
+                f"MISMATCH {name}: spark={len(sdf)} oracle={len(odf)}"
+            )
+    con.close()
+    C.release_families(spark)
+    assert not problems, problems

@@ -86,12 +86,12 @@ class TestMinhashFamilyEquivalence:
 
     def test_candidates_match_raw(self, spark, patho_dir):
         from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
-            _candidates_cached,
+            _candidates_expanded,
         )
 
         sh = D.shingle_rows(_docs(spark, patho_dir))
         raw = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
-        got = _pairs(_candidates_cached(spark, patho_dir))
+        got = _pairs(_candidates_expanded(spark, patho_dir))
         C.release_ephemeral(spark)
         assert got == _pairs(raw)
         # the exact-dup clique of group {1,2,3,4} must be present and the
@@ -101,14 +101,14 @@ class TestMinhashFamilyEquivalence:
 
     def test_jaccard_match_raw(self, spark, patho_dir):
         from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
-            _jaccard_cached,
+            _jaccard_expanded,
         )
 
         sh = D.shingle_rows(_docs(spark, patho_dir))
         cands = D.candidate_pairs(D.lsh_buckets(D.minhash_signatures(sh)))
         raw = D.jaccard_pairs(sh, cands)
         cols = ("id1", "id2", "jaccard")
-        got = _pairs(_jaccard_cached(spark, patho_dir), cols)
+        got = _pairs(_jaccard_expanded(spark, patho_dir), cols)
         C.release_ephemeral(spark)
         assert got == _pairs(raw, cols)
         by_pair = {(a, b): j for a, b, j in got}
@@ -120,7 +120,7 @@ class TestMinhashFamilyEquivalence:
 
     def test_components_match_raw(self, spark, patho_dir):
         from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
-            _components_cached,
+            _components_expanded,
         )
 
         sh = D.shingle_rows(_docs(spark, patho_dir))
@@ -129,7 +129,7 @@ class TestMinhashFamilyEquivalence:
             D.jaccard_pairs(sh, cands).filter(F.col("jaccard") >= 0.8)
         )
         cols = ("id", "component")
-        got = _pairs(_components_cached(spark, patho_dir), cols)
+        got = _pairs(_components_expanded(spark, patho_dir), cols)
         C.release_ephemeral(spark)
         assert got == _pairs(raw, cols)
         comp = dict(got)
@@ -144,12 +144,12 @@ class TestMinhashFamilyEquivalence:
 class TestSimhashFamilyEquivalence:
     def test_signatures_match_raw(self, spark, patho_dir):
         from kafka_avro_order_processor_eg_4131_spark.plans.dedup import (
-            _simhash_cached,
+            _simhash_expanded,
         )
 
         raw = D.simhash(_docs(spark, patho_dir))
         cols = ("id", "simhash")
-        got = _pairs(_simhash_cached(spark, patho_dir), cols)
+        got = _pairs(_simhash_expanded(spark, patho_dir), cols)
         assert got == _pairs(raw, cols)
         ids = {i for i, _ in got}
         # token-bearing docs (incl. the sub-shingle group) have
