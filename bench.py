@@ -32,6 +32,7 @@ def format_bench_line(
     max_bytes: int = MAX_LINE_BYTES,
     streaming_rows_per_sec: float | None = None,
     streaming_batch_ms: dict[str, float] | None = None,
+    cpu_attrib: dict[str, float] | None = None,
 ) -> str:
     """One compact JSON line for the driver: totals plus the slowest
     queries that fit in ``max_bytes``. Deterministic: queries sorted by
@@ -48,6 +49,14 @@ def format_bench_line(
         "sf": sf,
         "queries": {},
     }
+    if cpu_attrib:
+        # host-noise attribution (round-8 aging diagnosis, docs/PLANS.md):
+        # identical-code totals measured 177/260/191s back-to-back on an
+        # idle guest — the swing is HOST-side (multi-tenant microVM).
+        # cpu_steal_pct > ~2 or an anomalously low busy fraction marks a
+        # degraded run as environment, not regression.
+        base["cpu_steal_pct"] = cpu_attrib.get("steal_pct")
+        base["cpu_busy_pct"] = cpu_attrib.get("busy_pct")
     if streaming_rows_per_sec is not None:
         base["streaming_rows_per_sec"] = streaming_rows_per_sec
     if streaming_batch_ms:
@@ -65,6 +74,35 @@ def format_bench_line(
             break
         line = candidate
     return line
+
+
+def _cpu_snap() -> list[int] | None:
+    """Whole-box cumulative CPU ticks from /proc/stat (user, nice,
+    system, idle, iowait, irq, softirq, steal, ...). The guest runs
+    nothing but this bench, so box-level deltas attribute the run."""
+    try:
+        with open("/proc/stat") as f:
+            parts = f.readline().split()
+        if parts and parts[0] == "cpu":
+            return [int(x) for x in parts[1:]]
+    except OSError:
+        pass
+    return None
+
+
+def _cpu_attrib(before: list[int] | None, after: list[int] | None):
+    """(steal_pct, busy_pct) of the interval, or None off-Linux."""
+    if not before or not after or len(after) < 8:
+        return None
+    d = [b - a for a, b in zip(before, after)]
+    tot = sum(d)
+    if tot <= 0:
+        return None
+    busy = tot - d[3] - d[4]  # everything but idle+iowait
+    return {
+        "steal_pct": round(100.0 * d[7] / tot, 2),
+        "busy_pct": round(100.0 * busy / tot, 1),
+    }
 
 
 def _pctile(sorted_vals: list[float], q: float) -> float:
@@ -275,6 +313,7 @@ def main() -> None:
     from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
 
     timings: dict[str, float] = {}
+    cpu0 = _cpu_snap()
     t_total0 = time.perf_counter()
     for name, q in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
@@ -291,6 +330,7 @@ def main() -> None:
             # (family caches stay — they amortize across the catalog)
             C.release_ephemeral()
     total = round(time.perf_counter() - t_total0, 4)
+    cpu_attrib = _cpu_attrib(cpu0, _cpu_snap())
     C.release_all()
 
     # streaming throughput: the reference IS a streaming pipeline, so the
@@ -315,6 +355,7 @@ def main() -> None:
                 "streaming_rows_per_sec": stream_rps,
                 "streaming_rows": stream_rows,
                 "streaming_batch_ms": stream_lat,
+                "cpu_attrib": cpu_attrib,
             },
             f,
             indent=1,
@@ -327,6 +368,7 @@ def main() -> None:
             sf,
             streaming_rows_per_sec=stream_rps,
             streaming_batch_ms=stream_lat,
+            cpu_attrib=cpu_attrib,
         )
     )
     spark.stop()
