@@ -65,6 +65,11 @@ def format_bench_line(
         # rows drain, this says how long one commit cycle takes
         base["streaming_batch_ms_p50"] = streaming_batch_ms.get("p50")
         base["streaming_batch_ms_p95"] = streaming_batch_ms.get("p95")
+        if streaming_batch_ms.get("p95_warm") is not None:
+            # warm tail (repetitions after the first): the pooled p95 is
+            # the session's one-time first-batch codegen, not a
+            # recurring latency — see bench_streaming
+            base["streaming_batch_ms_p95_warm"] = streaming_batch_ms["p95_warm"]
     line = json.dumps(base)
     for name, secs in ranked[:10]:
         base["queries"][name] = secs
@@ -178,6 +183,7 @@ def bench_streaming(
 
         rates = []
         batch_ms: list[float] = []
+        warm_ms: list[float] = []  # repetitions after the first
         for rep in range(reps):
             progress: list = []
             t0 = time.perf_counter()
@@ -196,6 +202,8 @@ def bench_streaming(
                 )
                 if d is not None:
                     batch_ms.append(float(d))
+                    if rep > 0:
+                        warm_ms.append(float(d))
         lat = {}
         if batch_ms:
             batch_ms.sort()
@@ -203,6 +211,15 @@ def bench_streaming(
                 "p50": round(_pctile(batch_ms, 0.50), 1),
                 "p95": round(_pctile(batch_ms, 0.95), 1),
             }
+        if warm_ms:
+            # the pooled p95 IS the session's first micro-batch: round-8
+            # per-batch breakdown (docs/PLANS.md) measured batch 0 of
+            # rep 0 at ~3.0s (cold stream-plan codegen in addBatch) vs a
+            # 1.3-1.7s steady state, with commit/WAL fsync at ~40 ms each
+            # and fixed batch sizes — so the warm tail (reps after the
+            # first) is reported alongside, honestly labeled
+            warm_ms.sort()
+            lat["p95_warm"] = round(_pctile(warm_ms, 0.95), 1)
         return round(sorted(rates)[len(rates) // 2], 1), n_rows, lat
     finally:
         shutil.rmtree(work, ignore_errors=True)
