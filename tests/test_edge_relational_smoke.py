@@ -243,13 +243,24 @@ def build_edge_rel_fixture(d) -> None:
         ),
         with_empty_file=True,
     )
+    # the round-7 edge corpus's 12 shapes (exact dups, ws-inflated and
+    # case-only variants, a near-dup pair, empty/whitespace-only/sub-k
+    # docs, unicode, digit-less sources) — the dedup/text family runs
+    # against the SAME hostile set here as in test_edge_corpus_smoke,
+    # now under the full parity bar
     docs = [
         (1, _LONG_A, "en", "web"),
         (2, _LONG_A, "en", "web"),
-        (3, "tiny doc", "en", "news"),
-        (4, "", "en", "web"),
-        (5, "naive cafe ümläut 中文 \U0001f600 end", "zz", "web"),
-        (6, "a b", "en", "books"),
+        (3, "  " + _LONG_A.replace(" ", "  ") + " ", "en", "books"),
+        (4, _LONG_A.upper(), "en", "web"),
+        (5, _LONG_A.rsplit(" ", 1)[0] + " zulu", "en", "web"),
+        (6, "tiny doc", "en", "news"),
+        (7, "", "en", "web"),
+        (8, "   ", "en", "web"),
+        (9, "x", "en", "web"),
+        (10, "naive cafe uber resume ümläut 中文 emoji \U0001f600 end", "zz", "web"),
+        (11, "the the the the the the the the", "en", "web"),
+        (12, "a b", "en", "books"),
     ]
     _write(
         d,
@@ -269,17 +280,18 @@ def build_edge_rel_fixture(d) -> None:
     same = [0.1] * dim
     basis = [1.0] + [0.0] * (dim - 1)
     small = [float(i % 3) * 0.01 for i in range(dim)]
+    neg = [-v for v in same]  # anti-parallel: cosine exactly -1 vs `same`
     _write(
         d,
         "embeddings",
         pa.table(
             {
-                "vec_id": pa.array([1, 2, 3, 4, 5], pa.int64()),
+                "vec_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
                 "embedding": pa.array(
-                    [zero, same, same, basis, small], pa.list_(pa.float32())
+                    [zero, same, same, basis, small, neg], pa.list_(pa.float32())
                 ),
                 # a NULL label and otherwise a single label
-                "label": pa.array([0, 0, 0, None, 0], pa.int32()),
+                "label": pa.array([0, 0, 0, None, 0, 0], pa.int32()),
             }
         ),
     )
@@ -312,8 +324,8 @@ def test_edge_fixture_readable_by_both_engines(spark, edge_rel_dir):
         "orders": 6,
         "lineitem": 7,
         "events": 8,
-        "documents": 6,
-        "embeddings": 5,
+        "documents": 12,
+        "embeddings": 6,
     }
     con = duckdb.connect()
     for name in TABLE_NAMES:
