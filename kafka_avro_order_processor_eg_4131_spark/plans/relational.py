@@ -654,10 +654,19 @@ def grouped_custom_agg_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame
            CAST(GROUPING(o_orderstatus, o_orderpriority) AS BIGINT) AS gid
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP with GROUPING id — hierarchy totals in one pass."""
+    """ROLLUP with GROUPING id — hierarchy totals in one pass.
+
+    Empty-input semantics (round-8 empty-fixture probe): Spark's
+    grouping sets emit ZERO rows on an empty table, DuckDB (SQL
+    standard) emits the grand-total grouping-set row. The engine's
+    contract is Spark semantics, so every grouping-set oracle carries
+    HAVING COUNT(*) > 0 — a no-op on any non-empty input (every
+    grouping-set row aggregates >= 1 source row), dropping exactly the
+    empty-input grand-total row."""
     o = load(spark, sf_dir, "orders")
     return o.rollup("o_orderstatus", "o_orderpriority").agg(
         F.count("*").alias("n"),
@@ -673,6 +682,7 @@ def rollup_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dsum_sql("l_quantity")} AS sum_qty
     FROM lineitem
     GROUP BY CUBE(l_returnflag, l_linestatus)
+    HAVING COUNT(*) > 0
     """,
 )
 def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -693,6 +703,7 @@ def cube_returnflag_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
            {bigcount_sql()} AS n
     FROM orders
     GROUP BY ROLLUP(o_orderstatus, o_orderpriority)
+    HAVING COUNT(*) > 0
     """,
 )
 def rollup_with_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1819,7 +1830,10 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     as_str = lambda x: x.cast("string")
-    as_2f = lambda x: F.format_string("%.2f", x)
+    # when-guard: Java's Formatter renders a NULL argument as the STRING
+    # "null" (precision-truncated — '%.2f' of NULL prints 'nu'!) while
+    # DuckDB's printf propagates NULL (round-8 empty-fixture probe)
+    as_2f = lambda x: F.when(x.isNotNull(), F.format_string("%.2f", x))
     as_us = lambda x: F.unix_micros(x.cast("timestamp")).cast("string")
     ident = lambda x: x
     specs = [
@@ -2485,13 +2499,15 @@ def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     nulls = o.agg(
-        F.sum(
+        # count(), not sum(when): the oracle's COUNT(*) is 0 on an empty
+        # table where SUM is NULL (round-8 empty-fixture probe)
+        F.count(
             F.when(
                 F.col("o_custkey").isNull()
                 | F.col("o_orderdate").isNull()
                 | F.col("o_totalprice").isNull(),
                 1,
-            ).otherwise(0)
+            )
         )
         .cast("bigint")
         .alias("null_critical_fields")

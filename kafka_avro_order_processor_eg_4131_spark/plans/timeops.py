@@ -533,6 +533,7 @@ def events_interarrival_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            {bigcount_sql()} AS n_orders,
            {dsum_sql("o_totalprice")} AS total_price
     FROM b GROUP BY ROLLUP(yr, mth)
+    HAVING COUNT(*) > 0
     """,
 )
 def rollup_order_date_hierarchy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1268,11 +1269,16 @@ def session_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m = c.agg(F.max("conc").alias("mxc"))
     ns = sessions.agg(F.count("*").alias("n_sessions"))
+    # final step is a GLOBAL aggregate, not groupBy(mxc): on an empty
+    # events table the peak join is empty and groupBy would emit zero
+    # rows, while the oracle's scalar subqueries emit one all-NULL row
+    # (round-8 empty-fixture probe) — a global agg is one row either way
     return (
         c.join(F.broadcast(m), F.col("conc") == F.col("mxc"))
-        .groupBy("mxc")
-        .agg(F.min("t").alias("at_ts"))
-        .select(F.col("mxc").cast("int").alias("max_concurrent"), "at_ts")
+        .agg(
+            F.max("mxc").cast("int").alias("max_concurrent"),
+            F.min("t").alias("at_ts"),
+        )
         .crossJoin(F.broadcast(ns))
     )
 

@@ -65,11 +65,26 @@ _LONG_A = (
 )
 
 
-def build_edge_rel_fixture(d) -> None:
+def build_edge_rel_fixture(d, empty: bool = False) -> None:
     """Write the full edge fixture set under ``d`` (a pathlib.Path).
     Pure pyarrow — callable from scripts as well as the pytest fixture
     (tests/aging_probe.py-style ad-hoc probing needs it outside pytest).
-    """
+
+    ``empty=True`` writes every table with ITS REAL SCHEMA but zero
+    rows — the empty-day-partition shape (a source with no data yet) —
+    by slicing each table to 0 before writing."""
+    global _write
+    orig_write = _write
+    if empty:
+        def _write(dd, name, table, with_empty_file=False):  # noqa: F811
+            orig_write(dd, name, table.slice(0, 0), with_empty_file=False)
+    try:
+        _build_tables(d)
+    finally:
+        _write = orig_write
+
+
+def _build_tables(d) -> None:
     _write(
         d,
         "region",
@@ -362,17 +377,10 @@ def _canon(df):
     )
 
 
-@pytest.mark.slow
-def test_whole_catalog_oracle_parity_on_edge_relational(spark, edge_rel_dir):
-    """FULL-PARITY sweep over the edge relational fixture: every catalog
-    entry runs AND hash-matches its DuckDB oracle (rows-only entries
-    just run). Round 8 drove this to 223/223 after fixing, among
-    others: ANSI negative-amount CAST + zero-variance/zero-norm
-    divisions, fmod-vs-% sign semantics, Spark-vs-DuckDB null ordering
-    in windows, null-key equi-join group drops, str(None) Avro
-    encoding, malformed-JSON parsing, and a Spark 4.1.2 element_at
-    codegen bug. Any regression here is a latent production divergence
-    the clean fixtures cannot see."""
+def _parity_sweep(spark, fixture_dir: str) -> list[str]:
+    """Run every catalog entry against ``fixture_dir`` and hash-compare
+    with its DuckDB oracle; returns the list of problems (empty =
+    223/223 parity)."""
     import duckdb
 
     from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
@@ -384,13 +392,13 @@ def test_whole_catalog_oracle_parity_on_edge_relational(spark, edge_rel_dir):
     ).split():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM "
-            f"read_parquet('{edge_rel_dir}/{t}.parquet/*.parquet')"
+            f"read_parquet('{fixture_dir}/{t}.parquet/*.parquet')"
         )
     problems: list[str] = []
     for name in sorted(REGISTRY):
         q = REGISTRY[name]
         try:
-            sdf = q.fn(spark, edge_rel_dir).toPandas()
+            sdf = q.fn(spark, fixture_dir).toPandas()
         except Exception as e:  # noqa: BLE001 — classify, don't mask
             problems.append(f"CRASH {name}: {type(e).__name__}: {e}"[:300])
             C.release_ephemeral(spark)
@@ -411,4 +419,33 @@ def test_whole_catalog_oracle_parity_on_edge_relational(spark, edge_rel_dir):
             )
     con.close()
     C.release_families(spark)
-    assert not problems, problems
+    return problems
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_edge_relational(spark, edge_rel_dir):
+    """FULL-PARITY sweep over the edge relational fixture: every catalog
+    entry runs AND hash-matches its DuckDB oracle (rows-only entries
+    just run). Round 8 drove this to 223/223 after fixing, among
+    others: ANSI negative-amount CAST + zero-variance/zero-norm
+    divisions, fmod-vs-% sign semantics, Spark-vs-DuckDB null ordering
+    in windows, null-key equi-join group drops, str(None) Avro
+    encoding, malformed-JSON parsing, and a Spark 4.1.2 element_at
+    codegen bug. Any regression here is a latent production divergence
+    the clean fixtures cannot see."""
+    assert not _parity_sweep(spark, edge_rel_dir)
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_empty_tables(spark, tmp_path_factory):
+    """FULL-PARITY sweep with every table present but ZERO rows — the
+    empty-day-partition shape. Round-8 finds fixed here: Spark grouping
+    sets emit no rows on empty input where SQL emits the grand-total
+    row (oracles carry HAVING COUNT(*) > 0); Java's Formatter prints
+    NULL as 'null' (precision-truncated!) where DuckDB printf
+    propagates NULL; SUM(CASE)-style counters are NULL on empty where
+    COUNT is 0; and a groupBy finisher emitted zero rows where the
+    oracle's scalar subqueries emit one all-NULL row."""
+    d = tmp_path_factory.mktemp("edge_empty")
+    build_edge_rel_fixture(d, empty=True)
+    assert not _parity_sweep(spark, str(d))
