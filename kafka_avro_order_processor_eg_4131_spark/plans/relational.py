@@ -2673,10 +2673,15 @@ def _zval_sql(x: str, y: str) -> str:
 
 
 def _zval(x: F.Column, y: F.Column) -> F.Column:
+    # & 1, NOT % 2: for a NEGATIVE coordinate Spark's truncated % gives
+    # {-1, 0} where the oracle's & gives {0, 1} (round-8 time-edge
+    # probe: pre-1992 order dates flipped the whole z-value's sign).
+    # Coordinates are pmod-normalized below, so this is defense in
+    # depth, not the primary guard.
     z = F.lit(0).cast("long")
     for i in range(_Z_BITS):
-        z = z + F.shiftleft(F.shiftright(x, i) % 2, 2 * i)
-        z = z + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1)
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1)
     return z
 
 
@@ -2685,9 +2690,10 @@ def _zval(x: F.Column, y: F.Column) -> F.Column:
     oracle=f"""
     WITH q AS (
       SELECT o_orderkey,
-             CAST(o_custkey % 256 AS BIGINT) AS qx,
-             CAST(date_diff('day', DATE '1992-01-01',
-                            CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS qy
+             CAST(((o_custkey % 256) + 256) % 256 AS BIGINT) AS qx,
+             CAST(((date_diff('day', DATE '1992-01-01',
+                              CAST(o_orderdate AS DATE)) % 256) + 256) % 256
+                  AS BIGINT) AS qy
       FROM orders
     ), z AS (
       SELECT o_orderkey, qx, qy, {_zval_sql('qx', 'qy')} AS zval FROM q
@@ -2715,10 +2721,16 @@ def zorder_locality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.repartitionByRange(zval).sortWithinPartitions(zval).write — the
     stats here are what makes that layout's file skipping effective."""
     o = load(spark, sf_dir, "orders")
-    qx = (F.col("o_custkey") % 256).cast("long")
-    qy = (
-        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date"))
-        % 256
+    # pmod, not %: a z-order slot index must land in [0, 256) — a
+    # pre-1992 order date (or negative key) would otherwise produce a
+    # NEGATIVE slot whose sign-extended bits wreck the interleave
+    # (round-8 time-edge probe); identical double-mod in the oracle
+    qx = F.pmod(F.col("o_custkey"), F.lit(256)).cast("long")
+    qy = F.pmod(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")
+        ),
+        F.lit(256),
     ).cast("long")
     z = o.select(
         "o_orderkey",
@@ -3116,6 +3128,7 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
              date_diff('day', o.o_orderdate, l.l_shipdate) AS days,
              l.l_orderkey, l.l_linenumber
       FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderdate IS NOT NULL AND l.l_shipdate IS NOT NULL
     ),
     q AS (SELECT * FROM (VALUES ('p50', 1, 2), ('p90', 9, 10),
                                 ('p99', 99, 100)) AS t(q, num, den)),
@@ -3164,6 +3177,11 @@ def latency_pctiles_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hist = (
         li.join(o, F.col("o_orderkey") == F.col("l_orderkey"))
+        # a NULL date on either side makes the latency UNDEFINED — drop
+        # the row from the percentile population on both engines rather
+        # than letting each engine's null ordering pick where the NULL
+        # "latency" ranks (round-8 time-edge probe)
+        .filter(F.col("o_orderdate").isNotNull() & F.col("l_shipdate").isNotNull())
         .select(
             "o_orderpriority",
             F.date_diff(F.col("l_shipdate"), F.col("o_orderdate")).alias("days"),

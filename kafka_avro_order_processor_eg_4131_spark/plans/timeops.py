@@ -31,6 +31,7 @@ GAP = "2 hours"
            {bigcount_sql()} AS n_events,
            {dsum_sql("value")} AS sum_value
     FROM events
+    WHERE ts IS NOT NULL
     GROUP BY 1, 2
     """,
 )
@@ -57,9 +58,11 @@ def tumbling_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_window_event_counts",
     oracle=f"""
     WITH starts AS (
-      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value FROM events
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, value
+      FROM events WHERE ts IS NOT NULL
       UNION ALL
-      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value FROM events
+      SELECT time_bucket(INTERVAL '5 minutes', ts) - INTERVAL '5 minutes', value
+      FROM events WHERE ts IS NOT NULL
     )
     SELECT window_start, {bigcount_sql()} AS n_events, {dsum_sql("value")} AS sum_value
     FROM starts
@@ -90,7 +93,7 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '{GAP}'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts,
@@ -330,15 +333,20 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
         F.count("*").alias("n"),
     )
+    # try_divide: a single-event type has n-1 = 0 and a constant-value
+    # type has std 0 — DuckDB float /0 is NULL (z NULL -> filtered),
+    # ANSI Spark raises (round-8 time-edge probe)
     st = s.select(
         "event_type",
         (F.col("sx") / F.col("n")).alias("mean_v"),
         F.sqrt(
-            (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"))
-            / (F.col("n") - 1)
+            F.try_divide(
+                F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n"),
+                F.col("n") - 1,
+            )
         ).alias("std_v"),
     )
-    z = (F.col("value") - F.col("mean_v")) / F.col("std_v")
+    z = F.try_divide(F.col("value") - F.col("mean_v"), F.col("std_v"))
     return (
         e.join(F.broadcast(st), "event_type")
         .filter(F.abs(z) >= 3.0)
@@ -356,22 +364,22 @@ _PATH_TOP = 20
     oracle=f"""
     WITH flagged AS (
       SELECT user_id, ts, event_id, event_type,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id)
                        > INTERVAL '{GAP}'
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events
     ),
     sessions AS (
       SELECT user_id, ts, event_id, event_type,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     ),
     paths AS (
       SELECT user_id, session_id,
              array_to_string(
-               list_slice(list(event_type ORDER BY ts, event_id), 1, {_PATH_LEN}),
+               list_slice(list(event_type ORDER BY ts NULLS LAST, event_id), 1, {_PATH_LEN}),
                '>') AS path
       FROM sessions GROUP BY user_id, session_id
     )
@@ -391,7 +399,7 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     lag_ts = F.lag("ts").over(w)
     new_session = (
         lag_ts.isNull()
@@ -407,13 +415,26 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # the in-array sort key maps a NULL ts to +inf (Long.MAX micros):
+    # Spark's struct comparison sorts a null field FIRST while the
+    # oracle's list(... ORDER BY ts NULLS LAST ...) sorts it last — the
+    # coalesce makes both engines put timestamp-less events at the
+    # path's tail (round-8 time-edge probe)
+    ts_key = F.coalesce(
+        F.unix_micros(F.col("ts").cast("timestamp")),
+        F.lit(9223372036854775807),
+    )
     paths = sess.groupBy("user_id", "session_id").agg(
         F.concat_ws(
             ">",
             F.slice(
                 F.transform(
                     F.array_sort(
-                        F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        F.collect_list(
+                            F.struct(
+                                ts_key.alias("tsk"), "event_id", "event_type"
+                            )
+                        )
                     ),
                     lambda s: s.event_type,
                 ),
@@ -436,7 +457,7 @@ def session_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH r AS (
       SELECT date_trunc('day', ts) AS day, value,
              ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
-                                ORDER BY ts, event_id) AS rn_a,
+                                ORDER BY ts NULLS LAST, event_id) AS rn_a,
              ROW_NUMBER() OVER (PARTITION BY date_trunc('day', ts)
                                 ORDER BY ts DESC, event_id DESC) AS rn_d
       FROM events
@@ -644,8 +665,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("percentile(abs(value - med_v), 0.5)").alias("mad_v")
         )
     )
-    score = (F.col("value") - F.col("med_v")) / (
-        F.lit(1.4826) * F.col("mad_v")
+    # try_divide: a type where >= half the values equal the median has
+    # MAD 0 — DuckDB float /0 is NULL (robust_z NULL -> filtered),
+    # ANSI Spark raises (round-8 time-edge probe)
+    score = F.try_divide(
+        F.col("value") - F.col("med_v"), F.lit(1.4826) * F.col("mad_v")
     )
     return (
         e.join(F.broadcast(med), "event_type")
@@ -860,7 +884,7 @@ def cdc_compact_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH pairs AS (
       SELECT LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
              ) AS prev_type,
              event_type AS next_type
       FROM events
@@ -889,7 +913,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     pairs = (
         e.select(F.lag("event_type").over(w).alias("prev_type"),
                  F.col("event_type").alias("next_type"))
@@ -918,7 +942,7 @@ _EWMA_W = 8  # truncated history: current event + 7 preceding
     WITH w AS (
       SELECT event_id, user_id, ts, value,
              list_filter(list(value) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                ROWS BETWEEN {_EWMA_W - 1} PRECEDING AND CURRENT ROW
              ), v -> v IS NOT NULL) AS a
       FROM events
@@ -961,7 +985,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = load(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(-(_EWMA_W - 1), 0)
     )
     a = F.collect_list("value").over(w)
@@ -1004,7 +1028,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH p AS (
       SELECT user_id, ts, value,
-             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts
+             LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) AS nts
       FROM events
     ),
     seg AS (
@@ -1041,7 +1065,7 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     seg = (
         e.select(
             "user_id",
@@ -1205,7 +1229,7 @@ def events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
                        > INTERVAL '{GAP}'
                   OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
                   THEN 1 ELSE 0 END AS new_session
-      FROM events
+      FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts,
@@ -1363,14 +1387,14 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH o AS (
       SELECT user_id, event_type, ts, event_id,
              LAG(event_type) OVER (PARTITION BY user_id
-                                   ORDER BY ts, event_id) AS prev
+                                   ORDER BY ts NULLS LAST, event_id) AS prev
       FROM events
     ),
     runs AS (
       SELECT user_id, event_type, ts,
              SUM(CASE WHEN prev IS NULL OR prev <> event_type
                       THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
+               OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                      ROWS UNBOUNDED PRECEDING) AS run_id
       FROM o
     ),
@@ -1402,7 +1426,7 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     The (ts, event_id) ordering key is total, so run boundaries are
     engine-exact."""
     e = load(spark, sf_dir, "events")
-    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wo = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     runs = (
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev", F.lag("event_type").over(wo))
@@ -1445,14 +1469,14 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_type, ts, event_id,
              MAX(CASE WHEN event_type = 'view' THEN ts END) OVER w1 AS lv
       FROM events
-      WINDOW w1 AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w1 AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
     o2 AS (
       SELECT user_id, event_type, ts, lv,
              MAX(CASE WHEN event_type = 'click' THEN lv END) OVER w2 AS qa
       FROM o
-      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id
+      WINDOW w2 AS (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
     ),
     flags AS (
@@ -1490,7 +1514,7 @@ def funnel_ordered_steps_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frame = (
         Window.partitionBy("user_id")
-        .orderBy("ts", "event_id")
+        .orderBy(F.col("ts").asc_nulls_last(), "event_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     o = e.withColumn(
@@ -1700,7 +1724,7 @@ def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH pairs AS (
       SELECT LAG(event_type) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
+               PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
              ) AS prev_type,
              event_type AS next_type,
              CAST(date_diff('day', DATE '1970-01-01',
@@ -1746,7 +1770,7 @@ def eval_markov_next_event_accuracy(spark: SparkSession, sf_dir: str) -> DataFra
     from pyspark.sql import Window
 
     e = load(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc_nulls_last(), "event_id")
     pairs = (
         e.select(
             F.lag("event_type").over(w).alias("prev_type"),

@@ -65,14 +65,22 @@ _LONG_A = (
 )
 
 
-def build_edge_rel_fixture(d, empty: bool = False) -> None:
+def build_edge_rel_fixture(d, empty: bool = False, time_edges: bool = False) -> None:
     """Write the full edge fixture set under ``d`` (a pathlib.Path).
     Pure pyarrow — callable from scripts as well as the pytest fixture
     (tests/aging_probe.py-style ad-hoc probing needs it outside pytest).
 
     ``empty=True`` writes every table with ITS REAL SCHEMA but zero
     rows — the empty-day-partition shape (a source with no data yet) —
-    by slicing each table to 0 before writing."""
+    by slicing each table to 0 before writing.
+
+    ``time_edges=True`` swaps the three time-bearing tables for
+    variants whose timestamps span pre-epoch (negative epoch values),
+    pre-1900, and far-future instants, with duplicate-nanosecond ties,
+    NULL timestamps, and shipdates BEFORE their order dates — all
+    within pandas' representable ns range [1677, 2262], since the
+    parity harness (and the driver's) interchanges through Arrow/
+    pandas; wider dates break the COMPARISON layer, not the engines."""
     global _write
     orig_write = _write
     if empty:
@@ -82,6 +90,68 @@ def build_edge_rel_fixture(d, empty: bool = False) -> None:
         _build_tables(d)
     finally:
         _write = orig_write
+    if time_edges and not empty:
+        _time_edge_overrides(d)
+
+
+def _time_edge_overrides(d) -> None:
+    """Replace events/orders/lineitem with the time-edge variants."""
+    import shutil
+
+    def rewrite(name, table):
+        shutil.rmtree(d / f"{name}.parquet")
+        (d / f"{name}.parquet").mkdir()
+        pq.write_table(table, str(d / f"{name}.parquet" / "part-0.parquet"))
+
+    T = _ts
+    rewrite("events", pa.table({
+        "event_id": pa.array(list(range(1, 9)), pa.int64()),
+        # duplicate pre-epoch instants, 1883, epoch zero, far future
+        "ts": pa.array(
+            [T("1969-12-31T23:59:59.999999"), T("1969-12-31T23:59:59.999999"),
+             T("1969-07-20T20:17:40"), T("1883-11-18T12:00:00"),
+             T("1970-01-01T00:00:00"), T("2200-01-01T00:00:00"),
+             T("1969-06-01T00:00:00"), None],
+            pa.timestamp(_NS)),
+        "user_id": pa.array([7, 7, 7, 7, 7, 8, 8, 8], pa.int64()),
+        "event_type": pa.array(
+            ["click", "view", "purchase", "click", "view", "purchase",
+             "click", "error"], pa.string()),
+        "value": pa.array(
+            [1.0, -2.5, 0.0, None, 3.25, 1e9, -1e9, 2.0], pa.float64()),
+        "props": pa.array(['{"k": 1}'] * 8, pa.string()),
+    }))
+    rewrite("orders", pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1, 99, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", "F", "F", "F", "O"], pa.string()),
+        "o_totalprice": pa.array(
+            [10.0, 20.0, 30.0, 40.0, 50.0, 60.0], pa.float64()),
+        "o_orderdate": pa.array(
+            [T("1969-12-31"), T("1900-01-01"), T("1700-01-01"),
+             T("2200-12-31"), T("1969-01-01"), None], pa.timestamp(_US)),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW",
+             "1-URGENT"], pa.string()),
+    }))
+    rewrite("lineitem", pa.table({
+        "l_orderkey": pa.array([100, 101, 102, 103, 104, 105, 100], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 4, 1, 2, 3], pa.int64()),
+        "l_suppkey": pa.array([1] * 7, pa.int64()),
+        "l_linenumber": pa.array([1, 1, 1, 1, 1, 1, 2], pa.int32()),
+        "l_quantity": pa.array([1.0] * 7, pa.float64()),
+        "l_extendedprice": pa.array([10.0] * 7, pa.float64()),
+        "l_discount": pa.array([0.0] * 7, pa.float64()),
+        "l_tax": pa.array([0.0] * 7, pa.float64()),
+        "l_returnflag": pa.array(["N"] * 7, pa.string()),
+        "l_linestatus": pa.array(["O"] * 7, pa.string()),
+        # shipdates BEFORE their order dates (negative latency),
+        # pre-epoch, far future, and NULL
+        "l_shipdate": pa.array(
+            [T("1969-12-30"), T("1899-12-31"), T("1700-01-05"),
+             T("2200-12-31"), T("1968-12-31"), T("1970-01-02"), None],
+            pa.timestamp(_US)),
+    }))
 
 
 def _build_tables(d) -> None:
@@ -434,6 +504,23 @@ def test_whole_catalog_oracle_parity_on_edge_relational(spark, edge_rel_dir):
     codegen bug. Any regression here is a latent production divergence
     the clean fixtures cannot see."""
     assert not _parity_sweep(spark, edge_rel_dir)
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_time_edges(spark, tmp_path_factory):
+    """FULL-PARITY sweep with hostile TIMESTAMPS: pre-epoch (negative
+    epoch values), pre-1900, far-future, duplicate-instant ties, NULL
+    timestamps, and shipdates before their order dates. Round-8 finds
+    fixed here: the NULLS FIRST/LAST divergence in every event-time
+    ordering (now explicitly NULLS LAST on both sides), Spark time
+    windows dropping null-ts rows (oracles filter), % 2 vs & 1 on
+    negative z-order coordinates (now pmod-normalized slots), in-array
+    struct sorts putting a null ts first (now a +inf-coalesced sort
+    key), null-latency percentile membership, and zero-variance
+    anomaly-score divisions."""
+    d = tmp_path_factory.mktemp("edge_time")
+    build_edge_rel_fixture(d, time_edges=True)
+    assert not _parity_sweep(spark, str(d))
 
 
 @pytest.mark.slow
