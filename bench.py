@@ -97,7 +97,9 @@ def _cpu_snap() -> list[int] | None:
 
 def _cpu_attrib(before: list[int] | None, after: list[int] | None):
     """(steal_pct, busy_pct) of the interval, or None off-Linux."""
-    if not before or not after or len(after) < 8:
+    # guard BOTH snapshots: zip truncates to the shorter list, so a
+    # truncated `before` read would make d[7] raise after all queries ran
+    if not before or not after or len(before) < 8 or len(after) < 8:
         return None
     d = [b - a for a, b in zip(before, after)]
     tot = sum(d)

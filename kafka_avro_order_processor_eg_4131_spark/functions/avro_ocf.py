@@ -28,6 +28,11 @@ import json
 import struct
 from typing import Any
 
+try:  # pd.NA sentinel for arrow-backed nullable dtypes (advice r8)
+    from pandas import NA as _PD_NA
+except Exception:  # pragma: no cover - pandas always present in-container
+    _PD_NA = None
+
 # ---------------------------------------------------------------------------
 # varint / zigzag primitives (Avro spec §Binary encoding)
 # ---------------------------------------------------------------------------
@@ -86,8 +91,21 @@ def read_bytes(buf: io.BytesIO) -> bytes:
 
 def _has_null(vals) -> bool:
     """True when any struct field is null as pandas renders it: None
-    for object/string columns, NaN for float columns."""
-    return any(v is None or (isinstance(v, float) and v != v) for v in vals)
+    for object/string columns, NaN for float columns, pd.NA for
+    arrow-backed nullable dtypes.
+
+    NOTE on NaN prices: pandas conflates SQL NULL and float NaN in
+    non-nullable float columns, so a genuinely-NaN price (a legal,
+    encodable Avro float) is indistinguishable from NULL here and is
+    routed to the NULL-datum/DLQ path rather than encoded. That is the
+    documented engine contract (the float-edge parity fixture pins it);
+    a caller that must encode NaN should pre-encode it as bits."""
+    return any(
+        v is None
+        or v is _PD_NA
+        or (isinstance(v, float) and v != v)
+        for v in vals
+    )
 
 
 _PRIMITIVE_WRITERS = {

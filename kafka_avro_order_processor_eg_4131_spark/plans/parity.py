@@ -267,10 +267,14 @@ def failure_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- wire prefix + 1-byte string length varint (both strings
              -- are < 64 chars, so zigzag(len) fits one byte) + utf-8
              -- payloads + 4-byte little-endian float32. A null-field
-             -- record is unencodable -> NULL datum, NULL size (the
-             -- length() of a NULL product propagates it).
-             CAST(5 + 1 + length(CAST(o_orderkey AS VARCHAR))
-                    + 1 + length(o_orderpriority) + 4 AS BIGINT) AS nb
+             -- record is unencodable -> NULL datum, NULL size — the
+             -- guard mirrors the encoder's _has_null over ALL THREE
+             -- fields (a lone NULL o_totalprice also nulls the datum,
+             -- so length() propagation via product alone is not enough).
+             CASE WHEN o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
+                   AND o_totalprice IS NOT NULL
+             THEN CAST(5 + 1 + length(CAST(o_orderkey AS VARCHAR))
+                    + 1 + length(o_orderpriority) + 4 AS BIGINT) END AS nb
       FROM orders
     )
     SELECT {status_case_sql("price")} AS status,
