@@ -65,6 +65,20 @@ def register(name: str, oracle: str | None = None):
 
 DEC = "decimal(30,6)"
 
+_PINF = float("inf")
+_NINF = float("-inf")
+_NAN = float("nan")
+
+
+def is_finite(col: Column) -> Column:
+    """True for finite doubles, false for NaN/±Inf, NULL for NULL —
+    identical three-valued shape as DuckDB's isfinite()."""
+    return ~F.isnan(col) & (col != F.lit(_PINF)) & (col != F.lit(_NINF))
+
+
+def finite_sql(expr: str) -> str:
+    return f"isfinite(({expr}))"
+
 
 def dsum(col: Column) -> Column:
     """Order-independent SUM of a double column, returned as double.
@@ -72,12 +86,84 @@ def dsum(col: Column) -> Column:
     The decimal->double conversion goes THROUGH A STRING on both sides:
     DuckDB's direct decimal->double cast double-rounds (int128 -> double,
     then /10^scale) and can be 1 ulp off the true value; decimal->string
-    is exact and string->double is correctly rounded in both engines."""
-    return F.sum(col.cast(DEC)).cast("string").cast("double")
+    is exact and string->double is correctly rounded in both engines.
+
+    Non-finite inputs (round-9 float-edge fixture): IEEE double-sum
+    semantics, order-independently — any NaN (or both +Inf and -Inf)
+    in the group => NaN; else any +Inf => +Inf; else any -Inf => -Inf;
+    else the exact decimal sum of the (all-finite) values. Before
+    round 9 Spark silently DROPPED non-finite values (double->decimal
+    casts to NULL) while DuckDB crashed on them — a NaN price vanishing
+    from a 100 TB revenue total is precisely the silent-corruption
+    class this engine refuses, so both sides now propagate."""
+    nan_n = F.count(F.when(F.isnan(col), F.lit(1)))
+    p_n = F.count(F.when(col == F.lit(_PINF), F.lit(1)))
+    n_n = F.count(F.when(col == F.lit(_NINF), F.lit(1)))
+    fin = F.sum(F.when(is_finite(col), col).cast(DEC)).cast("string").cast("double")
+    return (
+        F.when((nan_n > 0) | ((p_n > 0) & (n_n > 0)), F.lit(_NAN))
+        .when(p_n > 0, F.lit(_PINF))
+        .when(n_n > 0, F.lit(_NINF))
+        .otherwise(fin)
+    )
 
 
 def dsum_sql(expr: str) -> str:
-    return f"CAST(CAST(SUM(CAST(({expr}) AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
+    e = f"({expr})"
+    fin = (
+        f"CAST(CAST(SUM(CAST(CASE WHEN isfinite({e}) THEN {e} END "
+        f"AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
+    )
+    nan_n = f"COUNT(CASE WHEN isnan({e}) THEN 1 END)"
+    p_n = f"COUNT(CASE WHEN {e} = 'infinity'::DOUBLE THEN 1 END)"
+    n_n = f"COUNT(CASE WHEN {e} = '-infinity'::DOUBLE THEN 1 END)"
+    return (
+        f"CASE WHEN {nan_n} > 0 OR ({p_n} > 0 AND {n_n} > 0) THEN 'nan'::DOUBLE "
+        f"WHEN {p_n} > 0 THEN 'infinity'::DOUBLE "
+        f"WHEN {n_n} > 0 THEN '-infinity'::DOUBLE "
+        f"ELSE {fin} END"
+    )
+
+
+def dsum_over(col: Column, w) -> Column:
+    """dsum over a window frame: the same IEEE-propagating decimal sum,
+    with every constituent aggregate evaluated OVER the same frame
+    (a window expression can't host the grouped dsum composite
+    directly, but a composite OF windowed aggregates is fine)."""
+    nan_n = F.count(F.when(F.isnan(col), F.lit(1))).over(w)
+    p_n = F.count(F.when(col == F.lit(_PINF), F.lit(1))).over(w)
+    n_n = F.count(F.when(col == F.lit(_NINF), F.lit(1))).over(w)
+    fin = (
+        F.sum(F.when(is_finite(col), col).cast(DEC))
+        .over(w)
+        .cast("string")
+        .cast("double")
+    )
+    return (
+        F.when((nan_n > 0) | ((p_n > 0) & (n_n > 0)), F.lit(_NAN))
+        .when(p_n > 0, F.lit(_PINF))
+        .when(n_n > 0, F.lit(_NINF))
+        .otherwise(fin)
+    )
+
+
+def dsum_over_sql(expr: str, over: str) -> str:
+    """dsum_sql over a window: ``over`` is the full 'OVER (...)' text,
+    appended to each constituent aggregate."""
+    e = f"({expr})"
+    fin = (
+        f"CAST(CAST(SUM(CAST(CASE WHEN isfinite({e}) THEN {e} END "
+        f"AS DECIMAL(30,6))) {over} AS VARCHAR) AS DOUBLE)"
+    )
+    nan_n = f"COUNT(CASE WHEN isnan({e}) THEN 1 END) {over}"
+    p_n = f"COUNT(CASE WHEN {e} = 'infinity'::DOUBLE THEN 1 END) {over}"
+    n_n = f"COUNT(CASE WHEN {e} = '-infinity'::DOUBLE THEN 1 END) {over}"
+    return (
+        f"CASE WHEN {nan_n} > 0 OR ({p_n} > 0 AND {n_n} > 0) THEN 'nan'::DOUBLE "
+        f"WHEN {p_n} > 0 THEN 'infinity'::DOUBLE "
+        f"WHEN {n_n} > 0 THEN '-infinity'::DOUBLE "
+        f"ELSE {fin} END"
+    )
 
 
 def davg(col: Column) -> Column:

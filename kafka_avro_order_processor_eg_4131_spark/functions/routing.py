@@ -71,10 +71,41 @@ def dlq_error_reason_expr(price: Column) -> Column:
     ``Price exceeds threshold: {price} > 1000.0``.
 
     Uses printf-style formatting so the string is byte-identical across
-    engines (Spark format_string == C printf == DuckDB printf).
-    """
-    return F.format_string(
-        "Price exceeds threshold: %.2f > %.1f",
-        price.cast("double"),
-        F.lit(PERMANENT_THRESHOLD),
+    engines (Spark format_string == C printf == DuckDB printf) — except
+    for non-finite prices, where the renderings diverge three ways
+    (Java 'NaN'/'Infinity', DuckDB 'nan'/'-nan'/'inf', Python 'nan'/
+    'inf'). A NaN price can reach the permanent branch (NaN routes
+    permanent under total-order comparison), so the engine pins the
+    reference's own rendering — Python ``str()``: 'nan', 'inf',
+    '-inf' — on both sides (see dlq_error_reason_case_sql)."""
+    p = price.cast("double")
+    thr = PERMANENT_THRESHOLD
+    return (
+        F.when(F.isnan(p), F.lit(f"Price exceeds threshold: nan > {thr}"))
+        .when(p == F.lit(float("inf")), F.lit(f"Price exceeds threshold: inf > {thr}"))
+        .when(p == F.lit(float("-inf")), F.lit(f"Price exceeds threshold: -inf > {thr}"))
+        .otherwise(
+            F.format_string(
+                "Price exceeds threshold: %.2f > %.1f",
+                p,
+                F.lit(PERMANENT_THRESHOLD),
+            )
+        )
+    )
+
+
+def dlq_error_reason_case_sql(price_sql: str) -> str:
+    """The identical reason text as ANSI SQL (DuckDB printf renders NaN
+    as 'nan' OR '-nan' depending on the sign bit — both normalize to
+    the pinned Python rendering)."""
+    thr = PERMANENT_THRESHOLD
+    return (
+        f"CASE WHEN isnan({price_sql}) "
+        f"THEN 'Price exceeds threshold: nan > {thr}' "
+        f"WHEN {price_sql} = 'infinity'::DOUBLE "
+        f"THEN 'Price exceeds threshold: inf > {thr}' "
+        f"WHEN {price_sql} = '-infinity'::DOUBLE "
+        f"THEN 'Price exceeds threshold: -inf > {thr}' "
+        f"ELSE printf('Price exceeds threshold: %.2f > %.1f', "
+        f"{price_sql}, {thr}) END"
     )

@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 
 from ..catalog import bigcount_sql, bigsum_sql, dsum, dsum_sql, load, register
 from ..functions.routing import (
+    dlq_error_reason_case_sql,
     dlq_error_reason_expr,
     is_valid_expr,
     status_case_sql,
@@ -108,8 +109,7 @@ def route_transient_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     "route_permanent_dlq",
     oracle=f"""
     SELECT o_orderkey,
-           printf('Price exceeds threshold: %.2f > %.1f',
-                  {_PRICE}, {PERMANENT_THRESHOLD}) AS error_reason
+           {dlq_error_reason_case_sql(_PRICE)} AS error_reason
     FROM orders
     WHERE {_PRICE} > {PERMANENT_THRESHOLD}
     """,
@@ -261,7 +261,7 @@ def failure_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH decoded AS (
       SELECT CASE WHEN o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
-                   AND o_totalprice IS NOT NULL
+                   AND o_totalprice IS NOT NULL AND NOT isnan({_PRICE})
              THEN CAST(CAST({_PRICE} AS REAL) AS DOUBLE) END AS price,
              -- exact wire size of the Confluent-framed datum: 5-byte
              -- wire prefix + 1-byte string length varint (both strings
@@ -270,9 +270,13 @@ def failure_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
              -- record is unencodable -> NULL datum, NULL size — the
              -- guard mirrors the encoder's _has_null over ALL THREE
              -- fields (a lone NULL o_totalprice also nulls the datum,
-             -- so length() propagation via product alone is not enough).
+             -- so length() propagation via product alone is not enough)
+             -- PLUS its documented NaN-as-null conflation (a NaN price
+             -- is routed to the NULL-datum path, functions/avro_ocf.py
+             -- _has_null; ±Inf o_totalprice lands here too because
+             -- inf % 1500 is NaN in both engines' truncated-mod).
              CASE WHEN o_orderkey IS NOT NULL AND o_orderpriority IS NOT NULL
-                   AND o_totalprice IS NOT NULL
+                   AND o_totalprice IS NOT NULL AND NOT isnan({_PRICE})
              THEN CAST(5 + 1 + length(CAST(o_orderkey AS VARCHAR))
                     + 1 + length(o_orderpriority) + 4 AS BIGINT) END AS nb
       FROM orders

@@ -870,7 +870,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.year("o_orderdate").alias("o_year"))
-        .agg((dsum(nat_volume) / dsum(volume)).alias("mkt_share"))
+        # try_divide: a year whose total volume is exactly 0 (possible
+        # with -0.0/0.0 prices or a 100% discount) yields NULL, matching
+        # DuckDB's x/0 -> NULL instead of ANSI DIVIDE_BY_ZERO
+        .agg(F.try_divide(dsum(nat_volume), dsum(volume)).alias("mkt_share"))
     )
 
 
@@ -923,7 +926,11 @@ def scalar_null_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CASE WHEN o_totalprice > 1000.0 THEN 'high' ELSE 'low' END AS bucket_v,
            3 AS n_entries,
            upper(o_orderpriority) AS prio_upper,
-           CASE WHEN o_totalprice <= 1000.0 THEN 1 ELSE 0 END AS n_low
+           -- mirrors the bucket CASE exactly: a NULL price buckets 'low'
+           -- (when-otherwise semantics), so it must also count as low
+           -- here; `price <= 1000` would yield NULL -> 0 and diverge
+           CASE WHEN CASE WHEN o_totalprice > 1000.0 THEN 'high' ELSE 'low' END
+                     = 'low' THEN 1 ELSE 0 END AS n_low
     FROM orders
     """,
 )
@@ -1038,9 +1045,17 @@ def having_frequent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_argminmax",
     oracle="""
     SELECT o_orderstatus,
-           arg_min(o_orderkey, printf('%020.4f', o_totalprice) || '-'
+           arg_min(o_orderkey, CASE WHEN o_totalprice IS NULL THEN '!null'
+                                    WHEN isnan(o_totalprice) THEN '~nan'
+                                    WHEN o_totalprice = 'infinity'::DOUBLE THEN '{inf'
+                                    WHEN o_totalprice = '-infinity'::DOUBLE THEN '"ninf'
+                                    ELSE printf('%020.4f', o_totalprice) END || '-'
                                || printf('%012d', o_orderkey)) AS cheapest_order,
-           arg_max(o_orderkey, printf('%020.4f', o_totalprice) || '-'
+           arg_max(o_orderkey, CASE WHEN o_totalprice IS NULL THEN '!null'
+                                    WHEN isnan(o_totalprice) THEN '~nan'
+                                    WHEN o_totalprice = 'infinity'::DOUBLE THEN '{inf'
+                                    WHEN o_totalprice = '-infinity'::DOUBLE THEN '"ninf'
+                                    ELSE printf('%020.4f', o_totalprice) END || '-'
                                || printf('%012d', o_orderkey)) AS priciest_order
     FROM orders GROUP BY o_orderstatus
     """,
@@ -1049,10 +1064,21 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     """min_by/max_by (arg-min/arg-max aggregation). Price ties exist in
     the fixture, so the ordering key is a printf-encoded (price, key)
     composite — lexicographic == numeric for the fixed-width encoding,
-    identical in both engines, fully deterministic."""
+    identical in both engines, fully deterministic. Non-finite and NULL
+    prices get explicit fixed sentinels (round-9 float-edge probe):
+    Java and DuckDB printf render NaN/Inf/NULL three different ways,
+    and Spark's min_by treats a NULL ordering key as smallest where
+    DuckDB's arg_min skips the row — sentinel ASCII picked so the
+    total order is NULL < -Inf < finite-encodings < +Inf < NaN
+    ('!' < '"' < digits/'-' < '{' < '~')."""
     o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
     ordkey = F.concat(
-        F.format_string("%020.4f", F.col("o_totalprice")),
+        F.when(p.isNull(), F.lit("!null"))
+        .when(F.isnan(p), F.lit("~nan"))
+        .when(p == F.lit(float("inf")), F.lit("{inf"))
+        .when(p == F.lit(float("-inf")), F.lit('"ninf'))
+        .otherwise(F.format_string("%020.4f", p)),
         F.lit("-"),
         F.format_string("%012d", F.col("o_orderkey")),
     )
@@ -1148,20 +1174,43 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_percentiles",
     oracle="""
     SELECT o_orderstatus,
-           quantile_cont(o_totalprice, 0.5) AS median_price,
-           quantile_cont(o_totalprice, 0.9) AS p90_price
+           CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
+                THEN 'nan'::DOUBLE
+                ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
+                                        THEN o_totalprice END, 0.5)
+           END AS median_price,
+           CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
+                THEN 'nan'::DOUBLE
+                ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
+                                        THEN o_totalprice END, 0.9)
+           END AS p90_price
     FROM orders GROUP BY o_orderstatus
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact percentiles (continuous interpolation): Spark `percentile`
     == DuckDB `quantile_cont` bit-for-bit (same sorted-interpolation
-    formula). The approx sketch variant is `agg_approx_count_distinct`'s
-    cousin `percentile_approx` — deliberately NOT oracle-checked."""
+    formula) — on NaN-free groups. The engines place NaN differently
+    inside the sorted run (Spark: largest; DuckDB: implementation-
+    defined), so the pinned portable semantics is any-NaN-in-group =>
+    NaN percentile (the IEEE answer numpy gives), enforced by a guard
+    on BOTH sides (round-9 float-edge probe). ±Inf values participate
+    normally (both engines order them identically). The approx sketch
+    variant is `agg_approx_count_distinct`'s cousin `percentile_approx`
+    — deliberately NOT oracle-checked."""
     o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
+    nan_n = F.count(F.when(F.isnan(p), F.lit(1)))
+    guard = lambda q: F.when(nan_n > 0, F.lit(float("nan"))).otherwise(q)  # noqa: E731
     return o.groupBy("o_orderstatus").agg(
-        F.expr("percentile(o_totalprice, 0.5)").alias("median_price"),
-        F.expr("percentile(o_totalprice, 0.9)").alias("p90_price"),
+        guard(
+            F.expr("percentile(CASE WHEN NOT isnan(o_totalprice) "
+                   "THEN o_totalprice END, 0.5)")
+        ).alias("median_price"),
+        guard(
+            F.expr("percentile(CASE WHEN NOT isnan(o_totalprice) "
+                   "THEN o_totalprice END, 0.9)")
+        ).alias("p90_price"),
     )
 
 
@@ -1786,8 +1835,14 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
              MAX(o_orderstatus) AS mx2,
              CAST(COUNT(o_totalprice) AS BIGINT) AS c3,
              CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS d3,
-             printf('%.2f', MIN(o_totalprice)) AS mn3,
-             printf('%.2f', MAX(o_totalprice)) AS mx3,
+             CASE WHEN isnan(MIN(o_totalprice)) THEN 'nan'
+                  WHEN MIN(o_totalprice) = 'infinity'::DOUBLE THEN 'inf'
+                  WHEN MIN(o_totalprice) = '-infinity'::DOUBLE THEN '-inf'
+                  ELSE printf('%.2f', MIN(o_totalprice)) END AS mn3,
+             CASE WHEN isnan(MAX(o_totalprice)) THEN 'nan'
+                  WHEN MAX(o_totalprice) = 'infinity'::DOUBLE THEN 'inf'
+                  WHEN MAX(o_totalprice) = '-infinity'::DOUBLE THEN '-inf'
+                  ELSE printf('%.2f', MAX(o_totalprice)) END AS mx3,
              CAST(COUNT(o_orderdate) AS BIGINT) AS c4,
              CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d4,
              CAST(epoch_us(MIN(o_orderdate)) AS VARCHAR) AS mn4,
@@ -1830,10 +1885,17 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
 
     as_str = lambda x: x.cast("string")
-    # when-guard: Java's Formatter renders a NULL argument as the STRING
+    # when-guards: Java's Formatter renders a NULL argument as the STRING
     # "null" (precision-truncated — '%.2f' of NULL prints 'nu'!) while
-    # DuckDB's printf propagates NULL (round-8 empty-fixture probe)
-    as_2f = lambda x: F.when(x.isNotNull(), F.format_string("%.2f", x))
+    # DuckDB's printf propagates NULL (round-8 empty-fixture probe);
+    # non-finite renderings diverge three ways (Java 'NaN'/'-Infinity',
+    # DuckDB 'nan'/'-inf'), pinned to the Python str() forms (round-9)
+    as_2f = lambda x: (
+        F.when(F.isnan(x), F.lit("nan"))
+        .when(x == F.lit(float("inf")), F.lit("inf"))
+        .when(x == F.lit(float("-inf")), F.lit("-inf"))
+        .when(x.isNotNull(), F.format_string("%.2f", x))
+    )
     as_us = lambda x: F.unix_micros(x.cast("timestamp")).cast("string")
     ident = lambda x: x
     specs = [
@@ -2855,7 +2917,8 @@ def stats_welch_ttest_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked AS (
       SELECT c_mktsegment, o_totalprice,
              ROW_NUMBER() OVER (
-               PARTITION BY c_mktsegment ORDER BY o_totalprice, o_orderkey
+               PARTITION BY c_mktsegment
+               ORDER BY o_totalprice NULLS LAST, o_orderkey
              ) AS rn,
              COUNT(*) OVER (PARTITION BY c_mktsegment) AS n_orders
       FROM j
@@ -2887,8 +2950,16 @@ def median_price_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         o.join(c, F.col("o_custkey") == F.col("c_custkey"))
         .select("c_mktsegment", "o_totalprice", "o_orderkey")
     )
+    # asc_nulls_last on the price: the oracle's ORDER BY uses DuckDB's
+    # default NULLS LAST, Spark's default is NULLS FIRST — divergent
+    # ranks the moment a NULL price exists (round-9 float-edge probe)
     ranked = distributed_row_number(
-        j, [F.col("c_mktsegment"), F.col("o_totalprice"), F.col("o_orderkey")],
+        j,
+        [
+            F.col("c_mktsegment"),
+            F.col("o_totalprice").asc_nulls_last(),
+            F.col("o_orderkey"),
+        ],
         rn_col="grn",
     )
     seg = ranked.groupBy("c_mktsegment").agg(

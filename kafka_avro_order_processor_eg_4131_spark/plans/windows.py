@@ -22,7 +22,18 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import DEC, load, register
+from ..catalog import DEC, dsum_over, dsum_over_sql, load, register
+
+# window texts for the dsum_over_sql oracles (shared so the Spark-side
+# frame and the SQL frame can be eyeballed for equivalence)
+_RUNNING_W = (
+    "OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, "
+    "o_orderkey ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+)
+_MOVING4_W = (
+    "OVER (PARTITION BY o_custkey ORDER BY o_orderdate NULLS LAST, "
+    "o_orderkey ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+)
 
 
 @register(
@@ -62,13 +73,19 @@ def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFra
            CUME_DIST()       OVER w         AS cdist
     FROM orders
     WINDOW w AS (PARTITION BY o_orderstatus
-                 ORDER BY o_totalprice, o_orderkey)
+                 ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
 )
 def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The full ranking-function surface over one window."""
+    """The full ranking-function surface over one window. NULLS LAST is
+    pinned explicitly on both sides (Spark default NULLS FIRST, DuckDB
+    NULLS LAST — round-9 float-edge probe, a NULL price flips every
+    rank in its partition otherwise); NaN needs no pin (both engines
+    order it largest)."""
     o = load(spark, sf_dir, "orders")
-    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.col("o_totalprice").asc_nulls_last(), "o_orderkey"
+    )
     return o.select(
         "o_orderkey",
         F.rank().over(w).cast("int").alias("rnk"),
@@ -104,18 +121,16 @@ def window_lag_lead_price_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "window_running_total",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6)))
-                OVER (PARTITION BY o_custkey
-                      ORDER BY o_orderdate NULLS LAST, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS VARCHAR) AS DOUBLE) AS running_spend
+           {dsum_over_sql("o_totalprice", _RUNNING_W)} AS running_spend
     FROM orders
     """,
 )
 def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Running total over an expanding ROWS frame (decimal-exact)."""
+    """Running total over an expanding ROWS frame (decimal-exact;
+    dsum_over propagates NaN/±Inf through the frame identically in
+    both engines — round-9 float-edge probe)."""
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -125,24 +140,22 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("string").cast("double").alias("running_spend"),
+        dsum_over(F.col("o_totalprice"), w).alias("running_spend"),
     )
 
 
 @register(
     "window_moving_avg",
-    oracle="""
+    oracle=f"""
     SELECT o_custkey, o_orderkey,
-           CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(30,6))) OVER w AS VARCHAR) AS DOUBLE)
-             / COUNT(*) OVER w AS moving_avg_4
+           {dsum_over_sql("o_totalprice", _MOVING4_W)}
+             / COUNT(*) {_MOVING4_W} AS moving_avg_4
     FROM orders
-    WINDOW w AS (PARTITION BY o_custkey
-                 ORDER BY o_orderdate NULLS LAST, o_orderkey
-                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
     """,
 )
 def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Moving average over a sliding 4-row frame (exact sum / count)."""
+    """Moving average over a sliding 4-row frame (exact sum / count;
+    dsum_over propagates NaN/±Inf through the frame — round-9)."""
     o = load(spark, sf_dir, "orders")
     w = (
         Window.partitionBy("o_custkey")
@@ -152,10 +165,9 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_custkey",
         "o_orderkey",
-        (
-            F.sum(F.col("o_totalprice").cast(DEC)).over(w).cast("string").cast("double")
-            / F.count("*").over(w)
-        ).alias("moving_avg_4"),
+        (dsum_over(F.col("o_totalprice"), w) / F.count("*").over(w)).alias(
+            "moving_avg_4"
+        ),
     )
 
 

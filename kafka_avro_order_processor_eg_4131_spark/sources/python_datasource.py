@@ -20,10 +20,14 @@ aggregation result is independent of which generator produced the rows.
 
 Scale posture: batch partitions are (start, end) ranges — 1000
 executors fill 1000 disjoint ranges with zero coordination. The stream
-reader is the `SimpleDataSourceStreamReader` flavor (driver-side
-prefetch), which is the right tradeoff for a synthetic control-rate
-source; a partition-parallel `DataSourceStreamReader` is the upgrade
-path if a test harness ever needs >100k rows/s sustained.
+reader is the partition-parallel `DataSourceStreamReader` flavor
+(round-9 upgrade from the driver-side `SimpleDataSourceStreamReader`):
+the driver only advances a scalar offset in `latestOffset()`; each
+microbatch's [start, end) row range is split into `numPartitions`
+disjoint sub-ranges that EXECUTORS fill independently — no row is ever
+generated driver-side, which removes the last driver-side ingest from
+the tree and is the same planning shape a real Kafka source uses
+(offsets on the driver, data on the executors).
 """
 
 from __future__ import annotations
@@ -34,8 +38,8 @@ from decimal import ROUND_HALF_UP, Decimal
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     InputPartition,
-    SimpleDataSourceStreamReader,
 )
 
 from .generator import _WORDS
@@ -96,31 +100,60 @@ class _SyntheticOrdersBatchReader(DataSourceReader):
             yield _order_tuple(row_id, self.seed)
 
 
-class _SyntheticOrdersStreamReader(SimpleDataSourceStreamReader):
-    """Offset-tracked stream: offset = next row id to emit. Replay of a
-    committed range regenerates identical rows (pure function of id),
-    which is the whole at-least-once story the reference implements by
-    hand with Kafka commits (consumer.py:179-191)."""
+class _SyntheticOrdersStreamReader(DataSourceStreamReader):
+    """Partition-parallel offset-tracked stream: offset = next row id to
+    emit (the same ``{"next": N}`` JSON shape as the earlier
+    SimpleDataSourceStreamReader, so existing checkpoints replay).
+
+    The driver advances the scalar offset by ``rowsPerBatch`` per
+    trigger in ``latestOffset()``; ``partitions(start, end)`` splits the
+    microbatch's row range into ``numPartitions`` disjoint sub-ranges;
+    ``read(partition)`` runs ON EXECUTORS and regenerates rows as a pure
+    function of row id — so replay of any committed range is identical
+    by construction (the at-least-once story the reference implements by
+    hand with Kafka commits, consumer.py:179-191), and no data is ever
+    produced driver-side."""
 
     def __init__(self, options):
         self.seed = int(options.get("seed", 42))
         self.rows_per_batch = int(options.get("rowsPerBatch", 50))
+        self.num_partitions = int(options.get("numPartitions", 4))
+        self._latest = 0
 
     def initialOffset(self):
         return {"next": 0}
 
-    def read(self, start: dict):
-        first = int(start["next"])
-        end = {"next": first + self.rows_per_batch}
-        return (
-            iter([_order_tuple(i, self.seed) for i in range(first, end["next"])]),
-            end,
-        )
+    def latestOffset(self):
+        self._latest += self.rows_per_batch
+        return {"next": self._latest}
 
-    def readBetweenOffsets(self, start: dict, end: dict):
-        return iter(
-            [_order_tuple(i, self.seed) for i in range(int(start["next"]), int(end["next"]))]
-        )
+    def partitions(self, start: dict, end: dict):
+        first, last = int(start["next"]), int(end["next"])
+        # Restart recovery: on resume the engine re-plans the offset
+        # log's last batch BEFORE calling latestOffset() (the same
+        # contract pyspark's _SimpleStreamReaderWrapper documents and
+        # relies on), so a fresh reader learns the checkpointed
+        # frontier here — without this, latestOffset() would restart
+        # from 0 and re-emit every range as it caught back up
+        # (measured: 100 duplicate rows in the restart probe).
+        self._latest = max(self._latest, last)
+        if last <= first:
+            return []
+        k = max(1, min(self.num_partitions, last - first))
+        step = (last - first + k - 1) // k
+        return [
+            _RangePartition(i, min(i + step, last))
+            for i in range(first, last, step)
+        ]
+
+    def read(self, partition: _RangePartition):
+        for row_id in range(partition.start, partition.end):
+            yield _order_tuple(row_id, self.seed)
+
+    def commit(self, end: dict) -> None:
+        # a restarted query resumes from the checkpointed offset; make
+        # sure latestOffset() never runs backwards from a committed end
+        self._latest = max(self._latest, int(end["next"]))
 
 
 class SyntheticOrdersDataSource(DataSource):
@@ -134,7 +167,7 @@ class SyntheticOrdersDataSource(DataSource):
     def reader(self, schema):
         return _SyntheticOrdersBatchReader(self.options)
 
-    def simpleStreamReader(self, schema):
+    def streamReader(self, schema):
         return _SyntheticOrdersStreamReader(self.options)
 
 

@@ -16,14 +16,17 @@ to replicate exactly that statistical shape):
 - ``--sample N --seed S``  run N entries drawn without replacement from
   the sorted catalog by ``random.Random(S)`` — seeding by round number
   makes the draw reproducible across the round;
-- ``--complement-of CORRECTNESS_rN.json``  restrict the draw (or the
-  full run) to entries NOT in that file's keys — the driver has sampled
-  the *same* 50 entries for consecutive rounds (r6∩r7 = 50/50), so the
-  other ~173 are invisible to it; this flag points the gate straight at
-  the driver's blind spot (round-7 verdict item 6):
+- ``--complement-of CORRECTNESS_rN.json[,CORRECTNESS_rM.json,...]``
+  restrict the draw (or the full run) to entries NOT in the UNION of
+  those files' keys — the driver has sampled the *same* 50 entries for
+  three consecutive rounds (r6=r7=r8), so ~155 entries are invisible
+  to it; this flag points the gate straight at the driver's blind spot
+  (round-8 verdict item 2 asks for the union of ALL CORRECTNESS files,
+  so the draw covers only never-driver-checked entries). The flag is
+  also repeatable; a shell glob works through xargs-style expansion:
 
-      python tests/run_driver_check.py --sample 50 --seed 8 \\
-          --complement-of /root/repo/CORRECTNESS_r07.json
+      python tests/run_driver_check.py --sample 50 --seed 9 \\
+          --complement-of "$(ls /root/repo/CORRECTNESS_r*.json | paste -sd,)"
 
 - default (no flag): the full catalog, as before.
 """
@@ -88,18 +91,22 @@ def main() -> int:
     ap.add_argument("--sample", type=int, help="check N randomly drawn entries")
     ap.add_argument("--seed", type=int, default=0,
                     help="PRNG seed for --sample (use the round number)")
-    ap.add_argument("--complement-of", metavar="CORRECTNESS_JSON",
-                    help="exclude this driver CORRECTNESS file's keys — "
-                         "check the entries the driver never samples")
+    ap.add_argument("--complement-of", metavar="CORRECTNESS_JSON[,...]",
+                    action="append", default=[],
+                    help="exclude these driver CORRECTNESS files' keys "
+                         "(comma-separated and/or repeated) — check the "
+                         "entries the driver never samples")
     args = ap.parse_args()
     exclude: set[str] = set()
-    if args.complement_of:
+    for spec in args.complement_of:
         import json
 
-        with open(args.complement_of) as f:
-            exclude = set(json.load(f))
-        if not exclude:
-            raise SystemExit(f"{args.complement_of} has no query keys")
+        for path in (p.strip() for p in spec.split(",") if p.strip()):
+            with open(path) as f:
+                keys = set(json.load(f))
+            if not keys:
+                raise SystemExit(f"{path} has no query keys")
+            exclude |= keys
     sf_dir = args.sf_dir
     entry_path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py")
     spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)

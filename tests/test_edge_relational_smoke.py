@@ -65,7 +65,9 @@ _LONG_A = (
 )
 
 
-def build_edge_rel_fixture(d, empty: bool = False, time_edges: bool = False) -> None:
+def build_edge_rel_fixture(
+    d, empty: bool = False, time_edges: bool = False, float_edges: bool = False
+) -> None:
     """Write the full edge fixture set under ``d`` (a pathlib.Path).
     Pure pyarrow — callable from scripts as well as the pytest fixture
     (tests/aging_probe.py-style ad-hoc probing needs it outside pytest).
@@ -80,7 +82,17 @@ def build_edge_rel_fixture(d, empty: bool = False, time_edges: bool = False) -> 
     NULL timestamps, and shipdates BEFORE their order dates — all
     within pandas' representable ns range [1677, 2262], since the
     parity harness (and the driver's) interchanges through Arrow/
-    pandas; wider dates break the COMPARISON layer, not the engines."""
+    pandas; wider dates break the COMPARISON layer, not the engines.
+
+    ``float_edges=True`` swaps the four float-bearing tables for
+    variants carrying NaN, +Inf, -Inf, and -0.0 in o_totalprice,
+    l_extendedprice/l_discount, events.value, and embedding
+    components — the round-9 fifth fixture class. Spark and DuckDB
+    are KNOWN to disagree here (NaN->DECIMAL casts crash DuckDB,
+    Spark normalizes -0.0 in group keys where DuckDB keeps the
+    first-seen sign, printf renders NaN/Infinity differently), so
+    every divergence found by the parity sweep is fixed
+    symmetrically to one pinned semantics."""
     global _write
     orig_write = _write
     if empty:
@@ -92,6 +104,8 @@ def build_edge_rel_fixture(d, empty: bool = False, time_edges: bool = False) -> 
         _write = orig_write
     if time_edges and not empty:
         _time_edge_overrides(d)
+    if float_edges and not empty:
+        _float_edge_overrides(d)
 
 
 def _time_edge_overrides(d) -> None:
@@ -151,6 +165,89 @@ def _time_edge_overrides(d) -> None:
             [T("1969-12-30"), T("1899-12-31"), T("1700-01-05"),
              T("2200-12-31"), T("1968-12-31"), T("1970-01-02"), None],
             pa.timestamp(_US)),
+    }))
+
+
+def _float_edge_overrides(d) -> None:
+    """Replace orders/lineitem/events/embeddings with float-edge
+    variants: the SAME keys, statuses, and dates as the base edge
+    fixture (so the orphan-FK / null-status shapes stay), but every
+    float-bearing column now carries NaN, +Inf, -Inf, and -0.0 —
+    plus one order with a LONE NULL o_totalprice (non-null key and
+    priority), the row the round-8 advice flagged as unreachable by
+    every earlier fixture."""
+    import shutil
+
+    def rewrite(name, table):
+        shutil.rmtree(d / f"{name}.parquet")
+        (d / f"{name}.parquet").mkdir()
+        pq.write_table(table, str(d / f"{name}.parquet" / "part-0.parquet"))
+
+    NAN, PINF, NINF = float("nan"), float("inf"), float("-inf")
+    T = _ts
+    rewrite("orders", pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1, 99, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", None, "F", "F", "O"], pa.string()),
+        # NaN / +Inf / -Inf / -0.0 / finite / lone-NULL price
+        "o_totalprice": pa.array(
+            [NAN, PINF, NINF, -0.0, 123.45, None], pa.float64()),
+        "o_orderdate": pa.array(
+            [T("1995-01-01"), T("1995-01-01"), None, T("2099-12-31"),
+             T("1995-06-01"), T("1995-06-01")], pa.timestamp(_US)),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", None, "5-LOW", "2-HIGH", "3-MEDIUM", "3-MEDIUM"],
+            pa.string()),
+    }))
+    rewrite("lineitem", pa.table({
+        "l_orderkey": pa.array([100, 100, 101, 102, 103, 999, 104], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 4, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1] * 7, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+        # NaN / +Inf / -Inf / -0.0 / 0.0 / finite / negative prices;
+        # inf * (1 - 1.0) = inf * 0 = NaN in the revenue term (IEEE,
+        # identical in both engines); -0.0 discount
+        "l_extendedprice": pa.array(
+            [NAN, PINF, NINF, -0.0, 0.0, 50.0, -60.0], pa.float64()),
+        "l_discount": pa.array(
+            [0.0, 1.0, 0.05, -0.0, 0.02, 0.0, 0.1], pa.float64()),
+        "l_tax": pa.array([0.0, 0.1, 0.0, 0.08, 0.01, 0.0, 0.02], pa.float64()),
+        "l_returnflag": pa.array(["R", "N", "A", None, "R", "N", "N"], pa.string()),
+        "l_linestatus": pa.array(["F", "O", "F", None, "F", "O", "O"], pa.string()),
+        "l_shipdate": pa.array(
+            [T("1995-01-02"), T("1995-01-03"), None, T("1995-02-01"),
+             T("2099-12-31"), T("1995-03-01"), T("1995-03-02")],
+            pa.timestamp(_US)),
+    }))
+    rewrite("events", pa.table({
+        "event_id": pa.array(list(range(1, 9)), pa.int64()),
+        "ts": pa.array(
+            [_ts("2024-01-01T00:00:00")] * 5
+            + [_ts("2024-01-01T00:00:01"), _ts("2024-01-05T12:00:00"),
+               _ts("2024-02-01T00:00:00")], pa.timestamp(_NS)),
+        "user_id": pa.array([7] * 8, pa.int64()),
+        "event_type": pa.array(
+            ["", None, "клик", "purchase", "view", "view", "click", "error"],
+            pa.string()),
+        "value": pa.array(
+            [NAN, PINF, NINF, -0.0, 0.0, 2.5, None, -1.5], pa.float64()),
+        "props": pa.array(
+            [None, "", "not json", '{"k": 1}', "{}", '{"k": -3}', "[]", "{"],
+            pa.string()),
+    }))
+    dim = 64
+    zero = [0.0] * dim
+    same = [0.1] * dim
+    nan_vec = [float("nan")] + [0.1] * (dim - 1)
+    inf_vec = [1.0, float("inf")] + [0.0] * (dim - 2)
+    negzero = [-0.0] * dim  # signed zero norm: sqrt(-0.0) = -0.0
+    rewrite("embeddings", pa.table({
+        "vec_id": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "embedding": pa.array(
+            [zero, same, same, nan_vec, inf_vec, negzero],
+            pa.list_(pa.float32())),
+        "label": pa.array([0, 0, 0, None, 0, 0], pa.int32()),
     }))
 
 
