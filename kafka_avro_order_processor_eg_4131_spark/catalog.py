@@ -166,6 +166,28 @@ def dsum_over_sql(expr: str, over: str) -> str:
     )
 
 
+def cents(col: Column, scale: float = 100.0) -> Column:
+    """Exact integer cents (half-up) of a FINITE double; non-finite
+    amounts yield NULL and drop out of sums exactly like SQL NULLs.
+
+    The cents domain is integer — it cannot represent NaN/±Inf, and the
+    engines' raw behaviors diverge violently (Spark floor(NaN) silently
+    returns 0; DuckDB crashes casting NaN to BIGINT), so the pinned
+    portable semantics is NULL-exclusion, symmetric on both sides
+    (round-9 float-edge probe). Callers that need poisoning semantics
+    should pair the cents sum with a dsum of the same column (which
+    propagates NaN/Inf) — see docs/PLANS.md."""
+    return F.when(is_finite(col), F.floor(col * scale + F.lit(0.5)).cast("bigint"))
+
+
+def cents_sql(expr: str, scale: str = "100.0") -> str:
+    e = f"({expr})"
+    return (
+        f"CASE WHEN isfinite({e}) "
+        f"THEN CAST(floor({e} * {scale} + 0.5) AS BIGINT) END"
+    )
+
+
 def davg(col: Column) -> Column:
     """Order-independent AVG of a double column (exact sum / count)."""
     return dsum(col) / F.count(col)

@@ -563,12 +563,11 @@ def kmeans_centroids(
         # F.avg: makes the whole FIXED-ITERATION training loop
         # bit-reproducible in DuckDB, which is what lets
         # ann_ivf_kmeans_topk carry a real oracle
-        mean_val = (
-            F.sum(F.col("val").cast("double").cast("decimal(30,6)"))
-            .cast("string")
-            .cast("double")
-            / F.count("*")
-        )
+        from ..catalog import dsum
+
+        # dsum: exact decimal mean on finite cells, IEEE NaN/Inf
+        # propagation on poisoned ones (round-9 float-edge pin)
+        mean_val = dsum(F.col("val").cast("double")) / F.count("*")
         centroids = (
             assigned.select("cell_id", F.posexplode("vec").alias("dim", "val"))
             .groupBy("cell_id", "dim")

@@ -56,14 +56,36 @@ def salted_agg_sum(
 ) -> DataFrame:
     """SUM(value) GROUP BY key, computed as partial sums over (key, salt)
     then a final sum over key. The value is cast decimal so the two-stage
-    regrouping cannot change the result (double sums are order-sensitive)."""
+    regrouping cannot change the result (double sums are order-sensitive).
+
+    Non-finite values get catalog.dsum's IEEE propagation — the per-salt
+    partials carry NaN/±Inf COUNTS (plain integers, so they compose
+    across the regrouping exactly like the decimal sums), and the final
+    stage applies the same any-NaN / mixed-Inf => NaN resolution. The
+    finite sum converts decimal->double THROUGH A STRING like dsum."""
+    from ..catalog import is_finite
+
     ucol = F.col(unique_col) if unique_col else F.monotonically_increasing_id()
+    fin = F.when(is_finite(value), value)
     partial = (
         df.withColumn("__salt", _salt(ucol, salt_n))
         .groupBy(key, "__salt")
-        .agg(F.sum(value.cast("decimal(30,6)")).alias("__part"), F.count("*").alias("__n"))
+        .agg(
+            F.sum(fin.cast("decimal(30,6)")).alias("__part"),
+            F.count(F.when(F.isnan(value), F.lit(1))).alias("__q_nan"),
+            F.count(F.when(value == F.lit(float("inf")), F.lit(1))).alias("__q_pinf"),
+            F.count(F.when(value == F.lit(float("-inf")), F.lit(1))).alias("__q_ninf"),
+            F.count("*").alias("__n"),
+        )
     )
+    q_nan = F.sum("__q_nan")
+    q_pinf = F.sum("__q_pinf")
+    q_ninf = F.sum("__q_ninf")
     return partial.groupBy(key).agg(
-        F.sum("__part").cast("double").alias("sum_value"),
+        F.when((q_nan > 0) | ((q_pinf > 0) & (q_ninf > 0)), F.lit(float("nan")))
+        .when(q_pinf > 0, F.lit(float("inf")))
+        .when(q_ninf > 0, F.lit(float("-inf")))
+        .otherwise(F.sum("__part").cast("string").cast("double"))
+        .alias("sum_value"),
         F.sum("__n").alias("n_rows"),
     )

@@ -18,7 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import bigcount_sql, bigsum_sql, dsum, dsum_sql, load, register
+from ..catalog import (
+    bigcount_sql,
+    bigsum_sql,
+    cents,
+    cents_sql,
+    dsum,
+    dsum_sql,
+    is_finite,
+    load,
+    register,
+)
 from ..operators import cache as C
 from ..operators.joins import asof_join
 
@@ -531,7 +541,8 @@ def setop_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_price_histogram",
     oracle=f"""
-    SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+    SELECT CASE WHEN isfinite(o_totalprice)
+                THEN CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) END AS bucket,
            {bigcount_sql()} AS n,
            MIN(o_totalprice) AS lo,
            MAX(o_totalprice) AS hi
@@ -541,10 +552,14 @@ def setop_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Numeric binning / histogram: fixed-width buckets via floor
-    division (exact double op), count + extrema per bucket."""
+    division (exact double op), count + extrema per bucket. Non-finite
+    prices have no numeric bin — they land in the NULL bucket with the
+    NULLs (pinned round-9; raw floor diverges: Spark floor(NaN) is 0,
+    DuckDB's BIGINT cast crashes)."""
     o = load(spark, sf_dir, "orders")
+    p = F.col("o_totalprice")
     return o.groupBy(
-        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket")
+        F.when(is_finite(p), F.floor(p / 50000.0).cast("bigint")).alias("bucket")
     ).agg(
         F.count("*").alias("n"),
         F.min("o_totalprice").alias("lo"),
@@ -1091,16 +1106,35 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_variance_exact",
     oracle="""
-    WITH s AS (
+    WITH s0 AS (
       SELECT o_orderstatus,
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
+             COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) AS q_nan,
+             COUNT(CASE WHEN o_totalprice = 'infinity'::DOUBLE THEN 1 END) AS q_pinf,
+             COUNT(CASE WHEN o_totalprice = '-infinity'::DOUBLE THEN 1 END) AS q_ninf,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+                                AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxf,
              -- DECIMAL(19,4): forces int128 storage so DuckDB's multiply
              -- cannot overflow; Spark side uses (18,4) so its product stays
              -- within precision 38 without scale adjustment. Both exact.
-             CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(19,4))
-                      * CAST(o_totalprice AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+                                AS DECIMAL(19,4))
+                         * CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+                                AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM orders GROUP BY o_orderstatus
+    ), s AS (
+      -- IEEE moment propagation (round-9): NaN (or mixed Infs) poisons
+      -- sx; any Inf makes sxx +Inf; the variance arithmetic below then
+      -- propagates identically in both engines (sqrt(NaN)=NaN in both)
+      SELECT o_orderstatus, n,
+             CASE WHEN q_nan > 0 OR (q_pinf > 0 AND q_ninf > 0) THEN 'nan'::DOUBLE
+                  WHEN q_pinf > 0 THEN 'infinity'::DOUBLE
+                  WHEN q_ninf > 0 THEN '-infinity'::DOUBLE
+                  ELSE sxf END AS sx,
+             CASE WHEN q_nan > 0 THEN 'nan'::DOUBLE
+                  WHEN q_pinf > 0 OR q_ninf > 0 THEN 'infinity'::DOUBLE
+                  ELSE sxx END AS sxx
+      FROM s0
     )
     SELECT o_orderstatus, n,
            ((sxx - sx * sx / n) / (n - 1)) AS var_samp,
@@ -1121,10 +1155,22 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom to ~8e17 rows (~sf500k); no int64 anywhere. The finishing
     sx*sx is a double op."""
     o = load(spark, sf_dir, "orders")
-    xd = F.col("o_totalprice").cast("decimal(18,4)")
+    p = F.col("o_totalprice")
+    xd = F.when(is_finite(p), p).cast("decimal(18,4)")
+    q_nan = F.count(F.when(F.isnan(p), F.lit(1)))
+    q_pinf = F.count(F.when(p == F.lit(float("inf")), F.lit(1)))
+    q_ninf = F.count(F.when(p == F.lit(float("-inf")), F.lit(1)))
+    NAN, PINF, NINF = (F.lit(float(x)) for x in ("nan", "inf", "-inf"))
     grouped = o.groupBy("o_orderstatus").agg(
-        F.sum(xd).cast("string").cast("double").alias("sx"),
-        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+        F.when((q_nan > 0) | ((q_pinf > 0) & (q_ninf > 0)), NAN)
+        .when(q_pinf > 0, PINF)
+        .when(q_ninf > 0, NINF)
+        .otherwise(F.sum(xd).cast("string").cast("double"))
+        .alias("sx"),
+        F.when(q_nan > 0, NAN)
+        .when((q_pinf > 0) | (q_ninf > 0), PINF)
+        .otherwise(F.sum(xd * xd).cast("string").cast("double"))
+        .alias("sxx"),
         F.count("*").alias("n"),
     )
     # try_divide: a single-row group has n-1 = 0, which DuckDB's float
@@ -1930,8 +1976,17 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_winsorized_mean",
     oracle=f"""
     WITH th AS (
-      SELECT quantile_cont(o_totalprice, 0.05) AS lo,
-             quantile_cont(o_totalprice, 0.95) AS hi
+      -- any-NaN => NaN thresholds (the agg_percentiles pin); the
+      -- clip then degenerates to NaN and the mean propagates, same
+      -- as Spark. least/greatest with NaN/Inf are engine-identical.
+      SELECT CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
+                  THEN 'nan'::DOUBLE
+                  ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
+                                          THEN o_totalprice END, 0.05) END AS lo,
+             CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
+                  THEN 'nan'::DOUBLE
+                  ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
+                                          THEN o_totalprice END, 0.95) END AS hi
       FROM orders
     )
     SELECT lo, hi, {bigcount_sql()} AS n_orders,
@@ -1953,9 +2008,19 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..catalog import dsum
 
     o = load(spark, sf_dir, "orders")
+    q_nan = F.count(F.when(F.isnan(F.col("o_totalprice")), F.lit(1)))
+    guard = lambda q: (  # noqa: E731 — the agg_percentiles NaN pin
+        F.when(q_nan > 0, F.lit(float("nan"))).otherwise(q)
+    )
     th = o.agg(
-        F.expr("percentile(o_totalprice, 0.05)").alias("lo"),
-        F.expr("percentile(o_totalprice, 0.95)").alias("hi"),
+        guard(
+            F.expr("percentile(CASE WHEN NOT isnan(o_totalprice) "
+                   "THEN o_totalprice END, 0.05)")
+        ).alias("lo"),
+        guard(
+            F.expr("percentile(CASE WHEN NOT isnan(o_totalprice) "
+                   "THEN o_totalprice END, 0.95)")
+        ).alias("hi"),
     )
     clipped = F.least(F.greatest(F.col("o_totalprice"), F.col("lo")), F.col("hi"))
     return (
@@ -2307,7 +2372,12 @@ def latency_ship_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
              {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS revenue
       FROM lineitem GROUP BY l_partkey
     ),
-    tot AS (SELECT {dsum_sql("l_extendedprice * (1.0 - l_discount)")} AS t FROM lineitem),
+    -- a part with non-finite revenue has no defined rank position in a
+    -- cumulative-share ladder: excluded on both sides (round-9 pin),
+    -- and the grand total is over the ranked (finite) parts
+    revf AS (SELECT * FROM rev WHERE isfinite(revenue)),
+    tot AS (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS VARCHAR)
+                   AS DOUBLE) AS t FROM revf),
     ranked AS (
       SELECT l_partkey, revenue,
              CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
@@ -2315,7 +2385,7 @@ def latency_ship_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS VARCHAR) AS DOUBLE) AS cum_rev,
              t
-      FROM rev CROSS JOIN tot
+      FROM revf CROSS JOIN tot
     )
     SELECT l_partkey, revenue,
            (cum_rev / t) AS cum_share,
@@ -2346,10 +2416,18 @@ def pareto_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = load(spark, sf_dir, "lineitem")
     amount = F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))
     rev = l.groupBy("l_partkey").agg(dsum(amount).alias("revenue"))
-    tot = l.agg(dsum(amount).alias("t"))
-    share = F.col("cum_rev") / F.col("t")
+    # mirror of the oracle's revf/tot: only finite-revenue parts rank,
+    # and the total is over them; try_divide for the all-zero case
+    revf = rev.filter(is_finite(F.col("revenue")))
+    tot = revf.agg(
+        F.sum(F.col("revenue").cast("decimal(30,6)"))
+        .cast("string")
+        .cast("double")
+        .alias("t")
+    )
+    share = F.try_divide(F.col("cum_rev"), F.col("t"))
     cum = distributed_cumsum(
-        rev.crossJoin(F.broadcast(tot)),
+        revf.crossJoin(F.broadcast(tot)),
         [F.col("revenue").desc(), F.col("l_partkey")],
         F.col("revenue").cast("decimal(30,6)"),
         cum_col="__cum_dec",
@@ -2369,16 +2447,15 @@ def pareto_abc_parts_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "gini_customer_revenue",
-    oracle="""
+    oracle=f"""
     WITH cents AS (
       SELECT o_custkey,
-             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS x
+             CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS x
       FROM orders GROUP BY o_custkey
     ),
     ranked AS (
       SELECT x,
-             ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS i,
+             ROW_NUMBER() OVER (ORDER BY x NULLS LAST, o_custkey) AS i,
              COUNT(*) OVER () AS n
       FROM cents
     )
@@ -2410,11 +2487,14 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import distributed_row_number
 
     o = load(spark, sf_dir, "orders")
-    cents = o.groupBy("o_custkey").agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5)).alias("x")
+    cents_rel = o.groupBy("o_custkey").agg(
+        F.sum(cents(F.col("o_totalprice"))).alias("x")
     )
     ranked = distributed_row_number(
-        cents, [F.col("x"), F.col("o_custkey")], rn_col="i", total_col="n"
+        cents_rel,
+        [F.col("x").asc_nulls_last(), F.col("o_custkey")],
+        rn_col="i",
+        total_col="n",
     ).select("x", F.col("i").cast("bigint"), F.col("n").cast("bigint"))
     # each factor goes to DECIMAL(19,0) BEFORE the multiply (product =
     # DECIMAL(38,0), exact): a BIGINT product would silently wrap in
@@ -2426,7 +2506,7 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     den = F.sum(
         F.col("n").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)")
     ).cast("string").cast("double")
-    return ranked.groupBy("n").agg((num / den).alias("gini")).select(
+    return ranked.groupBy("n").agg(F.try_divide(num, den).alias("gini")).select(
         F.col("n").alias("n_customers"), "gini"
     )
 
@@ -3050,8 +3130,11 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     "dq_benford_first_digit",
     oracle=f"""
     WITH dd AS (
-      SELECT CAST(substring(CAST(CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
-                                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      -- non-finite amounts have no leading significant digit: NULL
+      -- group, symmetric with the Spark-side finite guard (round-9)
+      SELECT CASE WHEN isfinite(o_totalprice)
+             THEN CAST(substring(CAST(CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
+                                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) END AS digit
       FROM orders
     ),
     c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dd GROUP BY digit),
@@ -3085,8 +3168,8 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly DuckDB's CASE-without-match. Both engines changed together;
     clean fixtures have no zero/negative totals, so sf* output is
     byte-identical."""
-    cents = F.floor(F.abs(F.col("o_totalprice")) * 100.0 + 0.5).cast("bigint")
-    digit = F.substring(cents.cast("string"), 1, 1).cast("int").alias("digit")
+    cents_col = cents(F.abs(F.col("o_totalprice")))
+    digit = F.substring(cents_col.cast("string"), 1, 1).cast("int").alias("digit")
     c = (
         load(spark, sf_dir, "orders")
         .select(digit)
@@ -3119,24 +3202,23 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rfm_customer_segments",
-    oracle="""
+    oracle=f"""
     WITH rfm AS (
       SELECT o_custkey,
              MAX(o_orderdate) AS r_raw,
              CAST(COUNT(*) AS BIGINT) AS f_raw,
-             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS m_raw
+             CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS m_raw
       FROM orders GROUP BY o_custkey
     ),
     t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM rfm),
     scored AS (
       SELECT o_custkey, m_raw,
-             1 + (4 * (ROW_NUMBER() OVER (ORDER BY r_raw, o_custkey) - 1)) // n
-               AS r_score,
-             1 + (4 * (ROW_NUMBER() OVER (ORDER BY f_raw, o_custkey) - 1)) // n
-               AS f_score,
-             1 + (4 * (ROW_NUMBER() OVER (ORDER BY m_raw, o_custkey) - 1)) // n
-               AS m_score
+             1 + (4 * (ROW_NUMBER() OVER (
+               ORDER BY r_raw NULLS LAST, o_custkey) - 1)) // n AS r_score,
+             1 + (4 * (ROW_NUMBER() OVER (
+               ORDER BY f_raw NULLS LAST, o_custkey) - 1)) // n AS f_score,
+             1 + (4 * (ROW_NUMBER() OVER (
+               ORDER BY m_raw NULLS LAST, o_custkey) - 1)) // n AS m_score
       FROM rfm CROSS JOIN t
     )
     SELECT CAST(r_score AS INT) AS r_score,
@@ -3165,14 +3247,16 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     rfm = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("r_raw"),
         F.count("*").alias("f_raw"),
-        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")).alias(
-            "m_raw"
-        ),
+        F.sum(cents(F.col("o_totalprice"))).alias("m_raw"),
     )
     scored = rfm
     for dim, col in (("r", "r_raw"), ("f", "f_raw"), ("m", "m_raw")):
+        # nulls-last pinned: r_raw/m_raw go NULL for a customer whose
+        # every date / finite amount is absent (float-edge fixture)
         scored = distributed_row_number(
-            scored, [F.col(col), F.col("o_custkey")], rn_col=f"{dim}_rn",
+            scored,
+            [F.col(col).asc_nulls_last(), F.col("o_custkey")],
+            rn_col=f"{dim}_rn",
             total_col="n_total" if dim == "r" else None,
         )
         # integer div on both sides (Spark `div`, DuckDB `//`) — a

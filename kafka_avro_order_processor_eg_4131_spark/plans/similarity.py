@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import bigcount_sql, dsum, dsum_sql, load, register
+from ..catalog import bigcount_sql, dsum, dsum_sql, is_finite, load, register
 from ..functions.vectors import cosine_sql, dot_sql
 from ..operators import cache as C
 from ..operators import similarity as S
@@ -166,9 +166,11 @@ def _ivf_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM asg0
     ),
     m AS (
-      SELECT cell_id, pos,
-             (CAST(CAST(SUM(CAST(v AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)
-              / COUNT(*)) AS mv
+      -- dsum discipline incl. round-9 IEEE propagation: a cell holding
+      -- a NaN/Inf vector gets a NaN/Inf centroid component, and the
+      -- downstream cosine folds propagate it identically in both
+      -- engines (pure double math, deterministic tiebreaks)
+      SELECT cell_id, pos, ({dsum_sql("v")} / COUNT(*)) AS mv
       FROM comp GROUP BY cell_id, pos
     ),
     c1 AS (
@@ -294,19 +296,25 @@ def _lsh_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ), s AS (
       SELECT label, pos,
-             SUM(CAST(v AS DECIMAL(30,6))) AS s,
+             SUM(CAST(CASE WHEN isfinite(v) THEN v END AS DECIMAL(30,6))) AS s,
+             COUNT(CASE WHEN NOT isfinite(v) THEN 1 END) AS q_nf,
              COUNT(*) AS n
       FROM u GROUP BY label, pos
     ), m AS (
+      -- a (label, dim) cell touched by any NaN/Inf component has no
+      -- representable e9 fixed-point mean: pinned to the 'nf' token on
+      -- both sides (round-9 float-edge probe)
       SELECT label, pos,
-             CAST(sign(s) AS BIGINT)
-               * ((2 * abs(CAST(s * 1000000 AS BIGINT)) * 1000 + n)
-                  // (2 * n)) AS mv_e9
+             CASE WHEN q_nf > 0 THEN NULL
+                  ELSE CAST(sign(s) AS BIGINT)
+                       * ((2 * abs(CAST(s * 1000000 AS BIGINT)) * 1000 + n)
+                          // (2 * n)) END AS mv_e9
       FROM s
     ), cent AS (
       SELECT label,
              array_to_string(list_transform(list(mv_e9 ORDER BY pos),
-                                            x -> CAST(x AS VARCHAR)), ',')
+                                            x -> COALESCE(CAST(x AS VARCHAR),
+                                                          'nf')), ',')
                AS centroid_e9
       FROM m GROUP BY label
     ), n AS (
@@ -336,24 +344,30 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver-side vectors, no UDF, and dimension parallelism means even
     a single giant label distributes across dim-many tasks."""
     e = load(spark, sf_dir, "embeddings")
+    vd = F.col("v").cast("double")
     u = e.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
     m = u.groupBy("label", "pos").agg(
-        F.sum(F.col("v").cast("double").cast("decimal(30,6)")).alias("s"),
+        F.sum(F.when(is_finite(vd), vd).cast("decimal(30,6)")).alias("s"),
+        F.count(F.when(~is_finite(vd), F.lit(1))).alias("q_nf"),
         F.count("*").alias("n"),
     ).select(
         "label",
         "pos",
-        F.expr(
-            "CAST(sign(s) AS BIGINT)"
-            " * ((2 * abs(CAST(s * 1000000 AS BIGINT)) * 1000 + n)"
-            " DIV (2 * n))"
+        # mirrors the oracle: any non-finite component -> NULL -> 'nf'
+        F.when(
+            F.col("q_nf") == 0,
+            F.expr(
+                "CAST(sign(s) AS BIGINT)"
+                " * ((2 * abs(CAST(s * 1000000 AS BIGINT)) * 1000 + n)"
+                " DIV (2 * n))"
+            ),
         ).alias("mv_e9"),
     )
     cent = m.groupBy("label").agg(
         F.array_join(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "mv_e9"))),
-                lambda s: s.mv_e9.cast("string"),
+                lambda s: F.coalesce(s.mv_e9.cast("string"), F.lit("nf")),
             ),
             ",",
         ).alias("centroid_e9")
@@ -366,15 +380,25 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_quantize_int8",
     oracle="""
     WITH amax AS (
+      -- scale over FINITE components only (+0.0 normalizes a possible
+      -- -0.0 max: DuckDB abs(-0.0) keeps the sign, Spark's does not);
+      -- list_max skips the NULLed non-finite entries
       SELECT MAX(list_max(list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE))))) AS a
+               x -> CASE WHEN isfinite(CAST(x AS DOUBLE))
+                         THEN abs(CAST(x AS DOUBLE)) + 0.0 END))) AS a
       FROM embeddings
     )
     SELECT vec_id,
            a AS scale,
+           -- non-finite components have no int8 image: pinned 'nf'
+           -- token; a zero/NULL scale also yields 'nf' (x/0 is NULL in
+           -- DuckDB, try_divide NULL in Spark)
            array_to_string(list_transform(embedding,
-             x -> CAST(CAST(floor(CAST(x AS DOUBLE) / a * 127.0 + 0.5) AS INT)
-                       AS VARCHAR)), ',')
+             x -> CASE WHEN isfinite(CAST(x AS DOUBLE))
+                       THEN COALESCE(CAST(CAST(floor(CAST(x AS DOUBLE) / nullif(a, 0.0)
+                                                     * 127.0 + 0.5) AS INT)
+                                          AS VARCHAR), 'nf')
+                       ELSE 'nf' END), ',')
              AS qvec
     FROM embeddings CROSS JOIN amax
     """,
@@ -388,19 +412,26 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round()'s half-case tie rule is not guaranteed portable). Per-row
     array transform, no shuffle beyond the scalar broadcast."""
     e, _ = _emb_cached(spark, sf_dir)
-    amax = e.agg(
-        F.max(
-            F.array_max(
-                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-            )
-        ).alias("a")
+    fin_abs = lambda x: F.when(  # noqa: E731
+        is_finite(x.cast("double")), F.abs(x.cast("double")) + F.lit(0.0)
     )
+    amax = e.agg(F.max(F.array_max(F.transform(F.col("embedding"), fin_abs))).alias("a"))
     q = F.array_join(
         F.transform(
             F.col("embedding"),
-            lambda x: F.floor(x.cast("double") / F.col("a") * 127.0 + 0.5)
-            .cast("int")
-            .cast("string"),
+            lambda x: F.when(
+                is_finite(x.cast("double")),
+                F.coalesce(
+                    F.floor(
+                        F.try_divide(x.cast("double"), F.nullif(F.col("a"), F.lit(0.0)))
+                        * 127.0
+                        + 0.5
+                    )
+                    .cast("int")
+                    .cast("string"),
+                    F.lit("nf"),
+                ),
+            ).otherwise(F.lit("nf")),
         ),
         ",",
     )
@@ -411,8 +442,12 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _Q8 = (
+    # non-finite components quantize to NULL; a NULL poisons the
+    # integer dot via list_reduce/aggregate NULL propagation (round-9)
     "list_transform(embedding, "
-    "x -> CAST(floor(CAST(x AS DOUBLE) / a * 127.0 + 0.5) AS BIGINT))"
+    "x -> CASE WHEN isfinite(CAST(x AS DOUBLE)) THEN "
+    "CAST(floor(CAST(x AS DOUBLE) / nullif(a, 0.0) * 127.0 + 0.5) AS BIGINT) "
+    "END)"
 )
 
 
@@ -421,7 +456,8 @@ _Q8 = (
     oracle=f"""
     WITH amax AS (
       SELECT MAX(list_max(list_transform(embedding,
-               x -> abs(CAST(x AS DOUBLE))))) AS a
+               x -> CASE WHEN isfinite(CAST(x AS DOUBLE))
+                         THEN abs(CAST(x AS DOUBLE)) + 0.0 END))) AS a
       FROM embeddings
     ), q8 AS (
       SELECT vec_id, {_Q8} AS qv
@@ -435,8 +471,8 @@ _Q8 = (
     ), ranked AS (
       SELECT query_id, neighbor_id, idot,
              CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                                     ORDER BY idot DESC, neighbor_id) AS INT)
-               AS rank
+                                     ORDER BY idot DESC NULLS LAST, neighbor_id)
+                  AS INT) AS rank
       FROM scored
     )
     SELECT query_id, neighbor_id, idot, rank FROM ranked WHERE rank <= {S.TOP_K}
@@ -457,19 +493,22 @@ def ann_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     e, width = _emb_cached(spark, sf_dir)
-    amax = e.agg(
-        F.max(
-            F.array_max(
-                F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-            )
-        ).alias("a")
+    fin_abs = lambda x: F.when(  # noqa: E731 — finite-only scale, -0.0 normalized
+        is_finite(x.cast("double")), F.abs(x.cast("double")) + F.lit(0.0)
     )
+    amax = e.agg(F.max(F.array_max(F.transform(F.col("embedding"), fin_abs))).alias("a"))
     q8 = e.crossJoin(F.broadcast(amax)).select(
         "vec_id",
         F.transform(
             F.col("embedding"),
-            lambda x: F.floor(x.cast("double") / F.col("a") * 127.0 + 0.5).cast(
-                "bigint"
+            # non-finite -> NULL component; NULL poisons the fold below
+            lambda x: F.when(
+                is_finite(x.cast("double")),
+                F.floor(
+                    F.try_divide(x.cast("double"), F.nullif(F.col("a"), F.lit(0.0)))
+                    * 127.0
+                    + 0.5
+                ).cast("bigint"),
             ),
         ).alias("qv"),
     )
@@ -487,7 +526,7 @@ def ann_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id", idot.cast("bigint").alias("idot"))
     )
     w = Window.partitionBy("query_id").orderBy(
-        F.col("idot").desc(), F.col("neighbor_id")
+        F.col("idot").desc_nulls_last(), F.col("neighbor_id")
     )
     return scored.withColumn("rank", F.row_number().over(w).cast("int")).filter(
         F.col("rank") <= S.TOP_K

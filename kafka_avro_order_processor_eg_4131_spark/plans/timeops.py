@@ -18,7 +18,17 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..catalog import bigcount_sql, bigsum_sql, dsum, dsum_sql, load, register
+from ..catalog import (
+    bigcount_sql,
+    bigsum_sql,
+    cents,
+    cents_sql,
+    dsum,
+    dsum_sql,
+    is_finite,
+    load,
+    register,
+)
 
 GAP = "2 hours"
 
@@ -301,13 +311,34 @@ def range_join_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "events_anomaly_zscore",
     oracle="""
-    WITH s AS (
+    WITH s0 AS (
       SELECT event_type,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sx,
-             CAST(CAST(SUM(CAST(value AS DECIMAL(19,4))
-                      * CAST(value AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
+             COUNT(CASE WHEN isnan(value) THEN 1 END) AS q_nan,
+             COUNT(CASE WHEN value = 'infinity'::DOUBLE THEN 1 END) AS q_pinf,
+             COUNT(CASE WHEN value = '-infinity'::DOUBLE THEN 1 END) AS q_ninf,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                                AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxf,
+             CAST(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+                                AS DECIMAL(19,4))
+                         * CAST(CASE WHEN isfinite(value) THEN value END
+                                AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxxf,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type
+    ), s AS (
+      -- IEEE moment propagation (round-9 float-edge probe): any NaN (or
+      -- +Inf with -Inf) poisons sx to NaN; squares make any Inf a +Inf
+      -- in sxx; downstream double arithmetic then propagates in both
+      -- engines identically
+      SELECT event_type, n,
+             CASE WHEN q_nan > 0 OR (q_pinf > 0 AND q_ninf > 0)
+                  THEN 'nan'::DOUBLE
+                  WHEN q_pinf > 0 THEN 'infinity'::DOUBLE
+                  WHEN q_ninf > 0 THEN '-infinity'::DOUBLE
+                  ELSE sxf END AS sx,
+             CASE WHEN q_nan > 0 THEN 'nan'::DOUBLE
+                  WHEN q_pinf > 0 OR q_ninf > 0 THEN 'infinity'::DOUBLE
+                  ELSE sxxf END AS sxx
+      FROM s0
     ), st AS (
       SELECT event_type,
              (sx / n) AS mean_v,
@@ -327,10 +358,23 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale, so the second pass is a map-side broadcast probe — the whole
     operator is one shuffle (the stats aggregate) + one scan."""
     e = load(spark, sf_dir, "events")
-    xd = F.col("value").cast("decimal(18,4)")
+    v = F.col("value")
+    xd = F.when(is_finite(v), v).cast("decimal(18,4)")
+    q_nan = F.count(F.when(F.isnan(v), F.lit(1)))
+    q_pinf = F.count(F.when(v == F.lit(float("inf")), F.lit(1)))
+    q_ninf = F.count(F.when(v == F.lit(float("-inf")), F.lit(1)))
+    NAN, PINF, NINF = (F.lit(float(x)) for x in ("nan", "inf", "-inf"))
     s = e.groupBy("event_type").agg(
-        F.sum(xd).cast("string").cast("double").alias("sx"),
-        F.sum(xd * xd).cast("string").cast("double").alias("sxx"),
+        # IEEE moment propagation — see the oracle comment
+        F.when((q_nan > 0) | ((q_pinf > 0) & (q_ninf > 0)), NAN)
+        .when(q_pinf > 0, PINF)
+        .when(q_ninf > 0, NINF)
+        .otherwise(F.sum(xd).cast("string").cast("double"))
+        .alias("sx"),
+        F.when(q_nan > 0, NAN)
+        .when((q_pinf > 0) | (q_ninf > 0), PINF)
+        .otherwise(F.sum(xd * xd).cast("string").cast("double"))
+        .alias("sxx"),
         F.count("*").alias("n"),
     )
     # try_divide: a single-event type has n-1 = 0 and a constant-value
@@ -1025,7 +1069,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "events_twap_daily",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT user_id, ts, value,
              LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id) AS nts
@@ -1033,7 +1077,7 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     seg AS (
       SELECT user_id, date_trunc('day', ts) AS day,
-             CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_e6,
+             {cents_sql("value", "1000000.0")} AS value_e6,
              CAST(epoch_us(nts - ts) AS BIGINT) AS dur_us
       FROM p WHERE nts IS NOT NULL
     )
@@ -1077,9 +1121,7 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.date_trunc("day", F.col("ts")).alias("day"),
-            F.floor(F.col("value") * F.lit(1000000.0) + F.lit(0.5))
-            .cast("bigint")
-            .alias("value_e6"),
+            cents(F.col("value"), 1000000.0).alias("value_e6"),
             (
                 F.unix_micros(F.col("nts").cast("timestamp"))
                 - F.unix_micros(F.col("ts").cast("timestamp"))
@@ -1620,7 +1662,7 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
 
 @register(
     "cohort_ltv_monthly",
-    oracle="""
+    oracle=f"""
     WITH first_order AS (
       SELECT o_custkey,
              MIN(date_trunc('month', o_orderdate)) AS cohort_month
@@ -1635,8 +1677,7 @@ def forecast_seasonal_naive_backtest(spark: SparkSession, sf_dir: str) -> DataFr
              CAST((year(o.o_orderdate) * 12 + month(o.o_orderdate))
                 - (year(f.cohort_month) * 12 + month(f.cohort_month))
                 AS INT) AS month_offset,
-             CAST(SUM(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
-                AS BIGINT) AS rev_cents
+             CAST(SUM({cents_sql("o.o_totalprice")}) AS BIGINT) AS rev_cents
       FROM orders o JOIN first_order f ON f.o_custkey = o.o_custkey
       GROUP BY 1, 2
     ),
@@ -1685,9 +1726,7 @@ def cohort_ltv_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("month_offset"),
         )
         .agg(
-            F.sum(
-                F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
-            ).alias("rev_cents")
+            F.sum(cents(F.col("o_totalprice"))).alias("rev_cents")
         )
     )
     w = (
@@ -1938,12 +1977,14 @@ def survival_km_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "trend_theilsen_daily_revenue",
-    oracle="""
+    oracle=f"""
     WITH daily AS (
+      -- HAVING: a day whose every amount is non-finite has no defined
+      -- revenue point; it is excluded from the trend on both sides
       SELECT o_orderdate AS day,
-             CAST(SUM(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
-                  AS BIGINT) AS cents
+             CAST(SUM({cents_sql("o_totalprice")}) AS BIGINT) AS cents
       FROM orders GROUP BY o_orderdate
+      HAVING SUM({cents_sql("o_totalprice")}) IS NOT NULL
     ),
     x0 AS (SELECT MIN(day) AS d0 FROM daily),
     pts AS (
@@ -2005,10 +2046,11 @@ def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.ranking import distributed_row_number
 
     o = load(spark, sf_dir, "orders")
-    daily = o.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum(F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint"))
-        .cast("bigint")
-        .alias("cents")
+    daily = (
+        o.groupBy(F.col("o_orderdate").alias("day"))
+        .agg(F.sum(cents(F.col("o_totalprice"))).cast("bigint").alias("cents"))
+        # mirror of the oracle's HAVING: drop all-non-finite days
+        .filter(F.col("cents").isNotNull())
     )
     x0 = daily.agg(F.min("day").alias("d0"))
     pts = daily.crossJoin(F.broadcast(x0)).select(

@@ -621,6 +621,27 @@ def test_whole_catalog_oracle_parity_on_time_edges(spark, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_float_edges(spark, tmp_path_factory):
+    """FULL-PARITY sweep with hostile FLOATS: NaN, +Inf, -Inf, and -0.0
+    in o_totalprice, l_extendedprice/l_discount, events.value, and
+    embedding components, plus a lone NULL o_totalprice. Round-9 finds
+    fixed here (37 -> 0): the dsum family now propagates non-finite
+    values with IEEE semantics order-independently on both sides
+    (before: Spark silently DROPPED them via decimal-cast-to-NULL,
+    DuckDB crashed); the cents domain excludes them like NULLs
+    symmetrically; percentiles pin any-NaN-in-group => NaN; min_by/
+    max_by ordering keys get fixed non-finite sentinels; printf
+    renderings pin to Python str() forms ('nan'/'inf'/'-inf');
+    NULL-bearing price orderings pin NULLS LAST; int8 quantization and
+    e9 centroid fixed-points emit 'nf' for unrepresentable components;
+    try_divide replaces raw division where a 0/-0.0 denominator became
+    reachable."""
+    d = tmp_path_factory.mktemp("edge_float")
+    build_edge_rel_fixture(d, float_edges=True)
+    assert not _parity_sweep(spark, str(d))
+
+
+@pytest.mark.slow
 def test_whole_catalog_oracle_parity_on_empty_tables(spark, tmp_path_factory):
     """FULL-PARITY sweep with every table present but ZERO rows — the
     empty-day-partition shape. Round-8 finds fixed here: Spark grouping
