@@ -2034,11 +2034,43 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Per-order pair builders (copurchase/graph family) are quadratic in
+# DISTINCT PARTS PER ORDER: one degenerate 20k-item basket makes 4e8
+# pair rows out of a 6M-row table (measured: the round-9 hot-key probe
+# killed pagerank's 4g JVM with exactly this shape). Baskets above the
+# cap carry no usable affinity signal (every pair's support ~1), so all
+# five pair-building plans exclude them ON BOTH SIDES. Clean fixtures
+# top out at 7 lineitems per order — the cap changes nothing there.
+_BASKET_CAP = 200
+
+_LI_CAPPED_SQL = f"""
+      SELECT l_orderkey, l_partkey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {_BASKET_CAP}
+"""
+
+
+def _basket_capped(li: DataFrame) -> DataFrame:
+    """Drop orders with more than _BASKET_CAP distinct parts from a
+    distinct (l_orderkey, l_partkey) relation. Shape: a map-side-
+    combined per-order count, filtered to the (almost always EMPTY)
+    oversized-key list, broadcast back as an anti-join — much cheaper
+    than a windowed count, which would shuffle every ROW by order key
+    (measured +38% on the 10x uniform copurchase run); the count
+    aggregate ships one row per order and the anti-join stays local."""
+    hot = (
+        li.groupBy("l_orderkey")
+        .agg(F.count("*").alias("__bsz"))
+        .filter(F.col("__bsz") > _BASKET_CAP)
+        .select("l_orderkey")
+    )
+    return li.join(F.broadcast(hot), "l_orderkey", "left_anti")
+
+
 @register(
     "copurchase_part_pairs_lift",
-    oracle="""
-    WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    oracle=f"""
+    WITH li AS ({_LI_CAPPED_SQL}
     ),
     pairs AS (
       SELECT a.l_partkey AS p1, b.l_partkey AS p2,
@@ -2076,9 +2108,11 @@ def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeds four plan branches (both self-join sides, item counts, order
     count) — persisted so its dedup shuffle runs once."""
     li = C.ephemeral(
-        load(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
+        _basket_capped(
+            load(spark, sf_dir, "lineitem")
+            .select("l_orderkey", "l_partkey")
+            .distinct()
+        )
     )
     a, b = li.alias("a"), li.alias("b")
     top = (
@@ -2173,8 +2207,10 @@ def _pr_it_sql(prev: str) -> str:
     "pagerank_copurchase_top20",
     oracle=f"""
     WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey % 4 = 0
+      SELECT l_orderkey, l_partkey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0)
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {_BASKET_CAP}
     ),
     edges AS (
       SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
@@ -2213,7 +2249,7 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors) for the dense rank column, so no partition-less window
     enters the plan. The symmetric graph has no dangling nodes, so no
     teleport-mass correction term is needed."""
-    li = (
+    li = _basket_capped(
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 4 == 0)
         .select("l_orderkey", "l_partkey")
@@ -2513,10 +2549,12 @@ def gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_triangle_count",
-    oracle="""
+    oracle=f"""
     WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey % 4 = 0
+      SELECT l_orderkey, l_partkey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % 4 = 0)
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {_BASKET_CAP}
     ),
     e AS (
       SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
@@ -2547,7 +2585,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree-based edge orientation is the standard skew fix and drops
     in here unchanged). Edge relation persisted: it feeds both join
     sides and the node/edge counts."""
-    li = (
+    li = _basket_capped(
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % 4 == 0)
         .select("l_orderkey", "l_partkey")
@@ -3406,8 +3444,10 @@ def _kcore_round_sql(i: int) -> str:
     "graph_kcore_members",
     oracle=f"""
     WITH li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey % {_KCORE_MOD} = 0
+      SELECT l_orderkey, l_partkey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % {_KCORE_MOD} = 0)
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {_BASKET_CAP}
     ),
     e0 AS MATERIALIZED (
       SELECT DISTINCT a.l_partkey AS p1, b.l_partkey AS p2
@@ -3434,7 +3474,7 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint are identity, and tests pin that the fixtures converge
     well inside the unroll). Output: surviving nodes with their
     within-core degree, all-integer."""
-    li = (
+    li = _basket_capped(
         load(spark, sf_dir, "lineitem")
         .filter(F.col("l_orderkey") % _KCORE_MOD == 0)
         .select("l_orderkey", "l_partkey")
@@ -3491,8 +3531,10 @@ _BFS_MAX_HOPS = 3
     "graph_bfs_hops_recursive",
     oracle=f"""
     WITH RECURSIVE li AS (
-      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
-      WHERE l_orderkey % {_KCORE_MOD} = 0
+      SELECT l_orderkey, l_partkey
+      FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+            WHERE l_orderkey % {_KCORE_MOD} = 0)
+      QUALIFY COUNT(*) OVER (PARTITION BY l_orderkey) <= {_BASKET_CAP}
     ),
     e AS MATERIALIZED (
       SELECT a.l_partkey AS src, b.l_partkey AS dst
@@ -3528,7 +3570,7 @@ def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.graph import bfs_hops
 
     e = load(spark, sf_dir, "lineitem")
-    li = (
+    li = _basket_capped(
         e.filter(F.col("l_orderkey") % _KCORE_MOD == 0)
         .select("l_orderkey", "l_partkey")
         .distinct()
@@ -3558,9 +3600,9 @@ def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stats_ks_mannwhitney_segments",
-    oracle="""
+    oracle=f"""
     WITH j AS (
-      SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+      SELECT {cents_sql("o_totalprice")} AS cents,
              c_mktsegment AS seg
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
@@ -3625,9 +3667,7 @@ def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame
         o.join(cst, F.col("o_custkey") == F.col("c_custkey"))
         .filter(F.col("c_mktsegment").isin("BUILDING", "MACHINERY"))
         .select(
-            F.floor(F.col("o_totalprice") * 100.0 + 0.5)
-            .cast("bigint")
-            .alias("cents"),
+            cents(F.col("o_totalprice")).alias("cents"),
             F.col("c_mktsegment").alias("seg"),
         )
     )

@@ -642,6 +642,24 @@ def test_whole_catalog_oracle_parity_on_float_edges(spark, tmp_path_factory):
 
 
 @pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_hot_key_skew(spark, tmp_path_factory):
+    """FULL-PARITY sweep on a hot-key SKEWED corpus (sixth fixture
+    class, round-9 verdict item 4): 50% of events on one user, ~28.5%
+    of lineitem on one part, one order ~300x typical size (built by
+    tests/skew_fixture.py from sf0.001). Skew changes physical plans
+    (AQE skew-join splitting, salted two-stage aggregation) but must
+    never change VALUES — green here proves the salted/AQE paths are
+    exact under the key distributions they exist for."""
+    from tests.skew_fixture import build_skew_fixture
+
+    d = tmp_path_factory.mktemp("skew")
+    shares = build_skew_fixture("/root/testdata/sf0.001", str(d))
+    assert shares["events.user_id"] > 0.4
+    assert shares["lineitem.l_partkey"] > 0.2
+    assert not _parity_sweep(spark, str(d))
+
+
+@pytest.mark.slow
 def test_whole_catalog_oracle_parity_on_empty_tables(spark, tmp_path_factory):
     """FULL-PARITY sweep with every table present but ZERO rows — the
     empty-day-partition shape. Round-8 finds fixed here: Spark grouping
