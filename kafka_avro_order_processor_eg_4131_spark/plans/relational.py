@@ -1389,22 +1389,34 @@ def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
            CEIL(c_acctbal)                   AS bal_ceil,
            SQRT(ABS(c_acctbal))              AS bal_sqrt,
            CAST(c_custkey % 7 AS BIGINT)     AS key_mod7,
-           CAST(SIGN(c_acctbal) AS INT)      AS bal_sign
+           CASE WHEN isnan(c_acctbal) THEN NULL
+                ELSE CAST(SIGN(c_acctbal) AS INT) END AS bal_sign
     FROM customer
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math function surface: abs/floor/ceil/sqrt/mod/sign (IEEE-exact
-    ops only — transcendentals excluded from oracle checks by policy)."""
+    ops only — transcendentals excluded from oracle checks by policy).
+    Non-finite pins (round-9 extended float fixture): floor/ceil of a
+    non-finite value IS the value (IEEE, DuckDB's double floor; raw
+    Spark floor returns BIGINT 0 for NaN), and sign(NaN) is NULL on
+    both sides (undefined sign in an INT column — Spark's signum(NaN)
+    is NaN and crashes the ANSI INT cast, DuckDB's integer SIGN says
+    0; neither is a defensible answer)."""
     c = load(spark, sf_dir, "customer")
+    bal = F.col("c_acctbal")
     return c.select(
         "c_custkey",
-        F.abs(F.col("c_acctbal")).alias("bal_abs"),
-        F.floor("c_acctbal").cast("double").alias("bal_floor"),
-        F.ceil("c_acctbal").cast("double").alias("bal_ceil"),
-        F.sqrt(F.abs(F.col("c_acctbal"))).alias("bal_sqrt"),
+        F.abs(bal).alias("bal_abs"),
+        F.when(is_finite(bal), F.floor(bal).cast("double"))
+        .otherwise(bal)
+        .alias("bal_floor"),
+        F.when(is_finite(bal), F.ceil(bal).cast("double"))
+        .otherwise(bal)
+        .alias("bal_ceil"),
+        F.sqrt(F.abs(bal)).alias("bal_sqrt"),
         (F.col("c_custkey") % 7).alias("key_mod7"),
-        F.signum("c_acctbal").cast("int").alias("bal_sign"),
+        F.when(~F.isnan(bal), F.signum(bal).cast("int")).alias("bal_sign"),
     )
 
 

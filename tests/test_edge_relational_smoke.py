@@ -185,6 +185,24 @@ def _float_edge_overrides(d) -> None:
 
     NAN, PINF, NINF = float("nan"), float("inf"), float("-inf")
     T = _ts
+    rewrite("customer", pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(["Customer#EDGE", "Z☃"], pa.string()),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        # NaN and +Inf balances (base edge fixture covers NULL/negative)
+        "c_acctbal": pa.array([NAN, PINF], pa.float64()),
+        "c_mktsegment": pa.array([None, ""], pa.string()),
+    }))
+    rewrite("part", pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4], pa.int64()),
+        "p_name": pa.array(
+            ["ümläut wídget 中文", "emoji \U0001f600 bolt", "", "plain part"],
+            pa.string()),
+        "p_brand": pa.array(["Brand#1", "", "Brand#1", "Brand#2"], pa.string()),
+        "p_type": pa.array(["PROMO", None, "ECONOMY", "STANDARD"], pa.string()),
+        "p_size": pa.array([0, -5, 50, 1], pa.int32()),
+        "p_retailprice": pa.array([NAN, NINF, PINF, -0.0], pa.float64()),
+    }))
     rewrite("orders", pa.table({
         "o_orderkey": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
         "o_custkey": pa.array([1, 1, 1, 1, 99, 1], pa.int64()),
