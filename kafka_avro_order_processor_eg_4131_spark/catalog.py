@@ -69,6 +69,29 @@ _PINF = float("inf")
 _NINF = float("-inf")
 _NAN = float("nan")
 
+# The dsum family's SUM DOMAIN: |x| < 1e23. DECIMAL(30,6) holds
+# |v| < 1e24, so 1e23 leaves a full decimal digit of margin against
+# 6-dp rounding at the boundary, and the SUM accumulator (DECIMAL(38,6)
+# in both engines) then has headroom for >= 1e9 boundary-magnitude rows
+# per group. Finite values AT or beyond the bound cannot be summed
+# at all; they SATURATE into the ±Inf classification below (mixed
+# signs => NaN) — the contract is "a defined value or a ±Inf/NaN
+# sentinel, NEVER a silent drop" (before round 9, Spark's decimal cast
+# silently dropped them and DuckDB crashed).
+#
+# CROSS-ENGINE EXACTNESS is a stronger condition than in-domain: Spark
+# casts double->decimal through the SHORTEST-REPR string while DuckDB
+# expands the exact binary, so full-entropy doubles diverge in the 6th
+# decimal starting around |x| ~ 1e9 (measured head-to-head: 0/4000 at
+# 1e5, 134/4000 at 1e9, 2758/4000 at 1e11). The oracle-checked value
+# domains are all cast-portable — low-entropy money decimals (<= 4 dp),
+# values < ~1e6, exact integers below 2^53, or exact powers/multiples
+# of ten up to 1e22 — and the magnitude fixture probes the domain
+# boundary with exactly such values. Feeding dsum full-entropy doubles
+# in [1e9, 1e23) is in-contract for SPARK-side determinism (decimal
+# sums are order-independent regardless) but not for oracle parity.
+DSUM_BOUND = 1e23
+
 
 def is_finite(col: Column) -> Column:
     """True for finite doubles, false for NaN/±Inf, NULL for NULL —
@@ -88,18 +111,26 @@ def dsum(col: Column) -> Column:
     then /10^scale) and can be 1 ulp off the true value; decimal->string
     is exact and string->double is correctly rounded in both engines.
 
-    Non-finite inputs (round-9 float-edge fixture): IEEE double-sum
-    semantics, order-independently — any NaN (or both +Inf and -Inf)
-    in the group => NaN; else any +Inf => +Inf; else any -Inf => -Inf;
-    else the exact decimal sum of the (all-finite) values. Before
-    round 9 Spark silently DROPPED non-finite values (double->decimal
-    casts to NULL) while DuckDB crashed on them — a NaN price vanishing
+    Non-finite and out-of-domain inputs (round-9 float/magnitude
+    probes): IEEE double-sum semantics, order-independently — any NaN
+    (or positive AND negative out-of-domain values) in the group =>
+    NaN; else any value >= DSUM_BOUND (incl. +Inf) => +Inf; else any
+    value <= -DSUM_BOUND (incl. -Inf) => -Inf; else the exact decimal
+    sum of the in-domain values. Before round 9 Spark silently DROPPED
+    non-finite and >=1e24 values (double->decimal casts to NULL) while
+    DuckDB crashed on them — a NaN price or a 1e300 outlier vanishing
     from a 100 TB revenue total is precisely the silent-corruption
-    class this engine refuses, so both sides now propagate."""
+    class this engine refuses: the result is exact or a loud
+    sentinel."""
     nan_n = F.count(F.when(F.isnan(col), F.lit(1)))
-    p_n = F.count(F.when(col == F.lit(_PINF), F.lit(1)))
-    n_n = F.count(F.when(col == F.lit(_NINF), F.lit(1)))
-    fin = F.sum(F.when(is_finite(col), col).cast(DEC)).cast("string").cast("double")
+    # NaN compares largest under both engines' total order, so the
+    # magnitude tests must exclude it explicitly on the positive side
+    p_n = F.count(F.when(~F.isnan(col) & (col >= F.lit(DSUM_BOUND)), F.lit(1)))
+    n_n = F.count(F.when(col <= F.lit(-DSUM_BOUND), F.lit(1)))
+    in_dom = (
+        ~F.isnan(col) & (col > F.lit(-DSUM_BOUND)) & (col < F.lit(DSUM_BOUND))
+    )
+    fin = F.sum(F.when(in_dom, col).cast(DEC)).cast("string").cast("double")
     return (
         F.when((nan_n > 0) | ((p_n > 0) & (n_n > 0)), F.lit(_NAN))
         .when(p_n > 0, F.lit(_PINF))
@@ -111,12 +142,13 @@ def dsum(col: Column) -> Column:
 def dsum_sql(expr: str) -> str:
     e = f"({expr})"
     fin = (
-        f"CAST(CAST(SUM(CAST(CASE WHEN isfinite({e}) THEN {e} END "
+        f"CAST(CAST(SUM(CAST(CASE WHEN NOT isnan({e}) AND {e} > -1e23 "
+        f"AND {e} < 1e23 THEN {e} END "
         f"AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
     )
     nan_n = f"COUNT(CASE WHEN isnan({e}) THEN 1 END)"
-    p_n = f"COUNT(CASE WHEN {e} = 'infinity'::DOUBLE THEN 1 END)"
-    n_n = f"COUNT(CASE WHEN {e} = '-infinity'::DOUBLE THEN 1 END)"
+    p_n = f"COUNT(CASE WHEN NOT isnan({e}) AND {e} >= 1e23 THEN 1 END)"
+    n_n = f"COUNT(CASE WHEN {e} <= -1e23 THEN 1 END)"
     return (
         f"CASE WHEN {nan_n} > 0 OR ({p_n} > 0 AND {n_n} > 0) THEN 'nan'::DOUBLE "
         f"WHEN {p_n} > 0 THEN 'infinity'::DOUBLE "
@@ -131,10 +163,15 @@ def dsum_over(col: Column, w) -> Column:
     (a window expression can't host the grouped dsum composite
     directly, but a composite OF windowed aggregates is fine)."""
     nan_n = F.count(F.when(F.isnan(col), F.lit(1))).over(w)
-    p_n = F.count(F.when(col == F.lit(_PINF), F.lit(1))).over(w)
-    n_n = F.count(F.when(col == F.lit(_NINF), F.lit(1))).over(w)
+    p_n = F.count(
+        F.when(~F.isnan(col) & (col >= F.lit(DSUM_BOUND)), F.lit(1))
+    ).over(w)
+    n_n = F.count(F.when(col <= F.lit(-DSUM_BOUND), F.lit(1))).over(w)
+    in_dom = (
+        ~F.isnan(col) & (col > F.lit(-DSUM_BOUND)) & (col < F.lit(DSUM_BOUND))
+    )
     fin = (
-        F.sum(F.when(is_finite(col), col).cast(DEC))
+        F.sum(F.when(in_dom, col).cast(DEC))
         .over(w)
         .cast("string")
         .cast("double")
@@ -152,12 +189,13 @@ def dsum_over_sql(expr: str, over: str) -> str:
     appended to each constituent aggregate."""
     e = f"({expr})"
     fin = (
-        f"CAST(CAST(SUM(CAST(CASE WHEN isfinite({e}) THEN {e} END "
+        f"CAST(CAST(SUM(CAST(CASE WHEN NOT isnan({e}) AND {e} > -1e23 "
+        f"AND {e} < 1e23 THEN {e} END "
         f"AS DECIMAL(30,6))) {over} AS VARCHAR) AS DOUBLE)"
     )
     nan_n = f"COUNT(CASE WHEN isnan({e}) THEN 1 END) {over}"
-    p_n = f"COUNT(CASE WHEN {e} = 'infinity'::DOUBLE THEN 1 END) {over}"
-    n_n = f"COUNT(CASE WHEN {e} = '-infinity'::DOUBLE THEN 1 END) {over}"
+    p_n = f"COUNT(CASE WHEN NOT isnan({e}) AND {e} >= 1e23 THEN 1 END) {over}"
+    n_n = f"COUNT(CASE WHEN {e} <= -1e23 THEN 1 END) {over}"
     return (
         f"CASE WHEN {nan_n} > 0 OR ({p_n} > 0 AND {n_n} > 0) THEN 'nan'::DOUBLE "
         f"WHEN {p_n} > 0 THEN 'infinity'::DOUBLE "
@@ -174,16 +212,25 @@ def cents(col: Column, scale: float = 100.0) -> Column:
     engines' raw behaviors diverge violently (Spark floor(NaN) silently
     returns 0; DuckDB crashes casting NaN to BIGINT), so the pinned
     portable semantics is NULL-exclusion, symmetric on both sides
-    (round-9 float-edge probe). Callers that need poisoning semantics
-    should pair the cents sum with a dsum of the same column (which
-    propagates NaN/Inf) — see docs/PLANS.md."""
-    return F.when(is_finite(col), F.floor(col * scale + F.lit(0.5)).cast("bigint"))
+    (round-9 float-edge probe). The domain is also MAGNITUDE-bounded:
+    floor(x*scale + 0.5) must fit BIGINT, so |x| < 9e18/scale —
+    out-of-domain amounts are excluded like non-finite ones (round-9
+    magnitude probe; raw behavior was a CAST_OVERFLOW crash in BOTH
+    engines). Callers that need poisoning semantics should pair the
+    cents sum with a dsum of the same column (which propagates
+    NaN/Inf/out-of-domain) — see docs/PLANS.md."""
+    bound = 9e18 / scale
+    return F.when(
+        is_finite(col) & (F.abs(col) < F.lit(bound)),
+        F.floor(col * scale + F.lit(0.5)).cast("bigint"),
+    )
 
 
 def cents_sql(expr: str, scale: str = "100.0") -> str:
     e = f"({expr})"
+    bound = repr(9e18 / float(scale))
     return (
-        f"CASE WHEN isfinite({e}) "
+        f"CASE WHEN isfinite({e}) AND abs({e}) < {bound} "
         f"THEN CAST(floor({e} * {scale} + 0.5) AS BIGINT) END"
     )
 

@@ -58,23 +58,30 @@ def salted_agg_sum(
     then a final sum over key. The value is cast decimal so the two-stage
     regrouping cannot change the result (double sums are order-sensitive).
 
-    Non-finite values get catalog.dsum's IEEE propagation — the per-salt
-    partials carry NaN/±Inf COUNTS (plain integers, so they compose
+    Non-finite and out-of-DSUM_BOUND values get catalog.dsum's
+    saturating propagation — the per-salt partials carry the class COUNTS (plain integers, so they compose
     across the regrouping exactly like the decimal sums), and the final
     stage applies the same any-NaN / mixed-Inf => NaN resolution. The
     finite sum converts decimal->double THROUGH A STRING like dsum."""
-    from ..catalog import is_finite
+    from ..catalog import DSUM_BOUND
 
     ucol = F.col(unique_col) if unique_col else F.monotonically_increasing_id()
-    fin = F.when(is_finite(value), value)
+    in_dom = (
+        ~F.isnan(value)
+        & (value > F.lit(-DSUM_BOUND))
+        & (value < F.lit(DSUM_BOUND))
+    )
+    fin = F.when(in_dom, value)
     partial = (
         df.withColumn("__salt", _salt(ucol, salt_n))
         .groupBy(key, "__salt")
         .agg(
             F.sum(fin.cast("decimal(30,6)")).alias("__part"),
             F.count(F.when(F.isnan(value), F.lit(1))).alias("__q_nan"),
-            F.count(F.when(value == F.lit(float("inf")), F.lit(1))).alias("__q_pinf"),
-            F.count(F.when(value == F.lit(float("-inf")), F.lit(1))).alias("__q_ninf"),
+            F.count(
+                F.when(~F.isnan(value) & (value >= F.lit(DSUM_BOUND)), F.lit(1))
+            ).alias("__q_pinf"),
+            F.count(F.when(value <= F.lit(-DSUM_BOUND), F.lit(1))).alias("__q_ninf"),
             F.count("*").alias("__n"),
         )
     )

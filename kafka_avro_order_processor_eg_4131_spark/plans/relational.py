@@ -541,7 +541,7 @@ def setop_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "agg_price_histogram",
     oracle=f"""
-    SELECT CASE WHEN isfinite(o_totalprice)
+    SELECT CASE WHEN isfinite(o_totalprice) AND abs(o_totalprice) < 4.5e23
                 THEN CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) END AS bucket,
            {bigcount_sql()} AS n,
            MIN(o_totalprice) AS lo,
@@ -559,7 +559,10 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
     return o.groupBy(
-        F.when(is_finite(p), F.floor(p / 50000.0).cast("bigint")).alias("bucket")
+        F.when(
+            is_finite(p) & (F.abs(p) < F.lit(4.5e23)),
+            F.floor(p / 50000.0).cast("bigint"),
+        ).alias("bucket")
     ).agg(
         F.count("*").alias("n"),
         F.min("o_totalprice").alias("lo"),
@@ -1107,18 +1110,31 @@ def agg_argminmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_variance_exact",
     oracle="""
     WITH s0 AS (
+      -- moment domain: |x| < 1e14 (DECIMAL(19,4) holds < 1e15; the
+      -- square is computed in decimal so only x itself must fit);
+      -- out-of-domain magnitudes saturate like ±Inf (round-9)
       SELECT o_orderstatus,
              COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) AS q_nan,
-             COUNT(CASE WHEN o_totalprice = 'infinity'::DOUBLE THEN 1 END) AS q_pinf,
-             COUNT(CASE WHEN o_totalprice = '-infinity'::DOUBLE THEN 1 END) AS q_ninf,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+             COUNT(CASE WHEN NOT isnan(o_totalprice) AND o_totalprice >= 1e14
+                   THEN 1 END) AS q_pinf,
+             COUNT(CASE WHEN o_totalprice <= -1e14 THEN 1 END) AS q_ninf,
+             CAST(CAST(SUM(CAST(CASE WHEN NOT isnan(o_totalprice)
+                                      AND o_totalprice > -1e14
+                                      AND o_totalprice < 1e14
+                                     THEN o_totalprice END
                                 AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxf,
              -- DECIMAL(19,4): forces int128 storage so DuckDB's multiply
              -- cannot overflow; Spark side uses (18,4) so its product stays
              -- within precision 38 without scale adjustment. Both exact.
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+             CAST(CAST(SUM(CAST(CASE WHEN NOT isnan(o_totalprice)
+                                      AND o_totalprice > -1e14
+                                      AND o_totalprice < 1e14
+                                     THEN o_totalprice END
                                 AS DECIMAL(19,4))
-                         * CAST(CASE WHEN isfinite(o_totalprice) THEN o_totalprice END
+                         * CAST(CASE WHEN NOT isnan(o_totalprice)
+                                      AND o_totalprice > -1e14
+                                      AND o_totalprice < 1e14
+                                     THEN o_totalprice END
                                 AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxx,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM orders GROUP BY o_orderstatus
@@ -1156,10 +1172,11 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     sx*sx is a double op."""
     o = load(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
-    xd = F.when(is_finite(p), p).cast("decimal(18,4)")
+    in_dom = ~F.isnan(p) & (p > F.lit(-1e14)) & (p < F.lit(1e14))
+    xd = F.when(in_dom, p).cast("decimal(18,4)")
     q_nan = F.count(F.when(F.isnan(p), F.lit(1)))
-    q_pinf = F.count(F.when(p == F.lit(float("inf")), F.lit(1)))
-    q_ninf = F.count(F.when(p == F.lit(float("-inf")), F.lit(1)))
+    q_pinf = F.count(F.when(~F.isnan(p) & (p >= F.lit(1e14)), F.lit(1)))
+    q_ninf = F.count(F.when(p <= F.lit(-1e14), F.lit(1)))
     NAN, PINF, NINF = (F.lit(float(x)) for x in ("nan", "inf", "-inf"))
     grouped = o.groupBy("o_orderstatus").agg(
         F.when((q_nan > 0) | ((q_pinf > 0) & (q_ninf > 0)), NAN)
@@ -1896,10 +1913,14 @@ def agg_skewness_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
              CASE WHEN isnan(MIN(o_totalprice)) THEN 'nan'
                   WHEN MIN(o_totalprice) = 'infinity'::DOUBLE THEN 'inf'
                   WHEN MIN(o_totalprice) = '-infinity'::DOUBLE THEN '-inf'
+                  WHEN abs(MIN(o_totalprice)) >= 1e16
+                  THEN printf('%.6e', MIN(o_totalprice))
                   ELSE printf('%.2f', MIN(o_totalprice)) END AS mn3,
              CASE WHEN isnan(MAX(o_totalprice)) THEN 'nan'
                   WHEN MAX(o_totalprice) = 'infinity'::DOUBLE THEN 'inf'
                   WHEN MAX(o_totalprice) = '-infinity'::DOUBLE THEN '-inf'
+                  WHEN abs(MAX(o_totalprice)) >= 1e16
+                  THEN printf('%.6e', MAX(o_totalprice))
                   ELSE printf('%.2f', MAX(o_totalprice)) END AS mx3,
              CAST(COUNT(o_orderdate) AS BIGINT) AS c4,
              CAST(COUNT(DISTINCT o_orderdate) AS BIGINT) AS d4,
@@ -1947,11 +1968,16 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # "null" (precision-truncated — '%.2f' of NULL prints 'nu'!) while
     # DuckDB's printf propagates NULL (round-8 empty-fixture probe);
     # non-finite renderings diverge three ways (Java 'NaN'/'-Infinity',
-    # DuckDB 'nan'/'-inf'), pinned to the Python str() forms (round-9)
+    # DuckDB 'nan'/'-inf'), pinned to the Python str() forms (round-9);
+    # |x| >= 1e16 renders %.6e — fixed-notation %.2f of a huge double is
+    # NOT portable (Java prints the shortest repr's zeros, C/DuckDB the
+    # exact binary expansion: 1e300 diverges at digit 17), while 7
+    # significant digits are correctly-rounded identically in both
     as_2f = lambda x: (
         F.when(F.isnan(x), F.lit("nan"))
         .when(x == F.lit(float("inf")), F.lit("inf"))
         .when(x == F.lit(float("-inf")), F.lit("-inf"))
+        .when(F.abs(x) >= F.lit(1e16), F.format_string("%.6e", x))
         .when(x.isNotNull(), F.format_string("%.2f", x))
     )
     as_us = lambda x: F.unix_micros(x.cast("timestamp")).cast("string")
@@ -3182,9 +3208,8 @@ _BENFORD_CASE = "CASE digit " + " ".join(
     WITH dd AS (
       -- non-finite amounts have no leading significant digit: NULL
       -- group, symmetric with the Spark-side finite guard (round-9)
-      SELECT CASE WHEN isfinite(o_totalprice)
-             THEN CAST(substring(CAST(CAST(floor(abs(o_totalprice) * 100.0 + 0.5)
-                                  AS BIGINT) AS VARCHAR), 1, 1) AS INT) END AS digit
+      SELECT CAST(substring(CAST({cents_sql("abs(o_totalprice)")} AS VARCHAR),
+                            1, 1) AS INT) AS digit
       FROM orders
     ),
     c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM dd GROUP BY digit),

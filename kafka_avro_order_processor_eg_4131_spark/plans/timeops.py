@@ -312,15 +312,20 @@ def range_join_user_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_anomaly_zscore",
     oracle="""
     WITH s0 AS (
+      -- moment domain |x| < 1e14, like agg_variance_exact (round-9)
       SELECT event_type,
              COUNT(CASE WHEN isnan(value) THEN 1 END) AS q_nan,
-             COUNT(CASE WHEN value = 'infinity'::DOUBLE THEN 1 END) AS q_pinf,
-             COUNT(CASE WHEN value = '-infinity'::DOUBLE THEN 1 END) AS q_ninf,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+             COUNT(CASE WHEN NOT isnan(value) AND value >= 1e14 THEN 1 END)
+               AS q_pinf,
+             COUNT(CASE WHEN value <= -1e14 THEN 1 END) AS q_ninf,
+             CAST(CAST(SUM(CAST(CASE WHEN NOT isnan(value) AND value > -1e14
+                                      AND value < 1e14 THEN value END
                                 AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxf,
-             CAST(CAST(SUM(CAST(CASE WHEN isfinite(value) THEN value END
+             CAST(CAST(SUM(CAST(CASE WHEN NOT isnan(value) AND value > -1e14
+                                      AND value < 1e14 THEN value END
                                 AS DECIMAL(19,4))
-                         * CAST(CASE WHEN isfinite(value) THEN value END
+                         * CAST(CASE WHEN NOT isnan(value) AND value > -1e14
+                                      AND value < 1e14 THEN value END
                                 AS DECIMAL(19,4))) AS VARCHAR) AS DOUBLE) AS sxxf,
              CAST(COUNT(*) AS BIGINT) AS n
       FROM events GROUP BY event_type
@@ -359,10 +364,11 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     operator is one shuffle (the stats aggregate) + one scan."""
     e = load(spark, sf_dir, "events")
     v = F.col("value")
-    xd = F.when(is_finite(v), v).cast("decimal(18,4)")
+    in_dom = ~F.isnan(v) & (v > F.lit(-1e14)) & (v < F.lit(1e14))
+    xd = F.when(in_dom, v).cast("decimal(18,4)")
     q_nan = F.count(F.when(F.isnan(v), F.lit(1)))
-    q_pinf = F.count(F.when(v == F.lit(float("inf")), F.lit(1)))
-    q_ninf = F.count(F.when(v == F.lit(float("-inf")), F.lit(1)))
+    q_pinf = F.count(F.when(~F.isnan(v) & (v >= F.lit(1e14)), F.lit(1)))
+    q_ninf = F.count(F.when(v <= F.lit(-1e14), F.lit(1)))
     NAN, PINF, NINF = (F.lit(float(x)) for x in ("nan", "inf", "-inf"))
     s = e.groupBy("event_type").agg(
         # IEEE moment propagation — see the oracle comment
@@ -2106,7 +2112,10 @@ def trend_theilsen_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ols.crossJoin(F.broadcast(med)).select(
         F.col("n").alias("n_days"),
         ((F.col("lo") + F.col("hi")) / 2.0).alias("theilsen_slope_cents_per_day"),
-        (num.cast("double") / den.cast("double")).alias(
+        # try_divide: a single-point series has den = 0 (DuckDB /0 is
+        # NULL, ANSI Spark raises — round-9 magnitude probe hit this
+        # when the cents domain left one finite day standing)
+        F.try_divide(num.cast("double"), den.cast("double")).alias(
             "ols_slope_cents_per_day"
         ),
     )

@@ -66,7 +66,11 @@ _LONG_A = (
 
 
 def build_edge_rel_fixture(
-    d, empty: bool = False, time_edges: bool = False, float_edges: bool = False
+    d,
+    empty: bool = False,
+    time_edges: bool = False,
+    float_edges: bool = False,
+    magnitude_edges: bool = False,
 ) -> None:
     """Write the full edge fixture set under ``d`` (a pathlib.Path).
     Pure pyarrow — callable from scripts as well as the pytest fixture
@@ -106,6 +110,8 @@ def build_edge_rel_fixture(
         _time_edge_overrides(d)
     if float_edges and not empty:
         _float_edge_overrides(d)
+    if magnitude_edges and not empty:
+        _magnitude_edge_overrides(d)
 
 
 def _time_edge_overrides(d) -> None:
@@ -266,6 +272,77 @@ def _float_edge_overrides(d) -> None:
             [zero, same, same, nan_vec, inf_vec, negzero],
             pa.list_(pa.float32())),
         "label": pa.array([0, 0, 0, None, 0, 0], pa.int32()),
+    }))
+
+
+def _magnitude_edge_overrides(d) -> None:
+    """Replace the three money/value tables with MAGNITUDE variants:
+    finite values straddling the engine's documented numeric domains —
+    the dsum saturation bound (1e23), the cents-domain BIGINT bound
+    (9e18/scale), and 1e300 (finite but beyond every exact domain).
+    All in-domain values are exact powers/multiples of ten, which are
+    exactly representable doubles with cast-portable decimal images at
+    any magnitude up to 1e22 (full-entropy doubles beyond ~1e9 are NOT
+    cast-portable — see catalog.DSUM_BOUND's docstring)."""
+    import shutil
+
+    def rewrite(name, table):
+        shutil.rmtree(d / f"{name}.parquet")
+        (d / f"{name}.parquet").mkdir()
+        pq.write_table(table, str(d / f"{name}.parquet" / "part-0.parquet"))
+
+    T = _ts
+    rewrite("orders", pa.table({
+        "o_orderkey": pa.array([100, 101, 102, 103, 104, 105], pa.int64()),
+        "o_custkey": pa.array([1, 1, 1, 1, 99, 1], pa.int64()),
+        "o_orderstatus": pa.array(["F", "O", None, "F", "F", "O"], pa.string()),
+        # 1e300 (beyond everything), ±1e22 (dsum-in, cents-out),
+        # 5e17 (dsum-in, cents-out), 1e12 (cents-in), 123.45 (plain)
+        "o_totalprice": pa.array(
+            [1e300, 1e22, -1e22, 5e17, 1e12, 123.45], pa.float64()),
+        "o_orderdate": pa.array(
+            [T("1995-01-01"), T("1995-01-01"), None, T("2099-12-31"),
+             T("1995-06-01"), T("1995-06-01")], pa.timestamp(_US)),
+        "o_orderpriority": pa.array(
+            ["1-URGENT", None, "5-LOW", "2-HIGH", "3-MEDIUM", "3-MEDIUM"],
+            pa.string()),
+    }))
+    rewrite("lineitem", pa.table({
+        "l_orderkey": pa.array([100, 100, 101, 102, 103, 999, 104], pa.int64()),
+        "l_partkey": pa.array([1, 2, 3, 4, 1, 1, 2], pa.int64()),
+        "l_suppkey": pa.array([1] * 7, pa.int64()),
+        "l_linenumber": pa.array([1, 2, 1, 1, 1, 1, 1], pa.int32()),
+        "l_quantity": pa.array([0.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0], pa.float64()),
+        # -1e300, saturation straddlers ±2e23/9e22 (dsum-out/in), 1e20
+        "l_extendedprice": pa.array(
+            [-1e300, 2e23, -2e23, 9e22, 1e20, 50.0, -60.0], pa.float64()),
+        "l_discount": pa.array(
+            [0.0, 1.0, 0.05, 0.0, 0.02, 0.0, 0.1], pa.float64()),
+        "l_tax": pa.array([0.0, 0.1, 0.0, 0.08, 0.01, 0.0, 0.02], pa.float64()),
+        "l_returnflag": pa.array(["R", "N", "A", None, "R", "N", "N"], pa.string()),
+        "l_linestatus": pa.array(["F", "O", "F", None, "F", "O", "O"], pa.string()),
+        "l_shipdate": pa.array(
+            [T("1995-01-02"), T("1995-01-03"), None, T("1995-02-01"),
+             T("2099-12-31"), T("1995-03-01"), T("1995-03-02")],
+            pa.timestamp(_US)),
+    }))
+    rewrite("events", pa.table({
+        "event_id": pa.array(list(range(1, 9)), pa.int64()),
+        "ts": pa.array(
+            [_ts("2024-01-01T00:00:00")] * 5
+            + [_ts("2024-01-01T00:00:01"), _ts("2024-01-05T12:00:00"),
+               _ts("2024-02-01T00:00:00")], pa.timestamp(_NS)),
+        "user_id": pa.array([7] * 8, pa.int64()),
+        "event_type": pa.array(
+            ["", None, "клик", "purchase", "view", "view", "click", "error"],
+            pa.string()),
+        # 1e300, ±1e22 (dsum-in), 2e13 (e6-cents-out), 1e12 (e6-cents-in),
+        # plain, NULL, negative
+        "value": pa.array(
+            [1e300, 1e22, -1e22, 2e13, 1e12, 2.5, None, -1.5], pa.float64()),
+        "props": pa.array(
+            [None, "", "not json", '{"k": 1}', "{}", '{"k": -3}', "[]", "{"],
+            pa.string()),
     }))
 
 
@@ -656,6 +733,30 @@ def test_whole_catalog_oracle_parity_on_float_edges(spark, tmp_path_factory):
     reachable."""
     d = tmp_path_factory.mktemp("edge_float")
     build_edge_rel_fixture(d, float_edges=True)
+    assert not _parity_sweep(spark, str(d))
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_magnitude_edges(spark, tmp_path_factory):
+    """FULL-PARITY sweep with hostile MAGNITUDES (seventh fixture
+    class, round-9): finite values straddling every documented numeric
+    domain — 1e300 (beyond all exact domains), ±2e23/9e22 around the
+    dsum saturation bound (catalog.DSUM_BOUND), 5e17/1e12 around the
+    cents-domain BIGINT bound, 2e13/1e12 around the e6 fixed-point
+    bound. Round-9 finds fixed here: the dsum family and salted_agg_sum
+    SATURATE out-of-domain values to ±Inf/NaN sentinels (before: Spark
+    silently dropped them via decimal-cast-NULL, DuckDB crashed); the
+    cents/e6 domains exclude magnitudes whose floor image overflows
+    BIGINT (was a CAST_OVERFLOW crash in BOTH engines); moment sums
+    carry a |x| < 1e14 domain for their DECIMAL(19,4) casts; histogram
+    buckets NULL beyond |x| < 4.5e23; %.2f reprs switch to %.6e at
+    |x| >= 1e16 (fixed-notation rendering of a huge double is not
+    portable: Java prints the shortest repr, C the exact expansion);
+    a one-point OLS series divides by zero (try_divide). All in-domain
+    fixture values are exact powers/multiples of ten — the
+    cast-portable subset (see DSUM_BOUND's docstring)."""
+    d = tmp_path_factory.mktemp("edge_magnitude")
+    build_edge_rel_fixture(d, magnitude_edges=True)
     assert not _parity_sweep(spark, str(d))
 
 
