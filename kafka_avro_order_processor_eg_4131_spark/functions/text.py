@@ -24,6 +24,26 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 
+def canon_lower(text: Column) -> Column:
+    """PORTABLE casefold: engine ``lower()`` plus two normalizations
+    that pin the only cross-engine divergences in Unicode lowercasing
+    (round-9 text-edge probe). Java (Spark) applies the full,
+    context-sensitive case mapping: a word-final 'Σ' becomes U+03C2 (ς)
+    and 'İ' (U+0130) becomes "i" + combining-dot U+0307; DuckDB's
+    utf8proc applies the simple mapping: always U+03C3 (σ), always a
+    bare "i". The canon folds both outputs to one form — ς -> σ and
+    "i" + U+0307 -> "i" — so fingerprints, terms, and dedup groups
+    agree bit-for-bit on Greek/Turkish text. Idempotent, ASCII rows
+    untouched, and identical when applied after EITHER engine's
+    lower(). SQL twin: catalog's canon_lower_sql / the inline
+    replace(translate(lower(..)..)..) form in the oracles."""
+    return F.replace(
+        F.translate(F.lower(text), "ς", "σ"),
+        F.lit("i̇"),
+        F.lit("i"),
+    )
+
+
 def tokens(text: Column) -> Column:
     """Whitespace tokenization; empty text -> empty array."""
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
@@ -36,12 +56,17 @@ def token_count(text: Column) -> Column:
 
 
 def norm_tokens(text: Column) -> Column:
-    """Fused ``tokens(normalize(text))``: one regex pass instead of a
-    whitespace-collapse pass followed by a split pass. Exactly equivalent
-    Spark-side — splitting on ``\\s+`` makes the collapse redundant — so
-    oracles written against the two-pass form are unaffected."""
+    """Normalized tokens: ``split(normalize(text), ' ')`` — collapse
+    whitespace to single spaces, trim, casefold, THEN split on the
+    literal space. NOT equivalent to the fused split-on-\\s+ form: a
+    leading tab survives the space-only trim, so the fused form emits
+    a phantom EMPTY first token where this form emits none (round-9
+    text-edge pin: normalized tokenization never yields empty tokens;
+    RAW tokens — tokens()/_TOKENS/the UDTF — keep Java-split semantics
+    including that leading empty). Oracle twin: string_split of the
+    canon-lowered collapsed text on ' '."""
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
-        F.split(F.lower(F.trim(text)), r"\s+")
+        F.split(normalize(text), " ")
     )
 
 
@@ -97,8 +122,9 @@ def lang_id(text: Column) -> Column:
 
 
 def normalize(text: Column) -> Column:
-    """Canonical form for fingerprinting: lowercase, collapsed whitespace."""
-    return F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    """Canonical form for fingerprinting: portable-casefolded
+    (canon_lower), collapsed whitespace."""
+    return canon_lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
 
 
 def fingerprint(text: Column) -> Column:

@@ -209,7 +209,13 @@ def sample_frames(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """Frame-sampling stage shape: one payload -> N "frames" (rows).
     STUB: frames are byte-slices of the payload; a video decoder would
     produce real frames — the explode-shaped mapInPandas contract
-    (one input row -> many output rows) is what's being exercised."""
+    (one input row -> many output rows) is what's being exercised.
+
+    frame_sha is sha256 over the LOWERCASE-HEX image of the frame
+    bytes (round-9 text-edge pin): byte frames cut multi-byte payloads
+    mid-codepoint, and DuckDB's sha256 accepts only VARCHAR — raw byte
+    frames have no VARCHAR image, the hex rendering always does, on
+    both engines. Still injective in the frame bytes."""
 
     def _sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -222,7 +228,9 @@ def sample_frames(payloads: DataFrame, every_n_bytes: int = 64) -> DataFrame:
                         {
                             "doc_id": int(doc_id),
                             "frame_idx": idx,
-                            "frame_sha": hashlib.sha256(chunk).hexdigest(),
+                            "frame_sha": hashlib.sha256(
+                                chunk.hex().encode("ascii")
+                            ).hexdigest(),
                         }
                     )
             yield pd.DataFrame(out, columns=["doc_id", "frame_idx", "frame_sha"])

@@ -7,16 +7,30 @@ row-expansion (parsers, samplers, segmenters)."""
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import udtf
+
+# the PORTABLE whitespace class (round-9 text-edge pin): Java's \s.
+# Python's str.split() splits on all Unicode whitespace (NBSP, NEL,
+# ideographic space), which neither Java regex \s nor RE2 \s treats as
+# a separator — so the UDTF tokenizes with the same explicit class the
+# SQL oracles use, mirroring SQL trim (strips spaces only) first.
+_WS = re.compile(r"[ \t\n\x0b\f\r]+")
 
 
 @udtf(returnType="word string, idx int")
 class ExplodeWords:
-    """text -> one row per whitespace token with its position."""
+    """text -> one row per whitespace token with its position.
+    Matches F.split(F.trim(text), r"\\s+") exactly, including the
+    empty token a leading tab produces after space-only trim."""
 
     def eval(self, text: str):
-        for i, w in enumerate((text or "").split()):
+        t = (text or "").strip(" ")
+        if t == "":
+            return
+        for i, w in enumerate(_WS.split(t)):
             yield w, i
 
 

@@ -286,7 +286,7 @@ def _simhash_pairs_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # shared SQL fragments --------------------------------------------------------
 
-_NORM = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+_NORM = "replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i')"
 _TOKS = f"string_split({_NORM}, ' ')"
 # distinct 3-word shingles; shorter docs yield an empty list
 _SHINGLES = (
@@ -412,7 +412,7 @@ def dedup_jaccard_verified(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact_keepers AS (
       SELECT MIN(doc_id) AS doc_id
       FROM documents
-      GROUP BY md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))
+      GROUP BY md5(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'))
     )
     SELECT d.doc_id, q.q AS quality_score
     FROM documents d
@@ -716,12 +716,13 @@ def _doc_vec_sql() -> str:
 
     return f"""
     d AS (
-      SELECT doc_id, lower(trim(text)) AS t
+      SELECT doc_id,
+             replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i') AS t
       FROM documents WHERE trim(text) <> ''
     ),
     tok AS (
       SELECT doc_id, CAST({_code_sql("tok")} % {_EMB_DIM} AS INT) AS bucket
-      FROM (SELECT doc_id, unnest(string_split_regex(t, '\\s+')) AS tok FROM d)
+      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d)
     ),
     cnt AS (
       SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c
@@ -1016,11 +1017,21 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd). The block key bounds pair count at scale the same way
     LSH bands do for minhash; with B blocks the verify cost drops by
     ~B^2/B = B versus all-pairs. dist <= 2 catches typo-grade dupes.
-    Spark and DuckDB both implement classic Levenshtein, so the oracle
-    is exact."""
+
+    PINNED METRIC (round-9 text-edge probe): edit distance over UTF-8
+    BYTES, not code points. Spark's levenshtein is code-point based
+    while DuckDB's is byte based — 'café' vs 'cafe' is 1 in Spark, 2 in
+    DuckDB — so the Spark side round-trips each name through
+    encode/decode(ISO-8859-1), mapping every UTF-8 byte to one
+    Latin-1 char; levenshtein over that string IS the byte-level
+    distance. ASCII names (the whole clean corpus) are unaffected."""
     p = load(spark, sf_dir, "part").select("p_partkey", "p_name", "p_brand", "p_size")
     a, b = p.alias("a"), p.alias("b")
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+
+    def _bytes(c):
+        return F.decode(F.encode(c, "UTF-8"), "ISO-8859-1")
+
+    dist = F.levenshtein(_bytes(F.col("a.p_name")), _bytes(F.col("b.p_name")))
     return (
         a.join(
             b,

@@ -90,14 +90,18 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT f.doc_id,
            CAST(frame_idx AS INT) AS frame_idx,
-           sha256(substring(d.text, frame_idx * 64 + 1, 64)) AS frame_sha
+           sha256(lower(substring(hex(encode(d.text)),
+                                  frame_idx * 128 + 1, 128))) AS frame_sha
     FROM f JOIN documents d ON f.doc_id = d.doc_id
     """,
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling stage: one payload row -> N frame rows (64-byte
-    fake "frames"; the fixture is pure ASCII so the oracle's VARCHAR
-    substring slices the same bytes the stub slices)."""
+    fake "frames"). frame_sha is sha256 of the LOWERCASE-HEX image of
+    the frame bytes — the oracle slices the hex rendering (2 chars per
+    byte, so BYTE-exact even when a frame boundary cuts a multi-byte
+    character in half) because DuckDB has no BLOB substring/sha256;
+    see operators/multimodal.py::sample_frames."""
     d = load(spark, sf_dir, "documents")
     return M.sample_frames(M.attach_payload(d))
 

@@ -1475,7 +1475,10 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT) AS k_val,
+           CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
+                                    '^[+-]?[0-9]+$')
+                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+           END AS k_val,
            (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
     FROM p
     """,
@@ -1485,50 +1488,109 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Malformed/empty payloads (round-8 edge probe): Spark's
     get_json_object is already NULL-on-malformed; DuckDB's
     json_extract_string RAISES, so the oracle pre-nulls invalid props
-    with json_valid — identical NULL results on both sides."""
+    with json_valid — identical NULL results on both sides.
+
+    Typed extraction (round-9 text-edge probe): k_val pins to
+    INTEGRAL-STRING-ONLY parsing. Spark's try_cast(string -> int)
+    accepts only integral forms ('7', '-3', '007', '+7' — NULL for
+    '2.9'/'true'/overflow), while DuckDB's TRY_CAST ROUNDS '2.9' to 3;
+    the oracle's integral-regex guard makes both sides NULL there. A
+    big-integer k diverges at extraction (Spark returns the literal
+    digits, DuckDB re-renders through a double) but both sides
+    overflow/regex-fail to NULL under the guard. Padded numeric
+    strings (' 7') are outside the pinned domain."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")
     return e.select(
         "event_id",
-        k.cast("int").alias("k_val"),
+        k.try_cast("int").alias("k_val"),
         k.isNotNull().alias("has_k"),
     )
 
 
+def _variant_int_sql(path: str) -> str:
+    """DuckDB expression mirroring Spark's try_variant_get(.., 'int'):
+    json_type-driven — booleans -> 1/0, exact integers -> value,
+    doubles TRUNCATE toward zero (measured: variant 2.9 -> 2,
+    -2.9 -> -2), strings parse only integral forms, everything else
+    (object/array/json-null/overflow) -> NULL."""
+    t = f"json_type(props, '{path}')"
+    s = f"json_extract_string(props, '{path}')"
+    return f"""CASE {t}
+             WHEN 'BOOLEAN' THEN CASE {s} WHEN 'true' THEN 1 ELSE 0 END
+             WHEN 'UBIGINT' THEN TRY_CAST({s} AS INT)
+             WHEN 'BIGINT'  THEN TRY_CAST({s} AS INT)
+             WHEN 'DOUBLE'  THEN TRY_CAST(trunc(TRY_CAST({s} AS DOUBLE)) AS INT)
+             WHEN 'VARCHAR' THEN CASE WHEN regexp_matches({s}, '^[+-]?[0-9]+$')
+                                      THEN TRY_CAST({s} AS INT) END
+           END"""
+
+
+def _variant_double_sql(path: str) -> str:
+    """DuckDB expression mirroring Spark's try_variant_get(.., 'double'):
+    booleans -> 1.0/0.0, numerics and numeric strings -> the double,
+    object/array/json-null -> NULL."""
+    t = f"json_type(props, '{path}')"
+    s = f"json_extract_string(props, '{path}')"
+    return f"""CASE {t}
+             WHEN 'BOOLEAN' THEN CASE {s} WHEN 'true' THEN 1.0 ELSE 0.0 END
+             WHEN 'UBIGINT' THEN TRY_CAST({s} AS DOUBLE)
+             WHEN 'BIGINT'  THEN TRY_CAST({s} AS DOUBLE)
+             WHEN 'DOUBLE'  THEN TRY_CAST({s} AS DOUBLE)
+             WHEN 'VARCHAR' THEN TRY_CAST({s} AS DOUBLE)
+           END"""
+
+
 @register(
     "scalar_variant_funcs",
-    oracle="""
+    oracle=f"""
     WITH p AS (
       SELECT event_id,
-             CASE WHEN json_valid(props) THEN props END AS props
+             CASE WHEN json_valid(props) THEN
+               (CASE WHEN len(json_keys(props)) =
+                          len(list_distinct(json_keys(props)))
+                     THEN props END)
+             END AS props
       FROM events
     )
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS INT)    AS k_int,
-           CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_double,
-           CAST(json_extract_string(props, '$.missing') AS INT) AS missing_int,
-           (json_extract_string(props, '$.k') IS NOT NULL)   AS has_k
+           {_variant_int_sql('$.k')} AS k_int,
+           {_variant_double_sql('$.k')} AS k_double,
+           {_variant_int_sql('$.missing')} AS missing_int,
+           (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
     FROM p
     """,
 )
 def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Spark 4 VARIANT surface for semi-structured columns: parse_json
-    once, then typed variant_get extractions (int/double), a
-    try_variant_get miss returning NULL, and a presence check. The
-    oracle states the same values via DuckDB's JSON accessors — the
-    comparison is on extracted scalars, since the variant binary itself
-    is engine-internal. At scale this is the shredded-access pattern:
-    parse once per row, extract many, no re-parse per path.
+    once, then typed try_variant_get extractions (int/double), a miss
+    returning NULL, and a presence check. The oracle states the same
+    values via DuckDB's JSON accessors — the comparison is on extracted
+    scalars, since the variant binary itself is engine-internal. At
+    scale this is the shredded-access pattern: parse once per row,
+    extract many, no re-parse per path.
 
     Malformed payloads (round-8 edge probe): try_parse_json -> NULL
     variant (parse_json is FAILFAST), mirrored by the oracle's
-    json_valid pre-null — every extraction is NULL on both sides."""
+    json_valid pre-null — every extraction is NULL on both sides.
+
+    Round-9 text-edge pins: (1) DUPLICATE top-level keys — Spark's
+    variant builder rejects them (try_parse_json -> NULL) while
+    DuckDB's json_valid accepts; the oracle adds a json_keys
+    duplicate-detector to pre-null those rows too (nested duplicate
+    keys are outside the pinned domain). (2) Typed extraction follows
+    Spark's variant cast lattice, restated per json_type in the oracle
+    (_variant_int_sql/_variant_double_sql): bool -> 1/0, double -> int
+    truncates toward zero, strings parse integral-only for int but
+    freely for double, object/array/json-null -> NULL. (3) k_int/
+    k_double use try_variant_get — the non-try form RAISES on a
+    non-numeric string k."""
     e = load(spark, sf_dir, "events")
     v = F.try_parse_json(F.col("props"))
     return e.select(
         "event_id",
-        F.variant_get(v, "$.k", "int").alias("k_int"),
-        F.variant_get(v, "$.k", "double").alias("k_double"),
+        F.try_variant_get(v, "$.k", "int").alias("k_int"),
+        F.try_variant_get(v, "$.k", "double").alias("k_double"),
         F.try_variant_get(v, "$.missing", "int").alias("missing_int"),
         F.variant_get(v, "$.k", "string").isNotNull().alias("has_k"),
     )
@@ -1538,7 +1600,7 @@ def scalar_variant_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_array_funcs",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks FROM documents
+      SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+') AS toks FROM documents
     )
     SELECT doc_id,
            CAST(len(toks) AS INT)                 AS n_toks,
@@ -3665,14 +3727,16 @@ def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT MAX(d_num) AS ks_d_num FROM scored)
     SELECT s.n1, s.n2,
            m.ks_d_num,
-           CAST(m.ks_d_num AS DOUBLE) / (CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE))
+           CAST(m.ks_d_num AS DOUBLE)
+             / NULLIF(CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE), 0.0)
              AS ks_stat,
            (SELECT MIN(cents) FROM scored WHERE d_num = m.ks_d_num) AS ks_at_cents,
            CAST(SUM(s.a * (2 * (s.ca + s.cb - s.a - s.b) + s.a + s.b + 1))
                 - s.n1 * (s.n1 + 1) AS BIGINT) AS mwu_u1_x2,
            CAST(SUM(s.a * (2 * (s.ca + s.cb - s.a - s.b) + s.a + s.b + 1))
                 - s.n1 * (s.n1 + 1) AS DOUBLE)
-             / (2.0 * CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE)) AS auc
+             / NULLIF(2.0 * CAST(s.n1 AS DOUBLE) * CAST(s.n2 AS DOUBLE), 0.0)
+             AS auc
     FROM scored s CROSS JOIN m
     GROUP BY s.n1, s.n2, m.ks_d_num
     """,
@@ -3776,15 +3840,18 @@ def stats_ks_mannwhitney_segments(spark: SparkSession, sf_dir: str) -> DataFrame
             "n1",
             "n2",
             "ks_d_num",
-            (
-                F.col("ks_d_num").cast("double")
-                / (F.col("n1").cast("double") * F.col("n2").cast("double"))
+            # one-empty-segment (n1*n2 = 0): the two-sample statistic is
+            # undefined — a loud NULL on both sides, never a crash
+            # (round-9 text-edge fixture has BUILDING but no MACHINERY)
+            F.try_divide(
+                F.col("ks_d_num").cast("double"),
+                F.col("n1").cast("double") * F.col("n2").cast("double"),
             ).alias("ks_stat"),
             "ks_at_cents",
             "mwu_u1_x2",
-            (
-                F.col("mwu_u1_x2").cast("double")
-                / (2.0 * F.col("n1").cast("double") * F.col("n2").cast("double"))
+            F.try_divide(
+                F.col("mwu_u1_x2").cast("double"),
+                2.0 * F.col("n1").cast("double") * F.col("n2").cast("double"),
             ).alias("auc"),
         )
     )

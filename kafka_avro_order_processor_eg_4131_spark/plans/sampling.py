@@ -92,7 +92,7 @@ def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 # context-window budget for sequence packing (tokens per training batch)
 _PACK_BUDGET = 2048
 
-_NTOK_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '\\s+')) END"
+_NTOK_SQL = "CASE WHEN trim(text) = '' THEN 0 ELSE len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END"
 
 
 @register(
@@ -409,13 +409,13 @@ _FRAC_SQL = (
 
 _QUALITY_SQL = (
     "(0.4 * (CAST(CASE WHEN trim(text) = '' THEN 0 ELSE "
-    "len(list_filter(string_split_regex(trim(text), '\\s+'), "
+    "len(list_filter(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+'), "
     "t -> t IN ('the', 'and', 'of', 'to', 'in', 'is', 'that', 'it'))) END AS DOUBLE) "
     "/ CAST(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE "
-    "len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE)) "
-    "+ 0.3 * least((CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) "
+    "len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END, 1) AS DOUBLE)) "
+    "+ 0.3 * least((CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS DOUBLE) "
     "/ CAST(greatest(CASE WHEN trim(text) = '' THEN 0 ELSE "
-    "len(string_split_regex(trim(text), '\\s+')) END, 1) AS DOUBLE)) / 10.0, 1.0) "
+    "len(string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')) END, 1) AS DOUBLE)) / 10.0, 1.0) "
     "+ 0.3 * (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) "
     "/ CAST(greatest(length(text), 1) AS DOUBLE)))"
 )

@@ -14,7 +14,7 @@ from ..functions import text as T
 
 # SQL twins of the functions/text.py helpers ---------------------------------
 
-_TOKENS = "string_split_regex(trim(text), '\\s+')"
+_TOKENS = "string_split_regex(trim(text), '[ \\t\\n\\x0b\\f\\r]+')"
 _NTOK = f"CASE WHEN trim(text) = '' THEN 0 ELSE len({_TOKENS}) END"
 
 
@@ -28,7 +28,7 @@ def _hits_sql(words: tuple[str, ...]) -> str:
 
 _ALPHA = "(CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE)" \
          " / CAST(greatest(length(text), 1) AS DOUBLE))"
-_SOLID = "CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)"
+_SOLID = "CAST(length(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', '', 'g')) AS DOUBLE)"
 _AVGLEN = f"({_SOLID} / CAST(greatest({_NTOK}, 1) AS DOUBLE))"
 _STOPRATIO = (
     f"(CAST({_hits_sql(T.LANG_STOPWORDS['en'])} AS DOUBLE)"
@@ -145,7 +145,7 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle="""
     SELECT doc_id,
-           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp
+           md5(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i')) AS fp
     FROM documents
     """,
 )
@@ -161,7 +161,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+             unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
       FROM documents
     ),
     tf AS (
@@ -248,7 +248,7 @@ def _code_sql(tok_expr: str) -> str:
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+             string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
       FROM documents
     )
     SELECT doc_id,
@@ -297,7 +297,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_bigram_counts",
     oracle="""
     WITH t AS (
-      SELECT string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ') AS toks
+      SELECT string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
       FROM documents
     ), grams AS (
       SELECT unnest(list_transform(
@@ -421,7 +421,7 @@ _DECON_THRESHOLD = 0.5
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')
+             string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')
                AS toks
       FROM documents
     ), grams AS (
@@ -712,7 +712,7 @@ def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+')))
+             unnest(list_distinct(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')))
                AS term
       FROM documents WHERE trim(text) <> ''
     )
@@ -760,7 +760,7 @@ def doc_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_term_ids",
     oracle="""
     WITH toks AS (
-      SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      SELECT unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
       FROM documents WHERE trim(text) <> ''
     )
     SELECT term,
@@ -801,7 +801,7 @@ def vocab_term_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_next_word_top3",
     oracle="""
     WITH t AS (
-      SELECT string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
       FROM documents WHERE trim(text) <> ''
     ), grams AS (
       SELECT unnest(list_transform(
@@ -871,7 +871,7 @@ _FH_BUCKETS = 64
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+             unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS tok
       FROM documents WHERE trim(text) <> ''
     ), b AS (
       SELECT doc_id, CAST({_code_sql("tok")} % {_FH_BUCKETS} AS INT) AS bucket,
@@ -938,7 +938,7 @@ def _bpe_cte_chain(rounds: int) -> str:
         """
     tok AS (
       SELECT doc_id,
-             unnest(string_split_regex(lower(trim(text)), '\\s+')) AS w
+             unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS w
       FROM documents WHERE trim(text) <> ''
     ),
     tokd AS (
@@ -1071,18 +1071,23 @@ def bpe_segment_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# GPT-style pretokenizer classes: letter runs, single digits, punctuation
+# GPT-style pretokenizer classes: letter runs, single digits, punctuation.
+# The Spark side keeps Java's \s; the SQL twin spells the class out
+# ([ \t\n\x0b\f\r]) because RE2's \s lacks VT (0x0B) — under the plain
+# pattern a vertical tab counted as a punctuation "token" in DuckDB only
+# (round-9 text-edge pin).
 _BPE_PAT = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\\s]"
+_BPE_PAT_SQL = "[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 \\t\\n\\x0b\\f\\r]"
 
 
 @register(
     "doc_bpe_token_counts",
     oracle=f"""
     SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS BIGINT)
+           CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS BIGINT)
              AS n_bpe_tokens,
            CAST({_NTOK} AS BIGINT) AS n_ws_tokens,
-           (CAST(len(regexp_extract_all(text, '{_BPE_PAT}')) AS DOUBLE)
+           (CAST(len(regexp_extract_all(text, '{_BPE_PAT_SQL}')) AS DOUBLE)
              / CAST(greatest({_NTOK}, 1) AS DOUBLE)) AS expansion_ratio
     FROM documents
     """,
@@ -1118,7 +1123,7 @@ _BOILER_DF = 2  # doc-frequency threshold: window is boilerplate if >= DF docs
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split_regex(lower(trim(text)), '\\s+') AS toks
+             string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
       FROM documents WHERE trim(text) <> ''
     ), w AS (
       SELECT doc_id,
@@ -1190,7 +1195,7 @@ _OOV_VOCAB = 20
     "doc_oov_rate",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS term
+      SELECT doc_id, unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
       FROM documents WHERE trim(text) <> ''
     ),
     vocab AS (
@@ -1251,7 +1256,7 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_span_corruption",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
       FROM documents WHERE trim(text) <> ''
     ),
     b AS (
@@ -1451,7 +1456,7 @@ _SON_DEN = 50
     "frequent_terms_son",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest(string_split(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))), ' ')) AS term
+      SELECT unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
       FROM documents
     ),
     tok2 AS (SELECT term FROM tok WHERE term <> ''),
@@ -1592,7 +1597,7 @@ _dsum_sql_p = _dsum_sql_fn("p")
     "doc_lm_transition_score",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+      SELECT doc_id, string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
       FROM documents WHERE trim(text) <> ''
     ),
     inst AS (

@@ -1440,7 +1440,7 @@ def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     runs AS (
       SELECT user_id, event_type, ts,
-             SUM(CASE WHEN prev IS NULL OR prev <> event_type
+             SUM(CASE WHEN prev IS DISTINCT FROM event_type
                       THEN 1 ELSE 0 END)
                OVER (PARTITION BY user_id ORDER BY ts NULLS LAST, event_id
                      ROWS UNBOUNDED PRECEDING) AS run_id
@@ -1478,11 +1478,14 @@ def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs = (
         e.select("user_id", "event_type", "ts", "event_id")
         .withColumn("prev", F.lag("event_type").over(wo))
+        # NULL-SAFE boundary (round-9 text-edge pin): `prev <> type` is
+        # NULL — i.e. "no boundary" — when either side is NULL, so a
+        # NULL-typed event silently merged into the previous run and two
+        # event_types shared one run_id, making the LEAD order ambiguous.
+        # IS DISTINCT FROM treats NULL as its own type on both engines.
         .withColumn(
             "chg",
-            F.when(
-                F.col("prev").isNull() | (F.col("prev") != F.col("event_type")), 1
-            ).otherwise(0),
+            F.when(~F.col("prev").eqNullSafe(F.col("event_type")), 1).otherwise(0),
         )
         .withColumn(
             "run_id",

@@ -27,6 +27,13 @@ shapes the generator never produces:
 The slow test runs EVERY catalog entry; all tables exist, so nothing
 may skip — any raise is a regression to fix symmetrically in both
 engines (the round-7 discipline).
+
+Eight whole-catalog fixture classes by round 9: hostile values, empty
+tables, time edges, float edges (NaN/±Inf/-0.0), hot-key skew,
+magnitude edges (finite beyond exact domains), and TEXT edges
+(Unicode case-mapping traps, whitespace zoo, NUL, huge tokens,
+ZWJ/astral, RTL, NFC/NFD, non-ASCII digits, byte-vs-codepoint
+levenshtein, the JSON value zoo).
 """
 
 from __future__ import annotations
@@ -71,6 +78,7 @@ def build_edge_rel_fixture(
     time_edges: bool = False,
     float_edges: bool = False,
     magnitude_edges: bool = False,
+    text_edges: bool = False,
 ) -> None:
     """Write the full edge fixture set under ``d`` (a pathlib.Path).
     Pure pyarrow — callable from scripts as well as the pytest fixture
@@ -112,6 +120,8 @@ def build_edge_rel_fixture(
         _float_edge_overrides(d)
     if magnitude_edges and not empty:
         _magnitude_edge_overrides(d)
+    if text_edges and not empty:
+        _text_edge_overrides(d)
 
 
 def _time_edge_overrides(d) -> None:
@@ -343,6 +353,131 @@ def _magnitude_edge_overrides(d) -> None:
         "props": pa.array(
             [None, "", "not json", '{"k": 1}', "{}", '{"k": -3}', "[]", "{"],
             pa.string()),
+    }))
+
+
+def _text_edge_overrides(d) -> None:
+    """Replace documents/part/customer/events with TEXT-edge variants —
+    the eighth fixture class (round-9): Unicode case-mapping traps
+    (word-final sigma, Turkish dotted I — Java full mapping vs
+    utf8proc simple mapping, pinned by canon_lower), the whitespace
+    zoo (tab/CR/VT — Java \\s matches vertical tab, RE2 \\s does not),
+    NBSP (whitespace-looking but NOT \\s in either engine), an embedded
+    NUL byte, a multi-kilobyte single token, ZWJ emoji and astral-plane
+    letters, RTL scripts, NFC-vs-NFD pairs (NOT duplicates — byte
+    fingerprints differ identically in both engines), non-ASCII digits
+    (outside [0-9] in both regex engines), byte-vs-codepoint
+    levenshtein pairs inside one block, and the JSON value zoo
+    (duplicate keys, typed k, big integers, leading zeros)."""
+    import shutil
+
+    def rewrite(name, table):
+        shutil.rmtree(d / f"{name}.parquet")
+        (d / f"{name}.parquet").mkdir()
+        pq.write_table(table, str(d / f"{name}.parquet" / "part-0.parquet"))
+
+    docs = [
+        # 1+2: exact-dup group ACROSS sigma forms — lower('ΗΡΩΣ') is
+        # 'ηρως' (final ς) in Java, 'ηρωσ' in DuckDB; canon folds both
+        (1, "ΟΔΥΣΣΕΥΣ ΜΕΓΑΣ ΗΡΩΣ", "el", "web"),
+        (2, "οδυσσευς μεγας ηρως", "el", "books"),
+        # 3+4: dup group across the Turkish dotted-I divergence —
+        # lower('İ') is 'i'+U+0307 in Java, bare 'i' in DuckDB
+        (3, "İSTANBUL İZMİR IĞDIR", "tr", "web"),
+        (4, "istanbul izmir iğdir", "tr", "web"),
+        # whitespace zoo: Java \s splits VT (0x0B), RE2 \s does not —
+        # oracles pin the portable class [ \t\n\x0b\f\r]
+        (5, "tab\there vt\x0bsplit cr\r\nmix", "en", "web"),
+        (6, "nbsp joined stays one token", "en", "web"),
+        (7, "nul\x00byte embedded doc", "en", "news"),
+        (8, "long" + "x" * 2000 + " tail token", "en", "web"),
+        (9, "family \U0001f469‍\U0001f469‍\U0001f467‍"
+            "\U0001f466 emoji flag \U0001f1fa\U0001f1e6 math \U0001d54f"
+            " done", "en", "web"),
+        (10, "مرحبا بالعالم שלום עולם rtl mix", "ar", "web"),
+        # 11+12: NFC vs NFD 'éclair' — different bytes, NOT duplicates,
+        # identically in both engines
+        (11, "éclair nfd form here", "fr", "books"),
+        (12, "éclair nfc form here", "fr", "books"),
+        (13, "the la le der und est que el bait", "zz", "web"),
+        (14, "ς", "el", "web"),
+        (15, "ﬁnancial ẞ K ligature row", "en", "web"),
+        (16, "", "en", "web"),
+        (17, "   ", "en", "web"),
+        (18, "plain english doc the and of it", "en", "web"),
+        # leading tab: space-only trim keeps it, so Java split and
+        # string_split_regex both emit a leading EMPTY token — the
+        # empty-token shape flows through counts/postings/BPE
+        (19, "\tleading tab doc", "en", "news"),
+    ]
+    rewrite("documents", pa.table({
+        "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+        "text": pa.array([r[1] for r in docs], pa.string()),
+        "lang": pa.array([r[2] for r in docs], pa.string()),
+        "source": pa.array([r[3] for r in docs], pa.string()),
+        "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+    }))
+    # one (brand, size) block with byte-vs-codepoint levenshtein pairs:
+    # 'café part' vs 'cafe part' is 1 edit in code points, 2 in UTF-8
+    # bytes (the pinned metric); '中文字 widget' vs '中文x widget' is 1 in
+    # code points but 3 in bytes (excluded by dist <= 2 on both sides)
+    rewrite("part", pa.table({
+        "p_partkey": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        "p_name": pa.array(
+            ["café part", "cafe part", "中文字 widget", "中文x widget",
+             "naïve bolt", "naïve bolt"], pa.string()),
+        "p_brand": pa.array(["Brand#1"] * 6, pa.string()),
+        "p_size": pa.array([1] * 6, pa.int32()),
+        "p_type": pa.array(
+            ["PROMO", "PROMO", "ECONOMY", None, "STANDARD", "STANDARD"],
+            pa.string()),
+        "p_retailprice": pa.array(
+            [10.0, 20.0, 30.0, 40.0, 50.0, 60.0], pa.float64()),
+    }))
+    # non-ASCII digits: Arabic-Indic and fullwidth digits are NOT [0-9]
+    # in either Java regex or RE2 — mask/count paths leave them alone
+    rewrite("customer", pa.table({
+        "c_custkey": pa.array([1, 2], pa.int64()),
+        "c_name": pa.array(
+            ["عميل ٣٤٥ رقم ١٢٣", "Ｃustomer１２３ ΣΟΦΙΑΣ 42"], pa.string()),
+        "c_nationkey": pa.array([0, 1], pa.int32()),
+        "c_acctbal": pa.array([100.0, -999.99], pa.float64()),
+        "c_mktsegment": pa.array(["BUILDING", None], pa.string()),
+    }))
+    # the JSON value zoo (props) + hostile event_type strings
+    props = [
+        '{"k":1,"k":2}',                  # duplicate keys: variant rejects
+        '{"k":2.9}',                      # double -> int truncates
+        '{"k":-2.9}',
+        '{"k":"abc"}',                    # non-numeric string
+        '{"k":"7"}',                      # integral string
+        '{"k":true}',                     # bool -> 1 / 1.0
+        '{"k":99999999999999999999}',     # big int: literal vs double render
+        '{"k":{"a":1}}',                  # object k
+        '{"k":[1,2]}',                    # array k
+        '{"k":null}',                     # json null
+        '{"k":"\\u00e9"}',                # unicode escape
+        '{"k": 007}',                     # leading zero: malformed in both
+    ]
+    etypes = ["ΚΛΙΚΣ", "i̇click", "", None, "view", "view",
+              "click", "error", "покупка", "view", "click", "error"]
+    T = _ts
+    rewrite("events", pa.table({
+        "event_id": pa.array(list(range(1, 13)), pa.int64()),
+        "ts": pa.array(
+            [T("2024-01-01T00:00:00")] * 3
+            + [T("2024-01-01T00:00:01"), T("2024-01-02T08:00:00"),
+               T("2024-01-05T12:00:00"), T("2024-01-05T12:00:00"),
+               T("2024-01-10T00:00:00"), T("2024-01-20T06:30:00"),
+               T("2024-02-01T00:00:00"), T("2024-02-01T00:00:00"),
+               T("2024-02-02T00:00:00")],
+            pa.timestamp(_NS)),
+        "user_id": pa.array([7, 7, 7, 7, 8, 8, 8, 8, 9, 9, 9, 9], pa.int64()),
+        "event_type": pa.array(etypes, pa.string()),
+        "value": pa.array(
+            [1.0, -2.5, 0.0, None, 3.25, 2.0, 7.5, -1.5, 4.0, 0.5, None, 6.0],
+            pa.float64()),
+        "props": pa.array(props, pa.string()),
     }))
 
 
@@ -757,6 +892,28 @@ def test_whole_catalog_oracle_parity_on_magnitude_edges(spark, tmp_path_factory)
     cast-portable subset (see DSUM_BOUND's docstring)."""
     d = tmp_path_factory.mktemp("edge_magnitude")
     build_edge_rel_fixture(d, magnitude_edges=True)
+    assert not _parity_sweep(spark, str(d))
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_text_edges(spark, tmp_path_factory):
+    """FULL-PARITY sweep with hostile TEXT (eighth fixture class,
+    round-9): Unicode case-mapping traps (word-final sigma, Turkish
+    dotted I), the whitespace zoo (VT splits under Java \\s but not
+    RE2 \\s), NBSP, an embedded NUL byte, a multi-kilobyte token, ZWJ
+    emoji / astral letters, RTL scripts, NFC-vs-NFD pairs, non-ASCII
+    digits, byte-vs-codepoint levenshtein pairs, and the JSON value
+    zoo (duplicate keys, typed k values, big integers, leading
+    zeros). Round-9 pins fixed here: canon_lower (a portable casefold
+    folding Java's full case mapping and utf8proc's simple mapping to
+    one form) at every fingerprint/term/shingle site; the oracle
+    whitespace class widened to Java's \\s ([ \\t\\n\\x0b\\f\\r]);
+    levenshtein pinned to UTF-8 BYTE distance; get_json_object typed
+    extraction pinned to integral-string-only try_cast; the variant
+    plan's duplicate-key rejection and cast lattice restated per
+    json_type in the oracle."""
+    d = tmp_path_factory.mktemp("edge_text")
+    build_edge_rel_fixture(d, text_edges=True)
     assert not _parity_sweep(spark, str(d))
 
 

@@ -48,7 +48,12 @@ def test_multimodal_frame_sample_explodes(spark, sf_small):
         expected = (len(raw) + 63) // 64
         got = sorted(by_doc[doc_id], key=lambda r: r["frame_idx"])
         assert len(got) == expected
-        assert got[0]["frame_sha"] == hashlib.sha256(raw[:64]).hexdigest()
+        # digest is over the lowercase-hex image of the frame bytes
+        # (round-9 text-edge pin: DuckDB sha256 is VARCHAR-only)
+        assert (
+            got[0]["frame_sha"]
+            == hashlib.sha256(raw[:64].hex().encode("ascii")).hexdigest()
+        )
 
 
 def test_numpy_topk_matches_brute_force(spark, sf_small):
