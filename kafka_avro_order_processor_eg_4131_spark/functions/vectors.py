@@ -17,6 +17,36 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+# The embeddings-table dimension contract. At 100 TB the dimension is
+# schema metadata known a priori (the embedding model's output width);
+# the fixtures ship dim-64 vectors at every SF. Vectors that violate
+# the contract — NULL, empty, wrong length, or containing NULL
+# components — are EXCLUDED from every vector operator like NULL keys
+# (round-9 vector-shape pin): zip_with over ragged arrays silently
+# NULL-pads, np.vstack in the Arrow kernels raises, and DuckDB
+# list_zip pads with NULLs — three different failure modes for the
+# same malformed row unless it is fenced at the load boundary.
+# Non-finite VALUES (NaN/±Inf) are a different, already-pinned family
+# (float-edge probe) and pass this shape check.
+VEC_DIM = 64
+
+
+def valid_vec(a: Column, dim: int = VEC_DIM) -> Column:
+    """Shape-contract predicate: non-NULL, exactly ``dim`` components,
+    no NULL components. SQL twin: valid_vec_sql."""
+    return (
+        a.isNotNull()
+        & (F.size(a) == dim)
+        & ~F.exists(a, lambda x: x.isNull())
+    )
+
+
+def valid_vec_sql(a: str, dim: int = VEC_DIM) -> str:
+    return (
+        f"({a} IS NOT NULL AND len({a}) = {dim}"
+        f" AND len(list_filter({a}, x -> x IS NULL)) = 0)"
+    )
+
 
 def dot(a: Column, b: Column) -> Column:
     prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))

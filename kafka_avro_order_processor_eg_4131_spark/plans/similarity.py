@@ -9,13 +9,36 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import bigcount_sql, dsum, dsum_sql, is_finite, load, register
-from ..functions.vectors import cosine_sql, dot_sql
+from ..functions.vectors import cosine_sql, dot_sql, valid_vec, valid_vec_sql
 from ..operators import cache as C
 from ..operators import similarity as S
 
 _N_QUERIES = 20
 
 _COS = cosine_sql("q.embedding", "c.embedding")
+
+
+def _vemb(sql: str) -> str:
+    """Route an oracle through the VALID-vector relation (round-9
+    vector-shape pin): every ``embeddings`` table reference becomes
+    ``vemb`` — the rows satisfying functions.vectors.valid_vec_sql —
+    mirroring the Spark side's valid_vec filter in _build_emb.
+    Malformed vectors (NULL / empty / wrong-dim / NULL-component) are
+    excluded from the whole ANN family like NULL keys, identically in
+    both engines, instead of NULL-padding a fold here and crashing an
+    Arrow kernel there."""
+    cte = (
+        "vemb AS (SELECT * FROM embeddings WHERE "
+        + valid_vec_sql("embedding")
+        + ")"
+    )
+    body = sql.replace("FROM embeddings", "FROM vemb").replace(
+        "JOIN embeddings", "JOIN vemb"
+    )
+    stripped = body.lstrip()
+    if stripped.startswith("WITH"):
+        return body.replace("WITH", f"WITH {cte},", 1)
+    return f"WITH {cte}\n" + body
 
 # Session-level cache of the embeddings relation, repartitioned to a
 # width proportional to its actual row count (rows/250, capped at the
@@ -27,7 +50,9 @@ _COS = cosine_sql("q.embedding", "c.embedding")
 
 
 def _build_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load(spark, sf_dir, "embeddings")
+    # shape-contract fence (round-9 vector-shape pin): malformed
+    # vectors never enter the family cache — see _vemb's docstring
+    e = load(spark, sf_dir, "embeddings").filter(valid_vec(F.col("embedding")))
     n = e.count()
     width = max(1, min(spark.sparkContext.defaultParallelism * 2, n // 250 + 1))
     return e.repartition(width)
@@ -48,7 +73,7 @@ def _emb_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
 
 @register(
     "ann_cosine_topk",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, {_COS} AS cos
       FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
@@ -61,7 +86,7 @@ def _emb_cached(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int]:
       FROM scored
     )
     SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {S.TOP_K}
-    """,
+    """),
 )
 def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-5 per query vector — the brute-force baseline.
@@ -86,7 +111,7 @@ def _brute_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_topk",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH centroids AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
              embedding
@@ -118,7 +143,7 @@ def _brute_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {S.TOP_K}
-    """,
+    """),
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN: corpus indexed into nearest-centroid cells, queries probe
@@ -141,7 +166,7 @@ def _ivf_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivf_kmeans_topk",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH c0 AS (
       SELECT CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS cell_id,
              embedding
@@ -200,7 +225,7 @@ def _ivf_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {S.TOP_K}
-    """,
+    """),
 )
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN with Lloyd-refined centroids (16 cells, 1 iteration,
@@ -222,7 +247,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_topk",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH lead AS (
       SELECT embedding,
              CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS rn
@@ -259,7 +284,7 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM scored
     )
     SELECT query_id, neighbor_id, cos, rank FROM ranked WHERE rank <= {S.TOP_K}
-    """,
+    """),
 )
 def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-5 via multi-table sign-LSH (4 tables x 4 bits,
@@ -288,7 +313,7 @@ def _lsh_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_centroid_by_label",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH u AS (
       SELECT label,
              unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS v,
@@ -322,7 +347,7 @@ def _lsh_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT cent.label, cent.centroid_e9, n.n_vectors
     FROM cent JOIN n ON n.label = cent.label
-    """,
+    """),
 )
 def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed vector mean per class label — the centroid-update
@@ -343,7 +368,7 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one explode (x dim) + one shuffle on (label, dim): no
     driver-side vectors, no UDF, and dimension parallelism means even
     a single giant label distributes across dim-many tasks."""
-    e = load(spark, sf_dir, "embeddings")
+    e = load(spark, sf_dir, "embeddings").filter(valid_vec(F.col("embedding")))
     vd = F.col("v").cast("double")
     u = e.select("label", F.posexplode(F.col("embedding")).alias("pos", "v"))
     m = u.groupBy("label", "pos").agg(
@@ -378,7 +403,7 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_quantize_int8",
-    oracle="""
+    oracle=_vemb("""
     WITH amax AS (
       -- scale over FINITE components only (+0.0 normalizes a possible
       -- -0.0 max: DuckDB abs(-0.0) keeps the sign, Spark's does not);
@@ -401,7 +426,7 @@ def embedding_centroid_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
                        ELSE 'nf' END), ',')
              AS qvec
     FROM embeddings CROSS JOIN amax
-    """,
+    """),
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of the embedding column — the 4x
@@ -453,7 +478,7 @@ _Q8 = (
 
 @register(
     "ann_int8_dot_topk",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH amax AS (
       SELECT MAX(list_max(list_transform(embedding,
                x -> CASE WHEN isfinite(CAST(x AS DOUBLE))
@@ -476,7 +501,7 @@ _Q8 = (
       FROM scored
     )
     SELECT query_id, neighbor_id, idot, rank FROM ranked WHERE rank <= {S.TOP_K}
-    """,
+    """),
 )
 def ann_int8_dot_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantized ANN serving path: top-5 neighbors ranked by the INTEGER
@@ -588,7 +613,7 @@ def _mmr_oracle() -> str:
     return head + "".join(steps) + tail
 
 
-@register("ann_mmr_diversified", oracle=_mmr_oracle())
+@register("ann_mmr_diversified", oracle=_vemb(_mmr_oracle()))
 def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Maximal-marginal-relevance re-ranking: after the (distributed)
     exact top-10 relevance scan for the query vector, greedily select 5
@@ -674,7 +699,7 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_hard_negatives",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, q.label AS query_label,
              c.vec_id AS negative_id, c.label AS negative_label,
@@ -690,7 +715,7 @@ def ann_mmr_diversified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT query_id, query_label, negative_id, negative_label, cos, rank
     FROM ranked WHERE rank <= 3
-    """,
+    """),
 )
 def ann_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for contrastive training: per query vector,
@@ -716,7 +741,7 @@ from ..catalog import REGISTRY as _REG
 
 @register(
     "ann_eval_lsh_recall_mrr",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH gt AS (SELECT * FROM ({_REG["ann_cosine_topk"].oracle})),
     ap AS (SELECT * FROM ({_REG["ann_lsh_topk"].oracle})),
     hits AS (
@@ -731,7 +756,7 @@ from ..catalog import REGISTRY as _REG
            CASE WHEN MIN(ap_rank) IS NULL THEN 0.0
                 ELSE 1.0 / MIN(ap_rank) END AS reciprocal_rank
     FROM hits GROUP BY query_id ORDER BY query_id
-    """,
+    """),
 )
 def ann_eval_lsh_recall_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation of the LSH index against exact
@@ -769,7 +794,7 @@ _KNN_EVAL_MOD = 20  # evaluate every 20th vector (leave-one-out queries)
 
 @register(
     "eval_knn_label_accuracy",
-    oracle=f"""
+    oracle=_vemb(f"""
     WITH scored AS (
       SELECT q.vec_id AS query_id, q.label AS true_label,
              c.label AS neigh_label, c.vec_id AS neighbor_id, {_COS} AS cos
@@ -803,7 +828,7 @@ _KNN_EVAL_MOD = 20  # evaluate every 20th vector (leave-one-out queries)
            CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
                 AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS accuracy
     FROM pred GROUP BY true_label ORDER BY true_label
-    """,
+    """),
 )
 def eval_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Leave-one-out k-NN classifier accuracy per label — the standard
@@ -883,7 +908,7 @@ def _rrf_oracle() -> str:
     """
 
 
-@register("ann_rrf_fusion", oracle=_rrf_oracle())
+@register("ann_rrf_fusion", oracle=_vemb(_rrf_oracle()))
 def ann_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reciprocal-rank fusion of the two approximate retrievers (sign-
     LSH and IVF): rrf(d) = sum over lists containing d of
@@ -949,7 +974,7 @@ def _fusion_gain_oracle() -> str:
     """
 
 
-@register("ann_eval_fusion_gain", oracle=_fusion_gain_oracle())
+@register("ann_eval_fusion_gain", oracle=_vemb(_fusion_gain_oracle()))
 def ann_eval_fusion_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does fusing the two approximate indexes actually buy recall? One
     summary row per retriever (ivf, lsh, rrf) with hits against the

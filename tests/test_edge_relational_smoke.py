@@ -79,6 +79,7 @@ def build_edge_rel_fixture(
     float_edges: bool = False,
     magnitude_edges: bool = False,
     text_edges: bool = False,
+    vector_edges: bool = False,
 ) -> None:
     """Write the full edge fixture set under ``d`` (a pathlib.Path).
     Pure pyarrow — callable from scripts as well as the pytest fixture
@@ -122,6 +123,8 @@ def build_edge_rel_fixture(
         _magnitude_edge_overrides(d)
     if text_edges and not empty:
         _text_edge_overrides(d)
+    if vector_edges and not empty:
+        _vector_edge_overrides(d)
 
 
 def _time_edge_overrides(d) -> None:
@@ -478,6 +481,55 @@ def _text_edge_overrides(d) -> None:
             [1.0, -2.5, 0.0, None, 3.25, 2.0, 7.5, -1.5, 4.0, 0.5, None, 6.0],
             pa.float64()),
         "props": pa.array(props, pa.string()),
+    }))
+
+
+def _vector_edge_overrides(d) -> None:
+    """Replace embeddings with VECTOR-SHAPE variants — the ninth
+    fixture class (round-9): rows violating the dim-64 embeddings
+    contract (functions/vectors.py::VEC_DIM) in every possible way —
+    NULL embedding, empty array, wrong dimensions (3 and 100), NULL
+    components at the first and a middle position — alongside enough
+    valid vectors to drive the full ANN family. Without the valid_vec
+    fence these shapes fail THREE different ways: zip_with/list_zip
+    NULL-pad the fold (silent wrong cosines), np.vstack in the Arrow
+    kernels raises on ragged input, and posexplode just emits fewer
+    rows (silently skewed centroids)."""
+    import shutil
+
+    def rewrite(name, table):
+        shutil.rmtree(d / f"{name}.parquet")
+        (d / f"{name}.parquet").mkdir()
+        pq.write_table(table, str(d / f"{name}.parquet" / "part-0.parquet"))
+
+    dim = 64
+    basis = [1.0] + [0.0] * (dim - 1)
+    same = [0.1] * dim
+    small = [float(i % 3) * 0.01 for i in range(dim)]
+    neg = [-v for v in same]
+    zero = [0.0] * dim
+    ramp = [float(i) / dim for i in range(dim)]
+    vecs = [
+        (0, basis, 0),            # the MMR query id — must stay valid
+        (1, None, 0),             # NULL embedding
+        (2, [], 0),               # empty array
+        (3, [0.1, 0.2, 0.3], 1),  # wrong dim (short)
+        (4, [0.5] * 100, 1),      # wrong dim (long)
+        (5, [None] + [0.1] * (dim - 1), 0),   # NULL first component
+        (6, same[:31] + [None] + same[32:], None),  # NULL mid component
+        (7, same, 0),
+        (8, same, 0),             # bit-identical duplicate
+        (9, small, 1),
+        (10, neg, 1),             # anti-parallel to `same`
+        (11, zero, 0),            # zero-norm (valid SHAPE; float pin)
+        (12, ramp, None),         # NULL label on a valid vector
+        (13, [v * 2 for v in small], 1),
+        (14, [1.0] * dim, 0),
+    ]
+    rewrite("embeddings", pa.table({
+        "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+        "embedding": pa.array([v[1] for v in vecs], pa.list_(pa.float32())),
+        "label": pa.array([v[2] for v in vecs], pa.int32()),
     }))
 
 
@@ -914,6 +966,23 @@ def test_whole_catalog_oracle_parity_on_text_edges(spark, tmp_path_factory):
     json_type in the oracle."""
     d = tmp_path_factory.mktemp("edge_text")
     build_edge_rel_fixture(d, text_edges=True)
+    assert not _parity_sweep(spark, str(d))
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_vector_edges(spark, tmp_path_factory):
+    """FULL-PARITY sweep with malformed VECTORS (ninth fixture class,
+    round-9): NULL embeddings, empty arrays, wrong dimensions, NULL
+    components — every violation of the dim-64 embeddings contract —
+    plus valid vectors (duplicates, anti-parallel, zero-norm, NULL
+    label) driving the full ANN family. Pinned semantics: malformed
+    vectors are EXCLUDED from every vector operator like NULL keys —
+    the valid_vec fence in plans/similarity.py::_build_emb, mirrored
+    by the _vemb oracle CTE — instead of NULL-padding a JVM fold,
+    crashing an Arrow kernel, or silently skewing a posexploded
+    centroid."""
+    d = tmp_path_factory.mktemp("edge_vector")
+    build_edge_rel_fixture(d, vector_edges=True)
     assert not _parity_sweep(spark, str(d))
 
 
