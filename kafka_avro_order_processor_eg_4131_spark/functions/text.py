@@ -56,17 +56,20 @@ def token_count(text: Column) -> Column:
 
 
 def norm_tokens(text: Column) -> Column:
-    """Normalized tokens: ``split(normalize(text), ' ')`` — collapse
-    whitespace to single spaces, trim, casefold, THEN split on the
-    literal space. NOT equivalent to the fused split-on-\\s+ form: a
-    leading tab survives the space-only trim, so the fused form emits
-    a phantom EMPTY first token where this form emits none (round-9
-    text-edge pin: normalized tokenization never yields empty tokens;
-    RAW tokens — tokens()/_TOKENS/the UDTF — keep Java-split semantics
-    including that leading empty). Oracle twin: string_split of the
-    canon-lowered collapsed text on ' '."""
+    """Normalized tokens == ``split(normalize(text), ' ')``: casefolded
+    maximal non-whitespace runs, never containing an empty token
+    (round-9 text-edge pin; the old fused split-on-\\s+ form emitted a
+    phantom EMPTY first token for leading-TAB text, because the
+    space-only trim keeps the tab — RAW tokens (tokens()/_TOKENS/the
+    UDTF) deliberately keep that Java-split semantics). Implemented as
+    ONE regex split plus array_remove instead of the two-pass
+    collapse-then-split: \\s+ splitting yields '' only at the array
+    edges (the + quantifier forbids interior empties) and canon_lower
+    never creates or destroys whitespace, so removing '' gives exactly
+    the two-pass result for half the regex scanning — the oracles
+    state the two-pass string_split(normalized, ' ') form."""
     return F.when(F.trim(text) == "", F.array().cast("array<string>")).otherwise(
-        F.split(normalize(text), " ")
+        F.array_remove(F.split(canon_lower(F.trim(text)), r"\s+"), "")
     )
 
 

@@ -287,7 +287,7 @@ def _simhash_pairs_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
 # shared SQL fragments --------------------------------------------------------
 
 _NORM = "replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i')"
-_TOKS = f"string_split({_NORM}, ' ')"
+_TOKS = f"list_filter(string_split({_NORM}, ' '), t -> t <> '')"
 # distinct 3-word shingles; shorter docs yield an empty list
 _SHINGLES = (
     f"list_distinct(list_transform("
@@ -614,7 +614,7 @@ def _rep_doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     the FULL non-empty doc count. Counts are exact integers, centering
     is a per-element double subtract — all bit-portable to the DuckDB
     twin (catalog.py determinism rules)."""
-    from ..functions.text import norm_tokens
+    from ..functions.text import norm_tokens, normalize
     from ..functions.vectors import norm
 
     def build() -> DataFrame:
@@ -624,11 +624,18 @@ def _rep_doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # aggregations — groupBy(doc_id, bucket) and groupBy(doc_id) —
         # so the whole per-rep pipeline runs with ONE shuffle (round-5
         # A/B: bit-identical, ~20% faster family build).
+        # DOMAIN (round-9 text-edge pin): docs with >= 1 NORMALIZED
+        # token — normalize(text) <> '', not trim(text) <> ''. A
+        # whitespace-only-but-not-space doc passes the trim guard yet
+        # has no tokens, hence no meaningful tf vector; it also shares
+        # the normalized-empty fingerprint group with trim-empty docs,
+        # so a trim-based guard split that group inconsistently
+        # between the rep map and the vector relation (fixture doc 20).
         n_part = spark.sparkContext.defaultParallelism * 2
         m = _exact_rep_cached(spark, sf_dir)
         d = (
             _rep_docs(spark, sf_dir)
-            .filter(F.trim(F.col("text")) != "")
+            .filter(normalize(F.col("text")) != "")
             .repartition(n_part, "doc_id")
         )
         code = F.conv(F.substring(F.md5(F.col("tok")), 1, 8), 16, 10).cast("long")
@@ -647,7 +654,7 @@ def _rep_doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         # equals the raw all-doc sum bit-for-bit (any summation order)
         ndocs = (
             load(spark, sf_dir, "documents")
-            .filter(F.trim(F.col("text")) != "")
+            .filter(normalize(F.col("text")) != "")
             .agg(F.count("*").alias("n"))
         )
         sizes = m.filter(F.col("id") == F.col("rep")).select(
@@ -671,10 +678,21 @@ def _rep_doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mvec")
             )
         )
-        sparse = cnt.groupBy("doc_id").agg(
-            F.map_from_entries(
-                F.array_sort(F.collect_list(F.struct("bucket", "c")))
-            ).alias("cm")
+        # LEFT join from the full rep list, not from cnt: a doc whose
+        # normalized tokens are EMPTY (whitespace-only-but-not-space
+        # text survives the trim guard) has no cnt rows and would
+        # vanish at the explode — the oracle's dd-CROSS-JOIN-mean form
+        # keeps it with the pure -mean vector (round-9 text-edge pin,
+        # fixture doc 20). element_at on its NULL map -> NULL ->
+        # coalesce 0.0 reproduces the zero counts.
+        sparse = d.select("doc_id").join(
+            cnt.groupBy("doc_id").agg(
+                F.map_from_entries(
+                    F.array_sort(F.collect_list(F.struct("bucket", "c")))
+                ).alias("cm")
+            ),
+            "doc_id",
+            "left",
         )
         vec = sparse.crossJoin(F.broadcast(mean_row)).select(
             "doc_id",
@@ -716,13 +734,17 @@ def _doc_vec_sql() -> str:
 
     return f"""
     d AS (
-      SELECT doc_id,
-             replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i') AS t
-      FROM documents WHERE trim(text) <> ''
+      -- domain pin: >= 1 normalized token (t <> ''), mirroring the
+      -- Spark side's normalize(text) <> '' guard
+      SELECT doc_id, t FROM (
+        SELECT doc_id,
+               replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i') AS t
+        FROM documents
+      ) WHERE t <> ''
     ),
     tok AS (
       SELECT doc_id, CAST({_code_sql("tok")} % {_EMB_DIM} AS INT) AS bucket
-      FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS tok FROM d)
+      FROM (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS tok FROM d)
     ),
     cnt AS (
       SELECT doc_id, bucket, CAST(COUNT(*) AS DOUBLE) AS c

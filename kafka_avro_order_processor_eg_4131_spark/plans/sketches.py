@@ -70,7 +70,7 @@ def _cms_bucket(depth, tok) -> F.Column:
     "sketch_countmin_heavy_terms",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS tok
+      SELECT unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS tok
       FROM documents WHERE trim(text) <> ''
     ), truec AS (
       SELECT tok, CAST(COUNT(*) AS BIGINT) AS true_count FROM tok GROUP BY tok

@@ -161,7 +161,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH toks AS (
       SELECT doc_id AS id,
-             unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
+             unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS term
       FROM documents
     ),
     tf AS (
@@ -248,7 +248,7 @@ def _code_sql(tok_expr: str) -> str:
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
+             list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
       FROM documents
     )
     SELECT doc_id,
@@ -297,7 +297,7 @@ def doc_rolling_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_bigram_counts",
     oracle="""
     WITH t AS (
-      SELECT string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
+      SELECT list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
       FROM documents
     ), grams AS (
       SELECT unnest(list_transform(
@@ -421,7 +421,7 @@ _DECON_THRESHOLD = 0.5
     oracle=f"""
     WITH toks AS (
       SELECT doc_id,
-             string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')
+             list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')
                AS toks
       FROM documents
     ), grams AS (
@@ -712,7 +712,7 @@ def pii_mask_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id,
-             unnest(list_distinct(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')))
+             unnest(list_distinct(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')))
                AS term
       FROM documents WHERE trim(text) <> ''
     )
@@ -760,7 +760,7 @@ def doc_postings_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     "vocab_term_ids",
     oracle="""
     WITH toks AS (
-      SELECT unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
+      SELECT unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS term
       FROM documents WHERE trim(text) <> ''
     )
     SELECT term,
@@ -801,7 +801,7 @@ def vocab_term_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bigram_next_word_top3",
     oracle="""
     WITH t AS (
-      SELECT string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
+      SELECT list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
       FROM documents WHERE trim(text) <> ''
     ), grams AS (
       SELECT unnest(list_transform(
@@ -871,7 +871,7 @@ _FH_BUCKETS = 64
     oracle=f"""
     WITH tok AS (
       SELECT doc_id,
-             unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS tok
+             unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS tok
       FROM documents WHERE trim(text) <> ''
     ), b AS (
       SELECT doc_id, CAST({_code_sql("tok")} % {_FH_BUCKETS} AS INT) AS bucket,
@@ -938,7 +938,7 @@ def _bpe_cte_chain(rounds: int) -> str:
         """
     tok AS (
       SELECT doc_id,
-             unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS w
+             unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS w
       FROM documents WHERE trim(text) <> ''
     ),
     tokd AS (
@@ -1123,7 +1123,7 @@ _BOILER_DF = 2  # doc-frequency threshold: window is boilerplate if >= DF docs
     oracle=f"""
     WITH t AS (
       SELECT doc_id,
-             string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
+             list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
       FROM documents WHERE trim(text) <> ''
     ), w AS (
       SELECT doc_id,
@@ -1195,7 +1195,7 @@ _OOV_VOCAB = 20
     "doc_oov_rate",
     oracle=f"""
     WITH toks AS (
-      SELECT doc_id, unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
+      SELECT doc_id, unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS term
       FROM documents WHERE trim(text) <> ''
     ),
     vocab AS (
@@ -1256,7 +1256,7 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_span_corruption",
     oracle="""
     WITH t AS (
-      SELECT doc_id, string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
+      SELECT doc_id, list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
       FROM documents WHERE trim(text) <> ''
     ),
     b AS (
@@ -1275,21 +1275,23 @@ def doc_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b
     )
     SELECT doc_id,
-      array_to_string(list_transform(generate_series(1, nb),
+      -- COALESCE: DuckDB array_to_string([]) is NULL where Spark
+      -- array_join([]) is '' (a zero-token doc has zero blocks)
+      COALESCE(array_to_string(list_transform(generate_series(1, nb),
         i -> CASE WHEN mf[i] = 1
           THEN '<X_' || CAST(list_sum(list_slice(mf, 1, i)) AS VARCHAR) || '>'
                || CASE WHEN 4*(i-1)+4 <= n
                        THEN ' ' || toks[4*(i-1)+4] ELSE '' END
           ELSE array_to_string(
                  list_slice(toks, 4*(i-1)+1, least(4*(i-1)+4, n)), ' ')
-        END), ' ') AS input_text,
+        END), ' '), '') AS input_text,
       COALESCE(array_to_string(list_filter(list_transform(generate_series(1, nb),
         i -> CASE WHEN mf[i] = 1
           THEN '<X_' || CAST(list_sum(list_slice(mf, 1, i)) AS VARCHAR) || '>'
                || ' ' || array_to_string(
                            list_slice(toks, 4*(i-1)+1, 4*(i-1)+3), ' ')
           ELSE '' END), x -> x <> ''), ' '), '') AS target_text,
-      CAST(list_sum(mf) AS BIGINT) AS n_masked_spans
+      CAST(COALESCE(list_sum(mf), 0) AS BIGINT) AS n_masked_spans
     FROM m
     ORDER BY doc_id
     """,
@@ -1319,8 +1321,19 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = F.col("n")
     toks = F.col("toks")
+
+    # nb = 0 (a doc whose normalized tokens are empty — e.g. whitespace-
+    # only-but-not-space text, which survives the trim guard): Spark's
+    # sequence(1, 0) DESCENDS by default ([1, 0]) and element_at(mf, 0)
+    # raises under ANSI; DuckDB's generate_series(1, 0) is empty. Same
+    # guard class as operators/dedup.py::shingles.
+    def _blocks():
+        return F.when(
+            F.col("nb") >= 1, F.sequence(F.lit(1), F.col("nb"))
+        ).otherwise(F.array().cast("array<int>"))
+
     mf_expr = F.transform(
-        F.sequence(F.lit(1), F.col("nb")),
+        _blocks(),
         lambda i: F.when(
             ((i - 1) * 4 + 3 <= n)
             & F.substring(
@@ -1372,7 +1385,7 @@ def doc_span_corruption(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         ).otherwise(F.lit(""))
 
-    seq = F.sequence(F.lit(1), F.col("nb"))
+    seq = _blocks()
     return df.select(
         "doc_id",
         F.array_join(F.transform(seq, input_piece), " ").alias("input_text"),
@@ -1456,7 +1469,7 @@ _SON_DEN = 50
     "frequent_terms_son",
     oracle=f"""
     WITH tok AS (
-      SELECT unnest(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ')) AS term
+      SELECT unnest(list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '')) AS term
       FROM documents
     ),
     tok2 AS (SELECT term FROM tok WHERE term <> ''),
@@ -1597,7 +1610,7 @@ _dsum_sql_p = _dsum_sql_fn("p")
     "doc_lm_transition_score",
     oracle=f"""
     WITH t AS (
-      SELECT doc_id, string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' ') AS toks
+      SELECT doc_id, list_filter(string_split(replace(translate(lower(trim(regexp_replace(text, '[ \\t\\n\\x0b\\f\\r]+', ' ', 'g'))), 'ς', 'σ'), 'i' || chr(775), 'i'), ' '), t -> t <> '') AS toks
       FROM documents WHERE trim(text) <> ''
     ),
     inst AS (

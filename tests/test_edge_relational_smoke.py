@@ -412,6 +412,10 @@ def _text_edge_overrides(d) -> None:
         # string_split_regex both emit a leading EMPTY token — the
         # empty-token shape flows through counts/postings/BPE
         (19, "\tleading tab doc", "en", "news"),
+        # whitespace-only but NOT space-only: survives every
+        # trim(text) <> '' guard, normalizes to the empty string —
+        # normalized tokens pin to [] (raw tokens pin to ['',''])
+        (20, "\t\t", "en", "web"),
     ]
     rewrite("documents", pa.table({
         "doc_id": pa.array([r[0] for r in docs], pa.int64()),
@@ -800,6 +804,49 @@ def test_edge_fixture_readable_by_both_engines(spark, edge_rel_dir):
         ).fetchone()[0]
         assert n == want[name], f"duckdb {name}"
     con.close()
+
+
+def test_norm_tokens_and_canon_lower_pins(spark):
+    """Fast pins for the round-9 text-edge semantics: canon_lower folds
+    both engines' case mappings to one form; norm_tokens emits
+    casefolded maximal non-whitespace runs with NO empty tokens — [] for
+    whitespace-only text of ANY whitespace kind (the fused
+    split+array_remove must equal the two-pass collapse-then-split form
+    everywhere EXCEPT the all-non-space-whitespace case, where two-pass
+    string_split would emit [''] — the pinned answer is [])."""
+    from pyspark.sql import functions as F
+
+    from kafka_avro_order_processor_eg_4131_spark.functions.text import (
+        canon_lower,
+        norm_tokens,
+    )
+
+    cases = {
+        "ΟΔΥΣΣΕΥΣ ΜΕΓΑΣ": ["οδυσσευσ", "μεγασ"],     # final ς -> σ
+        "İSTANBUL ς": ["istanbul", "σ"],               # İ -> i, lone ς -> σ
+        "\tleading tab": ["leading", "tab"],           # no phantom ''
+        "trail\t": ["trail"],
+        "\t\t": [],                                    # ws-only, not space
+        "   ": [],
+        "": [],
+        "a\x0bb": ["a", "b"],                          # VT splits (Java \s)
+        "a b": ["a b"],                      # NBSP is NOT \s
+        "x\x00y": ["x\x00y"],                          # NUL survives
+    }
+    df = spark.createDataFrame([(t,) for t in cases], ["text"])
+    got = {
+        r["text"]: r["toks"]
+        for r in df.select("text", norm_tokens(F.col("text")).alias("toks")).collect()
+    }
+    for text, want in cases.items():
+        assert got[text] == want, (repr(text), got[text], want)
+    lo = {
+        r["s"]: r["lo"]
+        for r in spark.createDataFrame(
+            [("İ",), ("ΑΣ",), ("ς",), ("i̇",)], ["s"]
+        ).select("s", canon_lower(F.col("s")).alias("lo")).collect()
+    }
+    assert lo == {"İ": "i", "ΑΣ": "ασ", "ς": "σ", "i̇": "i"}
 
 
 def _canon(df):
