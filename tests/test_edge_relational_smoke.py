@@ -28,12 +28,14 @@ The slow test runs EVERY catalog entry; all tables exist, so nothing
 may skip — any raise is a regression to fix symmetrically in both
 engines (the round-7 discipline).
 
-Eight whole-catalog fixture classes by round 9: hostile values, empty
+TEN whole-catalog fixture classes by round 9: hostile values, empty
 tables, time edges, float edges (NaN/±Inf/-0.0), hot-key skew,
-magnitude edges (finite beyond exact domains), and TEXT edges
-(Unicode case-mapping traps, whitespace zoo, NUL, huge tokens,
-ZWJ/astral, RTL, NFC/NFD, non-ASCII digits, byte-vs-codepoint
-levenshtein, the JSON value zoo).
+magnitude edges (finite beyond exact domains), TEXT edges (Unicode
+case-mapping traps, whitespace zoo, NUL, huge tokens, ZWJ/astral,
+RTL, NFC/NFD, non-ASCII digits, byte-vs-codepoint levenshtein, the
+JSON value zoo), VECTOR shapes (malformed embeddings), and SHUFFLED
+LAYOUT (identical data, permuted rows across many part files —
+layout-independent determinism).
 """
 
 from __future__ import annotations
@@ -1013,6 +1015,46 @@ def test_whole_catalog_oracle_parity_on_text_edges(spark, tmp_path_factory):
     json_type in the oracle."""
     d = tmp_path_factory.mktemp("edge_text")
     build_edge_rel_fixture(d, text_edges=True)
+    assert not _parity_sweep(spark, str(d))
+
+
+def build_shuffled_layout_fixture(src_dir: str, dst, n_parts: int = 8,
+                                  seed: int = 42) -> None:
+    """LAYOUT-invariance fixture (tenth class, round-9): the EXACT rows
+    of ``src_dir`` (sf0.001), deterministically permuted and split into
+    ``n_parts`` part files per table. Same data, hostile physical
+    layout — a cluster writer's reality. Any catalog entry whose result
+    depends on input row order or file boundaries (an untiebroken
+    first/last, an unsorted collect_list, a LIMIT without total ORDER
+    BY) diverges from its oracle here; green pins layout-independent
+    determinism, the property a 1000-executor run needs."""
+    import random
+
+    from kafka_avro_order_processor_eg_4131_spark.sources.tables import TABLE_NAMES
+
+    for name in TABLE_NAMES:
+        t = pq.read_table(f"{src_dir}/{name}.parquet")
+        idx = list(range(t.num_rows))
+        random.Random(seed + t.num_rows).shuffle(idx)
+        t = t.take(idx)
+        tdir = dst / f"{name}.parquet"
+        tdir.mkdir()
+        step = max(1, (t.num_rows + n_parts - 1) // n_parts)
+        for p, start in enumerate(range(0, max(t.num_rows, 1), step)):
+            pq.write_table(
+                t.slice(start, step), str(tdir / f"part-{p:02d}.parquet")
+            )
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_shuffled_layout(spark, tmp_path_factory):
+    """FULL-PARITY sweep on the shuffled many-part-file layout of
+    sf0.001 (tenth fixture class): identical DATA, hostile physical
+    layout. Green = every one of the 223 entries is deterministic
+    under row-order and file-boundary permutation — the unique-key
+    tiebreak discipline (CLAUDE.md) verified empirically, corpus-wide."""
+    d = tmp_path_factory.mktemp("shuffled_layout")
+    build_shuffled_layout_fixture("/root/testdata/sf0.001", d)
     assert not _parity_sweep(spark, str(d))
 
 
