@@ -1800,7 +1800,20 @@ def scan_format_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     writer/reader pair corrupted a value the join or the value hash
     would break. Explicit schemas on read (no inference) — the
     production posture, since inference costs an extra scan and can
-    mis-type empty partitions."""
+    mis-type empty partitions.
+
+    LOSSLESS-CSV config (round-9 text-edge probe — the defaults corrupt
+    three value classes): (1) an embedded newline/CRLF is quoted by the
+    writer but the DEFAULT reader (multiLine=false) splits the record —
+    read with multiLine=true, accepting that a multiLine CSV file is
+    not splittable (at scale you escape newlines upstream or use a
+    columnar format; the twin demonstrates the correct config, not a
+    recommendation to ship 100 TB as CSV); (2) '' and NULL both write
+    as the empty field and read back as NULL — a '\\N' nullValue
+    sentinel on write+read plus emptyValue='' on read keeps them
+    distinct; (3) a LITERAL '\\N' string field is consequently
+    unrepresentable (univocity null-converts it even when quoted) —
+    the one documented out-of-domain value of the CSV leg."""
     import os
     import re
 
@@ -1809,15 +1822,18 @@ def scan_format_twins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     tag = re.sub(r"[^A-Za-z0-9_.-]", "_", sf_dir.rstrip("/"))
     base = os.path.join("/tmp", "spark_graft_formats", tag)
-    n.coalesce(1).write.mode("overwrite").option("header", True).csv(
-        os.path.join(base, "nation_csv")
-    )
+    n.coalesce(1).write.mode("overwrite").option("header", True).option(
+        "nullValue", "\\N"
+    ).csv(os.path.join(base, "nation_csv"))
     n.coalesce(1).write.mode("overwrite").json(os.path.join(base, "nation_json"))
     n.coalesce(1).write.mode("overwrite").orc(os.path.join(base, "nation_orc"))
     schema = n.schema
     c = (
         spark.read.schema(schema)
         .option("header", True)
+        .option("multiLine", True)
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(os.path.join(base, "nation_csv"))
     )
     j = spark.read.schema(schema).json(os.path.join(base, "nation_json"))

@@ -443,6 +443,18 @@ def _text_edge_overrides(d) -> None:
         "p_retailprice": pa.array(
             [10.0, 20.0, 30.0, 40.0, 50.0, 60.0], pa.float64()),
     }))
+    # CSV-hostile nation names: embedded quote/comma/newline/CRLF/tab,
+    # empty string, NULL, backslash — the scan_format_twins round-trip
+    # must survive all of them under its lossless-CSV config (a literal
+    # '\\N' string is the documented out-of-domain exception)
+    rewrite("nation", pa.table({
+        "n_nationkey": pa.array([0, 1, 2, 3, 4, 5, 6, 7], pa.int32()),
+        "n_name": pa.array(
+            ['quo"te land', "comma,land", "line\nbreak", "crlf\r\nrow",
+             "tab\there", "", None, "back\\slash"], pa.string()),
+        # nationkey 2 still points at a missing region (base shape)
+        "n_regionkey": pa.array([0, 2, 3, 0, 1, 2, 0, 1], pa.int32()),
+    }))
     # non-ASCII digits: Arabic-Indic and fullwidth digits are NOT [0-9]
     # in either Java regex or RE2 — mask/count paths leave them alone
     rewrite("customer", pa.table({
