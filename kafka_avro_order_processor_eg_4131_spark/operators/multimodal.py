@@ -1,12 +1,20 @@
 """Multimodal column operators: images/audio/video as opaque ``binary``
 columns with typed metadata, processed via Arrow-batched ``mapInPandas``.
 
-The container has no image/audio libraries, so the actual byte decode is
-STUBBED (clearly marked below): when Pillow/soundfile are importable the
-real decode runs; otherwise a deterministic fake derives "decoded"
-metadata from the payload hash. Everything around the stub — schema,
-partitioning, UDF signature, Arrow batch shape — is real and tested;
-swapping in a real decoder changes only the inner function.
+PNG payloads are decoded FOR REAL (round-9 verdict item 4): the PNG
+container is chunks + zlib, all stdlib — functions/png.py parses IHDR
+for metadata, inflates + unfilters the raster for resize. No Pillow
+needed. The ``attach_png_payload`` source generates genuine PNGs (valid
+signature/CRCs/IDAT, all five scanline filters) whose pixel content
+follows a deterministic SQL-expressible formula, so the DuckDB oracles
+verify the full generate -> parse -> resample loop byte-for-byte.
+
+For NON-PNG bytes the decode falls back to Pillow when importable
+(absent in this container), else to the deterministic hash-derived STUB
+(clearly marked below) — the stub is now the fallback for formats
+without a stdlib parser, not the primary path. Everything around the
+kernels — schema, partitioning, UDF signature, Arrow batch shape — is
+identical across the three branches.
 
 Scale notes: mapInPandas streams Arrow batches, so payload bytes never
 materialize as Python lists; with ``spark.sql.files.maxPartitionBytes``
@@ -26,8 +34,68 @@ from pyspark.sql import functions as F
 
 DECODE_SCHEMA = (
     "doc_id long, mime string, n_bytes long, sha256 string, "
-    "width int, height int, n_channels int"
+    "width int, height int, n_channels int, bit_depth int, color_type int"
 )
+
+# deterministic PNG fixture-generation formula (attach_png_payload).
+# Plain integer arithmetic on (doc_id, row, col) so the DuckDB oracles
+# in plans/multimodal.py recompute pixels — and therefore the resized
+# raster digest — without being able to zlib-inflate the actual bytes.
+PNG_W_MOD, PNG_W_BASE = 13, 4  # width  = doc_id % 13 + 4  (4..16)
+PNG_H_MOD, PNG_H_BASE = 11, 4  # height = doc_id % 11 + 4  (4..14)
+# RGB at (row i, col j); coefficients coprime-ish so planes differ
+PNG_PIXEL_COEF = ((31, 7, 13), (17, 5, 11), (29, 3, 19))
+
+
+def png_fixture_raster(doc_id: int, w: int, h: int) -> bytes:
+    """Row-major RGB raster of the deterministic fixture image."""
+    out = bytearray(w * h * 3)
+    k = 0
+    for i in range(h):
+        for j in range(w):
+            for cd, ci, cj in PNG_PIXEL_COEF:
+                out[k] = (doc_id * cd + i * ci + j * cj) % 256
+                k += 1
+    return bytes(out)
+
+
+def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Ingestion source for the REAL image-decode path: a genuine tiny
+    PNG per document (valid signature, IHDR CRC, zlib IDAT, IEND),
+    dims and pixels from the formula above, scanline filter type
+    ``doc_id % 5`` — every PNG filter (None/Sub/Up/Average/Paeth)
+    appears in the corpus, so the decoder's unfiltering is exercised
+    for real, not just the filter the encoder happens to prefer. In
+    production this column is the lakehouse's raw image bytes; the
+    generator stands in because the parquet fixtures carry text."""
+    from ..functions.png import png_encode
+
+    def _gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id in pdf[id_col]:
+                did = int(doc_id)
+                w = did % PNG_W_MOD + PNG_W_BASE
+                h = did % PNG_H_MOD + PNG_H_BASE
+                blob = png_encode(
+                    w, h, png_fixture_raster(did, w, h),
+                    color_type=2, filter_type=did % 5,
+                )
+                out.append(
+                    {
+                        "doc_id": did,
+                        "payload": blob,
+                        "mime": "image/png",
+                        "n_bytes": len(blob),
+                    }
+                )
+            yield pd.DataFrame(
+                out, columns=["doc_id", "payload", "mime", "n_bytes"]
+            )
+
+    return docs.select(id_col).mapInPandas(
+        _gen, "doc_id long, payload binary, mime string, n_bytes long"
+    )
 
 FRAME_SCHEMA = "doc_id long, frame_idx int, frame_sha string"
 
@@ -57,12 +125,22 @@ def attach_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_image_meta(payloads: DataFrame) -> DataFrame:
     """Decode stage: binary payload -> image metadata.
 
-    STUB: without Pillow, width/height/channels are derived
-    deterministically from the payload sha256 (so tests are exact);
-    with Pillow, the real ``Image.open`` path runs. The mapInPandas
-    plumbing (Arrow batches of binary, struct output) is identical
-    either way.
-    """
+    Three branches, dispatched on the ACTUAL bytes (signature sniff,
+    not the mime column — real ingest can't trust declared mimes):
+
+    1. PNG signature -> REAL stdlib parse (functions/png.py): width/
+       height/bit_depth/color_type/channels from the IHDR chunk, CRC
+       verified. No image library involved.
+    2. Pillow importable (absent in this container) -> ``Image.open``
+       for other formats.
+    3. Fallback STUB for formats without a parser: width/height/
+       channels derived deterministically from the payload sha256 (so
+       tests are exact), bit_depth/color_type = -1 (unknown).
+
+    The mapInPandas plumbing (Arrow batches of binary, struct output)
+    is identical across branches."""
+    from ..functions.png import is_png, png_parse_ihdr
+
     use_pillow = _pillow_available()
 
     def _decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -71,7 +149,16 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
             for doc_id, blob, mime in zip(pdf["doc_id"], pdf["payload"], pdf["mime"]):
                 raw = bytes(blob)
                 digest = hashlib.sha256(raw).hexdigest()
-                if use_pillow:  # pragma: no cover - not available in CI
+                depth = ctype = -1
+                if is_png(raw):
+                    try:
+                        meta = png_parse_ihdr(raw)
+                        w, h = meta["width"], meta["height"]
+                        ch = meta["n_channels"]
+                        depth, ctype = meta["bit_depth"], meta["color_type"]
+                    except ValueError:
+                        w = h = ch = -1  # malformed PNG: decode failed
+                elif use_pillow:  # pragma: no cover - not available in CI
                     import io
 
                     from PIL import Image
@@ -83,7 +170,7 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
                     except Exception:
                         w = h = ch = -1
                 else:
-                    # deterministic fake decode (STUB)
+                    # deterministic fake decode (STUB fallback)
                     w = int(digest[:4], 16) % 1920 + 1
                     h = int(digest[4:8], 16) % 1080 + 1
                     ch = int(digest[8], 16) % 3 + 1
@@ -96,6 +183,8 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
                         "width": w,
                         "height": h,
                         "n_channels": ch,
+                        "bit_depth": depth,
+                        "color_type": ctype,
                     }
                 )
             yield pd.DataFrame(
@@ -108,6 +197,8 @@ def decode_image_meta(payloads: DataFrame) -> DataFrame:
                     "width",
                     "height",
                     "n_channels",
+                    "bit_depth",
+                    "color_type",
                 ],
             )
 
@@ -124,19 +215,44 @@ FEATURE_SCHEMA = "doc_id long, features array<float>"
 def resize_images(payloads: DataFrame, target_w: int = 224, target_h: int = 224) -> DataFrame:
     """Resize stage: binary payload -> binary payload at target dims.
 
-    STUB: without Pillow the "resized" bytes are a deterministic
-    digest-stream of (payload, dims) — the binary-in/binary-out Arrow
-    contract, output schema, and downstream hashability are real; with
-    Pillow the actual ``Image.resize`` path runs. Target dims ride
-    along so a training pipeline can assert uniformity downstream."""
+    PNG payloads take the REAL path (functions/png.py): inflate the
+    IDAT stream, reverse the scanline filters, nearest-neighbor
+    resample the raster, re-encode as PNG. ``resized_sha`` for this
+    branch hashes the LOWERCASE-HEX image of the resized RASTER (not
+    the re-encoded container): the raster is pure pixel arithmetic a
+    SQL oracle can recompute, while the zlib-compressed container is
+    not — and DuckDB's sha256 takes VARCHAR only (the frame-sample
+    hex-image pin, round 9).
+
+    Non-PNG: Pillow when importable; else the deterministic
+    digest-stream STUB (fake "resized" bytes — the binary-in/binary-out
+    Arrow contract, output schema, and downstream hashability are real).
+    Target dims ride along so a training pipeline can assert uniformity
+    downstream."""
+    from ..functions.png import is_png, nn_resize, png_decode, png_encode
+
     use_pillow = _pillow_available()
+    _CT = {1: 0, 2: 4, 3: 2, 4: 6}  # channels -> 8-bit color type
 
     def _resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
             for doc_id, blob in zip(pdf["doc_id"], pdf["payload"]):
                 raw = bytes(blob)
-                if use_pillow:  # pragma: no cover - not available in CI
+                sha = None
+                if is_png(raw):
+                    try:
+                        w, h, ch, raster = png_decode(raw)
+                        small = nn_resize(raster, w, h, ch, target_w, target_h)
+                        resized = png_encode(
+                            target_w, target_h, small, color_type=_CT[ch]
+                        )
+                        sha = hashlib.sha256(
+                            small.hex().encode("ascii")
+                        ).hexdigest()
+                    except ValueError:
+                        resized, sha = b"", ""
+                elif use_pillow:  # pragma: no cover - not available in CI
                     import io
 
                     from PIL import Image
@@ -149,11 +265,12 @@ def resize_images(payloads: DataFrame, target_w: int = 224, target_h: int = 224)
                     except Exception:
                         resized = b""
                 else:
-                    # deterministic fake resize (STUB): ASCII hex digest
-                    # stream sized proportionally to the target pixel
-                    # count. Hex (not raw digest bytes) so the fake stays
-                    # VARCHAR-representable and a SQL oracle can recompute
-                    # resized_sha = sha256(repeat(sha256(text||dims), reps))
+                    # deterministic fake resize (STUB fallback): ASCII hex
+                    # digest stream sized proportionally to the target
+                    # pixel count. Hex (not raw digest bytes) so the fake
+                    # stays VARCHAR-representable and a SQL oracle can
+                    # recompute resized_sha =
+                    # sha256(repeat(sha256(text||dims), reps))
                     seed_hex = hashlib.sha256(
                         raw + f"|{target_w}x{target_h}".encode()
                     ).hexdigest()
@@ -165,7 +282,11 @@ def resize_images(payloads: DataFrame, target_w: int = 224, target_h: int = 224)
                         "width": target_w,
                         "height": target_h,
                         "resized_payload": resized,
-                        "resized_sha": hashlib.sha256(resized).hexdigest(),
+                        "resized_sha": (
+                            sha
+                            if sha is not None
+                            else hashlib.sha256(resized).hexdigest()
+                        ),
                     }
                 )
             yield pd.DataFrame(

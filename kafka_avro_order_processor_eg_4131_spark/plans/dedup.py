@@ -17,8 +17,7 @@ from pyspark.sql import functions as F
 from ..catalog import bigcount_sql, load, register
 from ..operators import cache as C
 from ..operators import dedup as D
-from ..functions.text import fingerprint
-from .textops import _ALPHA, _AVGLEN, _STOPRATIO
+from .textops import _ALPHA, _AVGLEN, _STOPRATIO, doc_fp_cached
 
 # Session-level caches of the hot derived relations (shingles, MinHash
 # signatures, LSH candidates, jaccard scores, components, simhash):
@@ -67,9 +66,8 @@ def _exact_rep_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     linear in the corpus."""
 
     def build() -> DataFrame:
-        d = load(spark, sf_dir, "documents").select(
-            "doc_id", fingerprint(F.col("text")).alias("fp")
-        )
+        # from the session-shared fingerprint relation (round-10 hoist)
+        d = doc_fp_cached(spark, sf_dir).select("doc_id", "fp")
         reps = d.groupBy("fp").agg(
             F.min("doc_id").alias("rep"), F.count("*").alias("gsz")
         )
@@ -339,9 +337,9 @@ _SHINGLE_CTES = f"""
 def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint;
     deterministic keeper = min doc_id. One map-side-combine aggregate —
-    the cheapest dedup at any scale."""
-    d = load(spark, sf_dir, "documents")
-    return d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+    the cheapest dedup at any scale (fingerprints from the
+    session-shared relation)."""
+    return doc_fp_cached(spark, sf_dir).groupBy("fp").agg(
         F.min("doc_id").alias("keeper_doc_id"),
         F.count("*").alias("group_size"),
     )
@@ -427,7 +425,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact dedup (min-id keeper) -> near-dup removal (higher id of every
     >=0.8-jaccard LSH-verified pair dropped). One DataFrame chain; every
     stage is a previously-verified operator composed end-to-end."""
-    from ..functions.text import fingerprint, quality_score
+    from ..functions.text import quality_score
 
     d = load(spark, sf_dir, "documents")
     losers = (
@@ -436,7 +434,7 @@ def pipeline_clean_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("id2").alias("doc_id"))
         .distinct()
     )
-    keepers = d.groupBy(fingerprint(F.col("text")).alias("fp")).agg(
+    keepers = doc_fp_cached(spark, sf_dir).groupBy("fp").agg(
         F.min("doc_id").alias("doc_id")
     )
     return (
@@ -678,13 +676,15 @@ def _rep_doc_vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("mvec")
             )
         )
-        # LEFT join from the full rep list, not from cnt: a doc whose
-        # normalized tokens are EMPTY (whitespace-only-but-not-space
-        # text survives the trim guard) has no cnt rows and would
-        # vanish at the explode — the oracle's dd-CROSS-JOIN-mean form
-        # keeps it with the pure -mean vector (round-9 text-edge pin,
-        # fixture doc 20). element_at on its NULL map -> NULL ->
-        # coalesce 0.0 reproduces the zero counts.
+        # LEFT join from the full rep list, not from cnt. Under the
+        # normalize(text) != '' domain above this is a DEFENSIVE no-op
+        # (round-9 advice): a non-empty normalized text guarantees >= 1
+        # token, hence >= 1 cnt row, so no doc in d can lack a map. The
+        # left join is kept (rather than inner) so that if the domain
+        # guard ever loosens back to a trim-based form, token-less docs
+        # degrade to the oracle's dd-CROSS-JOIN-mean behavior (pure
+        # -mean vector via NULL map -> coalesce 0.0) instead of
+        # silently vanishing at the explode.
         sparse = d.select("doc_id").join(
             cnt.groupBy("doc_id").agg(
                 F.map_from_entries(
@@ -1281,9 +1281,7 @@ def corpus_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     keyed aggregate plus a semi-join against the component membership
     (every member is a near-dup by construction — components has no
     singletons). Ratios are exact-integer -> one IEEE divide."""
-    d = load(spark, sf_dir, "documents").select(
-        "doc_id", "source", fingerprint(F.col("text")).alias("fp")
-    )
+    d = doc_fp_cached(spark, sf_dir)
     # every component member IS a near-dup: connected_components only
     # emits nodes that appear in a >=0.8-Jaccard edge, so no cluster-
     # size filter is needed (a singleton component cannot exist)

@@ -1476,7 +1476,7 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id,
            CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                    '^[+-]?[0-9]+$')
+                                    '^\\s*[+-]?[0-9]+\\s*$')
                 THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
            END AS k_val,
            (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
@@ -1497,8 +1497,13 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle's integral-regex guard makes both sides NULL there. A
     big-integer k diverges at extraction (Spark returns the literal
     digits, DuckDB re-renders through a double) but both sides
-    overflow/regex-fail to NULL under the guard. Padded numeric
-    strings (' 7') are outside the pinned domain."""
+    overflow/regex-fail to NULL under the guard. The guard admits
+    whitespace padding (' 7' -> 7) because BOTH engines' casts trim it
+    — Spark's string-to-int cast via UTF8String.trimAll and DuckDB's
+    TRY_CAST both parse ' 7'/'\\t-3 ' (round-9 advice: the old
+    integral-only regex NULLed these in the oracle while Spark parsed
+    them — a latent parity break if a fixture ever emits padding);
+    pinned in tests/test_round10_ops.py."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")
     return e.select(
@@ -2183,6 +2188,37 @@ def _basket_capped(li: DataFrame) -> DataFrame:
     return li.join(F.broadcast(hot), "l_orderkey", "left_anti")
 
 
+def _li_pairs_capped(spark: SparkSession, sf_dir: str, mod: int = 1) -> DataFrame:
+    """Session-shared basket-capped distinct (l_orderkey, l_partkey)
+    relation — the common input of all five co-purchase pair/graph
+    builders (copurchase lift at mod=1; pagerank/triangles at mod=4;
+    k-core/BFS at mod=32), persisted once per (session, mod) via the
+    family registry instead of rebuilt per plan.
+
+    Round-10 A/B (tests/ab_heavies.py, quiet-host runs at sf0.1): the
+    round-9 basket cap cost ~0.7-0.9s on EACH of the five plans — not
+    because the hot-list aggregate is expensive, but because it
+    re-derived the plan's unpersisted ``distinct()`` a second time
+    (hot-list branch + anti-join branch = two distinct shuffles per
+    plan where round 8 paid one). Hoisting the whole capped relation
+    into the family cache pays the distinct+cap once per mod per
+    session; every consumer — including each plan's OWN second/third
+    references (self-join sides, item counts) — reads the persisted
+    rows. 100 TB posture: the cached relation is two narrow key
+    columns, smaller than any of its consumers' shuffles; the hot list
+    itself stays a broadcast-sized aggregate."""
+
+    def build() -> DataFrame:
+        li = load(spark, sf_dir, "lineitem")
+        if mod > 1:
+            li = li.filter(F.col("l_orderkey") % mod == 0)
+        return _basket_capped(
+            li.select("l_orderkey", "l_partkey").distinct()
+        )
+
+    return C.family(spark, f"graph.li_capped.mod{mod}", sf_dir, build)
+
+
 @register(
     "copurchase_part_pairs_lift",
     oracle=f"""
@@ -2222,14 +2258,9 @@ def copurchase_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     cap, not before. Exact integer counts; one double expression at the
     end, identical both engines. The distinct (order, part) relation
     feeds four plan branches (both self-join sides, item counts, order
-    count) — persisted so its dedup shuffle runs once."""
-    li = C.ephemeral(
-        _basket_capped(
-            load(spark, sf_dir, "lineitem")
-            .select("l_orderkey", "l_partkey")
-            .distinct()
-        )
-    )
+    count) — read from the shared family cache (_li_pairs_capped) so
+    its dedup shuffle and basket cap run once per session."""
+    li = _li_pairs_capped(spark, sf_dir)
     a, b = li.alias("a"), li.alias("b")
     top = (
         a.join(
@@ -2365,12 +2396,7 @@ def pagerank_copurchase_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors) for the dense rank column, so no partition-less window
     enters the plan. The symmetric graph has no dangling nodes, so no
     teleport-mass correction term is needed."""
-    li = _basket_capped(
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _li_pairs_capped(spark, sf_dir, mod=4)
     a, b = li.alias("a"), li.alias("b")
     edges = (
         a.join(
@@ -2701,12 +2727,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree-based edge orientation is the standard skew fix and drops
     in here unchanged). Edge relation persisted: it feeds both join
     sides and the node/edge counts."""
-    li = _basket_capped(
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % 4 == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _li_pairs_capped(spark, sf_dir, mod=4)
     a, b = li.alias("a"), li.alias("b")
     e = (
         a.join(
@@ -3589,12 +3610,7 @@ def graph_kcore_members(spark: SparkSession, sf_dir: str) -> DataFrame:
     fixpoint are identity, and tests pin that the fixtures converge
     well inside the unroll). Output: surviving nodes with their
     within-core degree, all-integer."""
-    li = _basket_capped(
-        load(spark, sf_dir, "lineitem")
-        .filter(F.col("l_orderkey") % _KCORE_MOD == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _li_pairs_capped(spark, sf_dir, mod=_KCORE_MOD)
     e = (
         li.alias("a")
         .join(
@@ -3684,12 +3700,7 @@ def graph_bfs_hops_recursive(spark: SparkSession, sf_dir: str) -> DataFrame:
     driver collect."""
     from ..operators.graph import bfs_hops
 
-    e = load(spark, sf_dir, "lineitem")
-    li = _basket_capped(
-        e.filter(F.col("l_orderkey") % _KCORE_MOD == 0)
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
+    li = _li_pairs_capped(spark, sf_dir, mod=_KCORE_MOD)
     und = (
         li.alias("a")
         .join(

@@ -26,7 +26,24 @@ def _vemb(sql: str) -> str:
     Malformed vectors (NULL / empty / wrong-dim / NULL-component) are
     excluded from the whole ANN family like NULL keys, identically in
     both engines, instead of NULL-padding a fold here and crashing an
-    Arrow kernel there."""
+    Arrow kernel there.
+
+    IDEMPOTENT (round-9 advice): a composed eval oracle embeds
+    already-wrapped component oracles as parenthesized derived tables,
+    each carrying its own scoped ``vemb`` CTE. Rewrapping would
+    textually rewrite those inner definitions into self-referential
+    ``vemb AS (SELECT * FROM vemb ...)`` forms that only work because
+    DuckDB resolves the name to the outer scope — so a body that
+    already contains a vemb definition is returned unchanged, after
+    asserting every raw ``embeddings`` reference in it sits inside one
+    of those inner definitions (fail loudly if a future composed oracle
+    adds a direct scan that would dodge the fence)."""
+    if "vemb AS (" in sql:
+        n_defs = sql.count("vemb AS (SELECT * FROM embeddings")
+        assert sql.count("FROM embeddings") == n_defs and (
+            "JOIN embeddings" not in sql
+        ), "_vemb: composed oracle scans embeddings outside a vemb CTE"
+        return sql
     cte = (
         "vemb AS (SELECT * FROM embeddings WHERE "
         + valid_vec_sql("embedding")

@@ -36,6 +36,26 @@ _STOPRATIO = (
 )
 
 
+def doc_fp_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, fp): the canonicalized-fingerprint relation —
+    normalize (whitespace collapse + portable casefold) + md5 over the
+    full corpus — computed ONCE per session via the family registry.
+    Round-10 hoist (round-9 verdict item 1c): four entries each
+    re-derived this from the parquet scan — dedup_exact_groups, the
+    clean-corpus keeper aggregate, corpus_dedup_rate_by_source, and
+    doc_fingerprint — plus the exact-rep map that every pair family
+    builds on; now they all read ~50 bytes/doc of persisted rows.
+    Lives here (not plans/dedup.py) because dedup imports textops'
+    SQL fragments — same direction as the existing dependency."""
+
+    def build() -> DataFrame:
+        return load(spark, sf_dir, "documents").select(
+            "doc_id", "source", T.fingerprint(F.col("text")).alias("fp")
+        )
+
+    return C.family(spark, "text.doc_fp", sf_dir, build)
+
+
 @register(
     "doc_token_stats",
     oracle=f"""
@@ -151,9 +171,9 @@ def udtf_explode_words(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprinting: md5 over whitespace-normalized lowercase
-    text — the exact-dedup key."""
-    d = load(spark, sf_dir, "documents")
-    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    text — the exact-dedup key (from the session-shared fingerprint
+    relation)."""
+    return doc_fp_cached(spark, sf_dir).select("doc_id", "fp")
 
 
 @register(

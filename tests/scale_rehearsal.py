@@ -193,7 +193,7 @@ def streaming_rehearsal(spark, dirs: list[tuple[str, str]]) -> int:
     rows_per_sec: dict[str, tuple[float, int]] = {}
     for sf_name, sf_dir in dirs:
         try:
-            rps, n_rows, _lat = bench.bench_streaming(spark, sf_dir)
+            rps, n_rows, _lat, _steals = bench.bench_streaming(spark, sf_dir)
         except Exception as e:  # noqa: BLE001 — report and keep sweeping
             rps, n_rows = -1.0, -1
             print(f"ERR streaming_pipeline @ {sf_name}: {type(e).__name__}: {e}",

@@ -238,10 +238,12 @@ class TestStreamingLatencyPercentiles:
             0.1,
             streaming_rows_per_sec=1000.0,
             streaming_batch_ms={"p50": 800.0, "p95": 1500.0},
+            streaming_rep_steal_pct=[0.1, 2.5, 0.0, None, 0.3],
         )
         d = json.loads(line)
         assert d["streaming_batch_ms_p50"] == 800.0
         assert d["streaming_batch_ms_p95"] == 1500.0
+        assert d["streaming_rep_steal_pct"] == [0.1, 2.5, 0.0, None, 0.3]
         assert len(line.encode()) <= bench.MAX_LINE_BYTES
 
     def test_pipeline_progress_out_captures_batch_durations(
