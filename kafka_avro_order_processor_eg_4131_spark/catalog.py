@@ -140,10 +140,20 @@ def dsum(col: Column) -> Column:
 
 
 def dsum_sql(expr: str) -> str:
+    # the double->decimal cast ALSO goes through VARCHAR (round-10
+    # combined-edge probe): Spark casts via BigDecimal(shortest-string)
+    # while DuckDB's direct cast SCALES IN BINARY (value * 10^6 through
+    # doubles), so CAST(9e22 AS DECIMAL(30,6)) lands ~6e6 off the
+    # string-exact decimal — under half a double-ulp per row, which the
+    # final decimal->double rounding hid until enough big rows (or a
+    # downstream cumulative ladder, see pareto_abc_parts_revenue)
+    # accumulated it past an ulp. VARCHAR routes are identical in both
+    # directions and both engines round scale-6 ties the same way
+    # (probed: 5e-7, big magnitudes, long expansions).
     e = f"({expr})"
     fin = (
-        f"CAST(CAST(SUM(CAST(CASE WHEN NOT isnan({e}) AND {e} > -1e23 "
-        f"AND {e} < 1e23 THEN {e} END "
+        f"CAST(CAST(SUM(CAST(CAST(CASE WHEN NOT isnan({e}) AND {e} > -1e23 "
+        f"AND {e} < 1e23 THEN {e} END AS VARCHAR) "
         f"AS DECIMAL(30,6))) AS VARCHAR) AS DOUBLE)"
     )
     nan_n = f"COUNT(CASE WHEN isnan({e}) THEN 1 END)"
@@ -188,9 +198,10 @@ def dsum_over_sql(expr: str, over: str) -> str:
     """dsum_sql over a window: ``over`` is the full 'OVER (...)' text,
     appended to each constituent aggregate."""
     e = f"({expr})"
+    # VARCHAR-routed double->decimal cast — see dsum_sql (round-10)
     fin = (
-        f"CAST(CAST(SUM(CAST(CASE WHEN NOT isnan({e}) AND {e} > -1e23 "
-        f"AND {e} < 1e23 THEN {e} END "
+        f"CAST(CAST(SUM(CAST(CAST(CASE WHEN NOT isnan({e}) AND {e} > -1e23 "
+        f"AND {e} < 1e23 THEN {e} END AS VARCHAR) "
         f"AS DECIMAL(30,6))) {over} AS VARCHAR) AS DOUBLE)"
     )
     nan_n = f"COUNT(CASE WHEN isnan({e}) THEN 1 END) {over}"
@@ -254,6 +265,44 @@ def bigsum_sql(expr: str) -> str:
     """SUM over integer expressions: DuckDB widens to HUGEINT; Spark keeps
     LongType — force BIGINT."""
     return f"CAST(SUM({expr}) AS BIGINT)"
+
+
+def pctile_sql(vs: str, q: str) -> str:
+    """Explicit continuous-percentile interpolation over ``vs``, a
+    DuckDB list expression ALREADY sorted ascending (NULLs excluded by
+    the caller's FILTER; NaN, if admitted, sorts last in both engines).
+
+    Mirrors Spark's exact ``percentile`` bit-for-bit — which DuckDB's
+    ``quantile_cont`` does NOT (round-10 combined-edge probe): Spark's
+    implementation is COUNTS-based, so duplicates collapse and a rank
+    falling between two TIED values returns the value verbatim, while
+    quantile_cont re-rounds its interpolation expression there,
+    drifting one ulp on values like 123.45 (measured:
+    quantile_cont([...,123.45,123.45,...], 0.9) = 123.44999999999999
+    vs Spark/IEEE 123.45). Ties at fractional positions are common in
+    real price data; every earlier fixture dodged this by luck of
+    group sizes. For UNEQUAL brackets Spark computes
+    ``(ceil(r)-r)*lo + (r-floor(r))*hi`` directly on the full-
+    magnitude rank r — NOT ``(1-f)*lo + f*hi`` on the fractional part,
+    which rounds differently at large ranks (sf0.01's 10k-row groups
+    exposed the difference at the last ulp). Formula selected by a
+    31-case empirical battery against Spark (ties, ±Inf, n up to
+    10000, boundary ranks): zero mismatches; the sweeps re-verify it
+    on every fixture class. NaN bracketing is safe under either
+    branch: DuckDB's total order makes NaN = NaN true -> returns NaN;
+    Spark's counts map collapses equal NaNs -> returns NaN.
+    """
+    n = f"len({vs})"
+    # q MUST be a DOUBLE: DuckDB parses bare 0.9 as DECIMAL(2,1) and
+    # runs the rank arithmetic in decimal, off Spark's by an ulp
+    r = f"(CAST({q} AS DOUBLE) * ({n} - 1))"
+    lo = f"{vs}[CAST(floor({r}) AS BIGINT) + 1]"
+    hi = f"{vs}[CAST(ceil({r}) AS BIGINT) + 1]"
+    return (
+        f"CASE WHEN {vs} IS NULL OR {n} = 0 THEN NULL "
+        f"WHEN floor({r}) = ceil({r}) OR {lo} = {hi} THEN {lo} "
+        f"ELSE (ceil({r}) - {r}) * {lo} + ({r} - floor({r})) * {hi} END"
+    )
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:

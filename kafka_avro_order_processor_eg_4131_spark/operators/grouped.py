@@ -27,8 +27,22 @@ def order_gap_stats(orders: DataFrame) -> DataFrame:
     orders in the segment (ordered by date, then key)."""
 
     def _stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
         pdf = pdf.sort_values(["o_orderdate", "o_orderkey"])
-        gaps = pdf["o_orderdate"].diff().dt.total_seconds().dropna() / 86400.0
+        # gaps via INTEGER epoch-seconds, not pandas datetime diff: a
+        # segment spanning 1700..2200 (round-10 combined-edge fixture)
+        # has a ~1.6e19 ns delta that overflows pandas' int64 ns
+        # arithmetic (OverflowError), while the same delta is a safe
+        # ~1.6e10 in seconds. NaT rows sort last and are dropped, so
+        # diffs run between consecutive valid dates — exactly the rows
+        # the oracle's LAG produces non-NULL date_diff for. The ns->s
+        # unit cast is exact on the date-aligned timestamps this
+        # operator ingests (and the day division below already assumes
+        # that alignment for float portability).
+        valid = pdf["o_orderdate"].dropna().to_numpy()
+        secs = valid.astype("datetime64[s]").astype("int64")
+        gaps = np.diff(secs) / 86400.0
         return pd.DataFrame(
             [
                 {

@@ -27,6 +27,7 @@ from ..catalog import (
     dsum_sql,
     is_finite,
     load,
+    pctile_sql,
     register,
 )
 from ..operators import cache as C
@@ -544,8 +545,8 @@ def setop_intersect_all_buyers(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CASE WHEN isfinite(o_totalprice) AND abs(o_totalprice) < 4.5e23
                 THEN CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) END AS bucket,
            {bigcount_sql()} AS n,
-           MIN(o_totalprice) AS lo,
-           MAX(o_totalprice) AS hi
+           MIN(o_totalprice) + 0.0 AS lo,
+           MAX(o_totalprice) + 0.0 AS hi
     FROM orders
     GROUP BY 1
     """,
@@ -555,7 +556,13 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     division (exact double op), count + extrema per bucket. Non-finite
     prices have no numeric bin — they land in the NULL bucket with the
     NULLs (pinned round-9; raw floor diverges: Spark floor(NaN) is 0,
-    DuckDB's BIGINT cast crashes)."""
+    DuckDB's BIGINT cast crashes). Extrema are sign-of-zero normalized
+    with `+ 0.0` on BOTH sides (round-10 combined-edge pin): a bucket
+    holding both -0.0 and 0.0 makes Spark's total-order MIN return
+    -0.0 deterministically while DuckDB's IEEE-equal MIN keeps
+    whichever zero it scans first — nondeterministic under multi-file
+    layouts. IEEE -0.0 + 0.0 = +0.0 collapses both; NULL/±Inf pass
+    through unchanged."""
     o = load(spark, sf_dir, "orders")
     p = F.col("o_totalprice")
     return o.groupBy(
@@ -565,8 +572,8 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket")
     ).agg(
         F.count("*").alias("n"),
-        F.min("o_totalprice").alias("lo"),
-        F.max("o_totalprice").alias("hi"),
+        (F.min("o_totalprice") + F.lit(0.0)).alias("lo"),
+        (F.max("o_totalprice") + F.lit(0.0)).alias("hi"),
     )
 
 
@@ -1235,29 +1242,34 @@ def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_percentiles",
-    oracle="""
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_orderstatus,
+             list(o_totalprice ORDER BY o_totalprice)
+               FILTER (o_totalprice IS NOT NULL
+                       AND NOT isnan(o_totalprice)) AS vs,
+             COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) AS nan_n
+      FROM orders GROUP BY o_orderstatus
+    )
     SELECT o_orderstatus,
-           CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
-                THEN 'nan'::DOUBLE
-                ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
-                                        THEN o_totalprice END, 0.5)
-           END AS median_price,
-           CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
-                THEN 'nan'::DOUBLE
-                ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
-                                        THEN o_totalprice END, 0.9)
-           END AS p90_price
-    FROM orders GROUP BY o_orderstatus
+           CASE WHEN nan_n > 0 THEN 'nan'::DOUBLE
+                ELSE {pctile_sql("vs", "0.5")} END AS median_price,
+           CASE WHEN nan_n > 0 THEN 'nan'::DOUBLE
+                ELSE {pctile_sql("vs", "0.9")} END AS p90_price
+    FROM vals
     """,
 )
 def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact percentiles (continuous interpolation): Spark `percentile`
-    == DuckDB `quantile_cont` bit-for-bit (same sorted-interpolation
-    formula) — on NaN-free groups. The engines place NaN differently
-    inside the sorted run (Spark: largest; DuckDB: implementation-
-    defined), so the pinned portable semantics is any-NaN-in-group =>
-    NaN percentile (the IEEE answer numpy gives), enforced by a guard
-    on BOTH sides (round-9 float-edge probe). ±Inf values participate
+    """Exact percentiles (continuous interpolation). The oracle states
+    the interpolation EXPLICITLY (catalog.pctile_sql) instead of
+    quantile_cont: DuckDB re-rounds (1-f)*lo + f*hi even when the
+    bracketing values are TIED, drifting an ulp where Spark returns
+    the value verbatim (round-10 combined-edge probe; details in the
+    helper's docstring). The engines also place NaN differently inside
+    the sorted run (Spark: largest; DuckDB: implementation-defined),
+    so the pinned portable semantics is any-NaN-in-group => NaN
+    percentile (the IEEE answer numpy gives), enforced by a guard on
+    BOTH sides (round-9 float-edge probe). ±Inf values participate
     normally (both engines order them identically). The approx sketch
     variant is `agg_approx_count_distinct`'s cousin `percentile_approx`
     — deliberately NOT oracle-checked."""
@@ -2100,15 +2112,19 @@ def profile_orders_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
       -- any-NaN => NaN thresholds (the agg_percentiles pin); the
       -- clip then degenerates to NaN and the mean propagates, same
       -- as Spark. least/greatest with NaN/Inf are engine-identical.
-      SELECT CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
-                  THEN 'nan'::DOUBLE
-                  ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
-                                          THEN o_totalprice END, 0.05) END AS lo,
-             CASE WHEN COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) > 0
-                  THEN 'nan'::DOUBLE
-                  ELSE quantile_cont(CASE WHEN NOT isnan(o_totalprice)
-                                          THEN o_totalprice END, 0.95) END AS hi
-      FROM orders
+      -- Explicit interpolation (pctile_sql), not quantile_cont —
+      -- the tied-bracketing-values ulp drift (round-10 probe).
+      SELECT CASE WHEN nan_n > 0 THEN 'nan'::DOUBLE
+                  ELSE {pctile_sql("vs", "0.05")} END AS lo,
+             CASE WHEN nan_n > 0 THEN 'nan'::DOUBLE
+                  ELSE {pctile_sql("vs", "0.95")} END AS hi
+      FROM (
+        SELECT list(o_totalprice ORDER BY o_totalprice)
+                 FILTER (o_totalprice IS NOT NULL
+                         AND NOT isnan(o_totalprice)) AS vs,
+               COUNT(CASE WHEN isnan(o_totalprice) THEN 1 END) AS nan_n
+        FROM orders
+      )
     )
     SELECT lo, hi, {bigcount_sql()} AS n_orders,
            ({dsum_sql("least(greatest(o_totalprice, lo), hi)")} / COUNT(*))
@@ -2123,9 +2139,9 @@ def agg_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     average. Two passes by necessity (thresholds, then clip): the 1-row
     threshold relation broadcasts onto the scan, the clip is a per-row
     least/greatest (identical IEEE ops both engines), and the clipped
-    sum rides the decimal discipline. Spark `percentile` == DuckDB
-    `quantile_cont` bit-for-bit (same interpolation, see
-    agg_percentiles)."""
+    sum rides the decimal discipline. Thresholds use the explicit
+    interpolation oracle (catalog.pctile_sql — see agg_percentiles for
+    the tied-values divergence quantile_cont carries)."""
     from ..catalog import dsum
 
     o = load(spark, sf_dir, "orders")
@@ -2553,12 +2569,18 @@ def latency_ship_days_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     -- a part with non-finite revenue has no defined rank position in a
     -- cumulative-share ladder: excluded on both sides (round-9 pin),
     -- and the grand total is over the ranked (finite) parts
+    -- double->decimal through VARCHAR (round-10; see dsum_sql): the
+    -- direct cast scales in binary and a 9e22 revenue lands ~6e6 off
+    -- Spark's string-exact decimal — visible here because the
+    -- cumulative ladder re-exposes the decimals through a division
     revf AS (SELECT * FROM rev WHERE isfinite(revenue)),
-    tot AS (SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) AS VARCHAR)
+    tot AS (SELECT CAST(CAST(SUM(CAST(CAST(revenue AS VARCHAR)
+                                      AS DECIMAL(30,6))) AS VARCHAR)
                    AS DOUBLE) AS t FROM revf),
     ranked AS (
       SELECT l_partkey, revenue,
-             CAST(CAST(SUM(CAST(revenue AS DECIMAL(30,6))) OVER (
+             CAST(CAST(SUM(CAST(CAST(revenue AS VARCHAR)
+                                AS DECIMAL(30,6))) OVER (
                    ORDER BY revenue DESC, l_partkey
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                  AS VARCHAR) AS DOUBLE) AS cum_rev,

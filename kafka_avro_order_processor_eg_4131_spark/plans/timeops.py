@@ -27,6 +27,7 @@ from ..catalog import (
     dsum_sql,
     is_finite,
     load,
+    pctile_sql,
     register,
 )
 
@@ -98,16 +99,25 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_window_user_sessions",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      -- event_id tiebreak in BOTH windows (round-10 combined-edge
+      -- probe): duplicate (user, ts) rows under an ORDER BY ts alone
+      -- let the LAG window and the running-SUM window visit the tied
+      -- rows in DIFFERENT orders (DuckDB evaluates them separately,
+      -- in parallel), nondeterministically splitting one session into
+      -- two — the new_session=1 row could sum AFTER the =0 row
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
                        > INTERVAL '{GAP}'
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
     ),
     sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -676,14 +686,19 @@ def daily_new_customers_cumulative(spark: SparkSession, sf_dir: str) -> DataFram
 
 @register(
     "events_anomaly_mad",
-    oracle="""
+    oracle=f"""
     WITH med AS (
-      SELECT event_type, quantile_cont(value, 0.5) AS med_v
+      -- explicit interpolation (catalog.pctile_sql), not quantile_cont
+      -- (tied-bracketing-values ulp drift, round-10 probe); NaN values
+      -- stay IN the list — both engines sort NaN above +Inf, matching
+      -- Spark's percentile semantics
+      SELECT event_type,
+             {pctile_sql("list(value ORDER BY value) FILTER (value IS NOT NULL)", "0.5")} AS med_v
       FROM events GROUP BY event_type
     ),
     mad AS (
       SELECT e.event_type,
-             quantile_cont(abs(e.value - m.med_v), 0.5) AS mad_v
+             {pctile_sql("list(abs(e.value - m.med_v) ORDER BY abs(e.value - m.med_v)) FILTER (abs(e.value - m.med_v) IS NOT NULL)", "0.5")} AS mad_v
       FROM events e JOIN med m ON m.event_type = e.event_type
       GROUP BY e.event_type
     )
@@ -701,9 +716,11 @@ def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
     and stddev until they mask themselves, while the median and the
     median-absolute-deviation ignore them. Three passes (median, MAD,
     probe), each reducing to per-type scalars that broadcast back onto
-    the stream; Spark `percentile` == DuckDB `quantile_cont` bit-exact,
-    and 1.4826 (the normal-consistency constant) is one identical
-    multiply. Flags |robust z| >= 3.5."""
+    the stream; the oracle states the percentile interpolation
+    explicitly (catalog.pctile_sql — quantile_cont drifts an ulp on
+    tied bracketing values, round-10 probe), and 1.4826 (the
+    normal-consistency constant) is one identical multiply. Flags
+    |robust z| >= 3.5."""
     e = load(spark, sf_dir, "events")
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("med_v")
@@ -1088,9 +1105,11 @@ def events_ewma_value(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM p WHERE nts IS NOT NULL
     )
     SELECT user_id, day,
-           CAST(CAST(SUM(CAST(value_e6 AS HUGEINT) * dur_us) AS VARCHAR)
-                AS DOUBLE)
-           / (CAST(SUM(dur_us) AS DOUBLE) * 1000000.0) AS twap,
+           CASE WHEN SUM(dur_us) > 0 THEN
+             CAST(CAST(SUM(CAST(value_e6 AS HUGEINT) * dur_us) AS VARCHAR)
+                  AS DOUBLE)
+             / (CAST(SUM(dur_us) AS DOUBLE) * 1000000.0)
+           END AS twap,
            CAST(SUM(dur_us) AS BIGINT) AS total_us
     FROM seg
     GROUP BY user_id, day
@@ -1134,17 +1153,26 @@ def events_twap_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dur_us"),
         )
     )
+    # zero-total-duration day (round-10 combined-edge pin): a user-day
+    # whose EVERY segment is zero microseconds — duplicate instants (or
+    # sub-microsecond ns ties truncated by unix_micros) with the next
+    # distinct instant falling on a later day — has no time-weighted
+    # content. TWAP is NULL, the row is kept (observations existed).
+    # Unguarded, Spark ANSI raises DIVIDE_BY_ZERO where DuckDB emits
+    # 0/0.0 = NaN: divergent AND both wrong for the semantics.
+    total = F.sum("dur_us")
     return (
         seg.groupBy("user_id", "day")
         .agg(
-            (
+            F.when(
+                total > 0,
                 F.sum(
                     F.col("value_e6").cast("decimal(19,0)")
                     * F.col("dur_us").cast("decimal(19,0)")
                 )
                 .cast("string")
                 .cast("double")
-                / (F.sum("dur_us").cast("double") * F.lit(1000000.0))
+                / (total.cast("double") * F.lit(1000000.0)),
             ).alias("twap"),
             F.sum("dur_us").alias("total_us"),
         )
@@ -1272,16 +1300,21 @@ def events_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     "session_max_concurrency",
     oracle=f"""
     WITH flagged AS (
-      SELECT user_id, ts,
-             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      -- event_id tiebreak in BOTH windows — see
+      -- session_window_user_sessions (round-10 combined-edge probe)
+      SELECT user_id, ts, event_id,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
                        > INTERVAL '{GAP}'
-                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR LAG(ts) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) IS NULL
                   THEN 1 ELSE 0 END AS new_session
       FROM events WHERE ts IS NOT NULL
     ),
     sess AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
       FROM flagged
     ),

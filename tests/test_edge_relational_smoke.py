@@ -1058,6 +1058,142 @@ def build_shuffled_layout_fixture(src_dir: str, dst, n_parts: int = 8,
             )
 
 
+_COMBINED_KEY_COLS = {
+    "region": ("r_regionkey",),
+    "nation": ("n_nationkey", "n_regionkey"),
+    "customer": ("c_custkey", "c_nationkey"),
+    "supplier": ("s_suppkey", "s_nationkey"),
+    "part": ("p_partkey",),
+    "orders": ("o_orderkey", "o_custkey"),
+    "lineitem": ("l_orderkey", "l_partkey", "l_suppkey"),
+    "events": ("event_id", "user_id"),
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+}
+
+
+def build_combined_edge_fixture(dst, n_parts: int = 8) -> None:
+    """ELEVENTH fixture class (round-10, verdict item 2): every
+    COMPOSABLE hostile class in ONE corpus, so the per-class pins are
+    proven to hold under interaction, not just in isolation.
+
+    Composition:
+    1. MERGE the six value classes (adversarial base, time, float,
+       magnitude, text, vector edges) — each class's full fixture is
+       built separately, then every key/FK column is offset by
+       class_index * 100000 so primary keys stay unique and each
+       class's FK shapes (orphans included) are preserved verbatim.
+       The ~6x repetition of non-overridden base tables across classes
+       also yields elevated exact-duplicate density (same text, many
+       doc_ids) — the pathological-corpus shape — in the same corpus
+       as the hostile values.
+    2. SKEW the merged corpus with tests/skew_fixture.py — 50% hot
+       user, hot part, bounded hot order — which also MIXES rows of
+       different classes into one hot order (a NaN price and a 1e300
+       price in the same basket).
+    3. SHUFFLE + SPLIT the physical layout (permuted rows, ``n_parts``
+       part files per table) and append one ZERO-ROW part file per
+       table (the empty-partition shape).
+
+    The only class that cannot compose is whole-corpus EMPTY tables
+    (zero rows contradicts carrying hostile values); its empty-INPUT
+    semantics ride along as the per-table empty part file."""
+    import tempfile
+    from pathlib import Path
+
+    import pyarrow.compute as pc
+
+    from tests.skew_fixture import build_skew_fixture
+
+    classes: list[dict] = [
+        {},
+        {"time_edges": True},
+        {"float_edges": True},
+        {"magnitude_edges": True},
+        {"text_edges": True},
+        {"vector_edges": True},
+    ]
+    offset_step = 100_000
+    merged: dict[str, list[pa.Table]] = {t: [] for t in _COMBINED_KEY_COLS}
+    with tempfile.TemporaryDirectory() as tmp:
+        for idx, kw in enumerate(classes):
+            cdir = Path(tmp) / f"class{idx}"
+            cdir.mkdir()
+            build_edge_rel_fixture(cdir, **kw)
+            for t, keys in _COMBINED_KEY_COLS.items():
+                tbl = pq.read_table(str(cdir / f"{t}.parquet"))
+                if idx:
+                    for k in keys:
+                        if k not in tbl.column_names:
+                            continue
+                        col = tbl[k]
+                        shifted = pc.cast(
+                            pc.add(pc.cast(col, pa.int64()), idx * offset_step),
+                            col.type,
+                        )
+                        tbl = tbl.set_column(
+                            tbl.column_names.index(k), k, shifted
+                        )
+                if merged[t]:
+                    # class variants may order columns differently
+                    # (same names) — normalize to class 0's layout
+                    tbl = tbl.select(merged[t][0].column_names)
+                merged[t].append(tbl)
+        mdir = Path(tmp) / "merged"
+        mdir.mkdir()
+        for t, parts in merged.items():
+            tdir = mdir / f"{t}.parquet"
+            tdir.mkdir()
+            pq.write_table(
+                pa.concat_tables(parts), str(tdir / "part-0.parquet")
+            )
+        sdir = Path(tmp) / "skewed"
+        build_skew_fixture(str(mdir), str(sdir))
+        build_shuffled_layout_fixture(str(sdir), dst, n_parts=n_parts)
+    for t in _COMBINED_KEY_COLS:
+        tdir = dst / f"{t}.parquet"
+        sample = pq.read_table(str(tdir))
+        pq.write_table(sample.slice(0, 0), str(tdir / "part-zz-empty.parquet"))
+
+
+@pytest.mark.slow
+def test_whole_catalog_oracle_parity_on_combined_edges(
+    spark, tmp_path_factory
+):
+    """FULL-PARITY sweep on the COMBINED corpus (eleventh fixture
+    class, round-10): all composable hostile classes interact in the
+    same tables — canon_lower text traps x NaN embedding components x
+    1e300 prices x malformed vectors x hot keys x shuffled multi-file
+    layout x empty part files. Every pin was verified on its own
+    fixture in rounds 8-9; green here proves the pins COMPOSE (each is
+    a domain guard or symmetric rewrite, so they should — this is the
+    empirical check)."""
+    d = tmp_path_factory.mktemp("edge_combined")
+    build_combined_edge_fixture(d)
+    # the hostile ingredients are actually present post-composition
+    import math
+
+    import duckdb
+
+    con = duckdb.connect()
+    o = con.execute(
+        f"SELECT COUNT(*) FILTER (isnan(o_totalprice)),"
+        f" COUNT(*) FILTER (o_totalprice = 1e300)"
+        f" FROM read_parquet('{d}/orders.parquet/*.parquet')"
+    ).fetchone()
+    assert o[0] >= 1 and o[1] >= 1, "float/magnitude rows lost in merge"
+    hot = con.execute(
+        f"SELECT MAX(cnt), SUM(cnt) FROM (SELECT COUNT(*) AS cnt FROM"
+        f" read_parquet('{d}/events.parquet/*.parquet') GROUP BY user_id)"
+    ).fetchone()
+    assert hot[0] / hot[1] >= 0.4, "hot-user share lost in merge"
+    n_files = len(list((d / "orders.parquet").glob("*.parquet")))
+    assert n_files >= 3, "multi-file layout lost"
+    con.close()
+    assert math.isfinite(hot[1])
+    assert not _parity_sweep(spark, str(d))
+
+
 @pytest.mark.slow
 def test_whole_catalog_oracle_parity_on_shuffled_layout(spark, tmp_path_factory):
     """FULL-PARITY sweep on the shuffled many-part-file layout of
