@@ -48,15 +48,16 @@ PNG_PIXEL_COEF = ((31, 7, 13), (17, 5, 11), (29, 3, 19))
 
 
 def png_fixture_raster(doc_id: int, w: int, h: int) -> bytes:
-    """Row-major RGB raster of the deterministic fixture image."""
-    out = bytearray(w * h * 3)
-    k = 0
-    for i in range(h):
-        for j in range(w):
-            for cd, ci, cj in PNG_PIXEL_COEF:
-                out[k] = (doc_id * cd + i * ci + j * cj) % 256
-                k += 1
-    return bytes(out)
+    """Row-major RGB raster of the deterministic fixture image
+    (vectorized — the triple Python loop dominated the generate stage
+    at bench scale)."""
+    import numpy as np
+
+    i = np.arange(h, dtype=np.int64).reshape(h, 1, 1)
+    j = np.arange(w, dtype=np.int64).reshape(1, w, 1)
+    coef = np.array(PNG_PIXEL_COEF, dtype=np.int64)  # [(cd, ci, cj)] x 3
+    px = (doc_id * coef[:, 0] + i * coef[:, 1] + j * coef[:, 2]) % 256
+    return px.astype(np.uint8).tobytes()
 
 
 def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
