@@ -39,7 +39,8 @@ def _released_before(fn: Callable) -> Callable:
     per-query persists (operators/cache.py) at the next call keeps
     executor storage flat across the 211-query run without ever
     unpersisting a relation before its consuming action (which would
-    reintroduce the range-sampler hazard, operators/ranking.py)."""
+    reintroduce the range-sampler hazard, operators/ranking.py) across
+    the full catalog run."""
 
     def run(spark: SparkSession, sf_dir: str) -> DataFrame:
         from kafka_avro_order_processor_eg_4131_spark.operators import cache
