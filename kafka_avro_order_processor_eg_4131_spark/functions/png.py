@@ -207,7 +207,14 @@ def png_decode(data: bytes) -> tuple[int, int, int, bytes]:
         pos += 12 + length
         if tag == b"IEND":
             break
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # a valid signature/IHDR with corrupt or truncated IDAT must
+        # honor the documented malformed-PNG contract (ValueError), not
+        # leak zlib.error into an executor task (round-10 advice —
+        # resize_images/decode callers catch ValueError only)
+        raise ValueError(f"malformed PNG: IDAT inflate failed ({exc})") from exc
     stride = w * ch
     if len(raw) != h * (stride + 1):
         raise ValueError("IDAT payload does not match dimensions")

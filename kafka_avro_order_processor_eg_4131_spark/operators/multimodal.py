@@ -76,6 +76,18 @@ def attach_png_payload(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
             out = []
             for doc_id in pdf[id_col]:
                 did = int(doc_id)
+                if did < 0:
+                    # domain fence (round-10 advice): the dims/pixel
+                    # formula uses Python % (non-negative) while the
+                    # DuckDB oracles use SQL % (sign-of-dividend), and
+                    # did % 5 would hand png_encode a negative filter
+                    # type — a negative id must fail LOUDLY here, not
+                    # as a downstream parity mismatch. Explicit raise,
+                    # not assert: must survive `python -O`.
+                    raise ValueError(
+                        f"attach_png_payload: negative doc_id {did} is "
+                        "outside the fixture-generator domain"
+                    )
                 w = did % PNG_W_MOD + PNG_W_BASE
                 h = did % PNG_H_MOD + PNG_H_BASE
                 blob = png_encode(

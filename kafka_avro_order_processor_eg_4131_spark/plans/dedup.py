@@ -46,9 +46,13 @@ from .textops import _ALPHA, _AVGLEN, _STOPRATIO, doc_fp_cached
 # and within-bucket candidate volume ~100x (~200M pairs), killing a 4g
 # single-JVM heap in the band self-joins and the persisted pair
 # relations. Rep-side relations restore ~1x occupancy no matter how
-# duplicate-dense the corpus is; the expanded relations are never
+# duplicate-dense the corpus is; the expanded PAIR relations are never
 # persisted — they stream from two equi-joins over the persisted rep
-# relations and the (id, rep) map. Oracles are untouched: they state
+# relations and the (id, rep) map (pairs go quadratic in group size on
+# a high-dup corpus, so persisting them would reintroduce the blowup).
+# The one deliberate exception is _components_expanded (round 11):
+# one row PER MEMBER, linear at any duplicate density, and consumed by
+# three plans — so it is family-cached like the rep relations. Oracles are untouched: they state
 # the raw member-grain form, and every consuming query hash-matches
 # (the gate + tests/test_round7_dedup_collapse.py's pathological-corpus
 # equivalence suite).
@@ -204,36 +208,52 @@ def _rep_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _components_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Member-grain (id, component) — lazy expansion of the rep
-    components. Groups are cliques in the raw graph (within-group
-    jaccard = 1.0 >= 0.8), so contracting each group to its rep
-    preserves connectivity exactly, and the raw min-reachable-id label
-    equals the rep-graph label because every group's minimum member IS
-    its rep. Three member populations:
+    """Member-grain (id, component) — expansion of the rep components,
+    FAMILY-CACHED (round-10 verdict item 1b: three consumers —
+    dedup_cluster_components, dedup_cluster_canonical,
+    corpus_dedup_rate_by_source — each re-ran the expansion joins).
+    Persisting is safe at any duplicate density: the relation is ONE
+    row per component member (linear in corpus size), unlike the
+    member-grain PAIR expansions which stay lazy precisely because
+    they can go quadratic in group size on a high-dup corpus.
+
+    Groups are cliques in the raw graph (within-group jaccard =
+    1.0 >= 0.8), so contracting each group to its rep preserves
+    connectivity exactly, and the raw min-reachable-id label equals
+    the rep-graph label because every group's minimum member IS its
+    rep. Three member populations:
       1. members of groups whose rep sits in a rep edge -> the rep
          component's label;
       2. members of size>=2 SHINGLED groups with no external edge ->
          their own clique, label = rep;
       3. everyone else (singletons without edges, sub-shingle-length
          groups) -> absent, exactly as in the raw graph."""
-    m = _exact_rep_cached(spark, sf_dir)
-    comp_rep = _rep_components_cached(spark, sf_dir).withColumnRenamed(
-        "id", "rep"
-    )
-    part1 = m.join(comp_rep, "rep").select("id", "component")
-    sizes = m.filter(F.col("id") == F.col("rep")).select("rep", "gsz")
-    iso = (
-        sizes.filter(F.col("gsz") >= 2)
-        .join(
-            _rep_sigs_cached(spark, sf_dir).select(F.col("id").alias("rep")),
-            "rep",
-            "left_semi",
+
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        comp_rep = _rep_components_cached(spark, sf_dir).withColumnRenamed(
+            "id", "rep"
         )
-        .join(comp_rep.select("rep"), "rep", "left_anti")
-        .select("rep")
-    )
-    part2 = m.join(iso, "rep").select("id", F.col("rep").alias("component"))
-    return part1.unionAll(part2)
+        part1 = m.join(comp_rep, "rep").select("id", "component")
+        sizes = m.filter(F.col("id") == F.col("rep")).select("rep", "gsz")
+        iso = (
+            sizes.filter(F.col("gsz") >= 2)
+            .join(
+                _rep_sigs_cached(spark, sf_dir).select(
+                    F.col("id").alias("rep")
+                ),
+                "rep",
+                "left_semi",
+            )
+            .join(comp_rep.select("rep"), "rep", "left_anti")
+            .select("rep")
+        )
+        part2 = m.join(iso, "rep").select(
+            "id", F.col("rep").alias("component")
+        )
+        return part1.unionAll(part2)
+
+    return C.family(spark, "dedup.components_expanded", sf_dir, build)
 
 
 def _rep_simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:

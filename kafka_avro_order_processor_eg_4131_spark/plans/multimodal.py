@@ -25,6 +25,28 @@ from ..operators import cache as C
 from ..operators import multimodal as M
 
 
+def _png_payload_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session family cache of the generated PNG payload relation
+    (doc_id, payload, mime, n_bytes). Two fixes in one (round-10
+    verdict item 1a + advice): the documents scan is WIDENED before the
+    compute-heavy Python encode kernel (CLAUDE.md: the single-file
+    fixture otherwise runs the whole codec on one core — the same
+    single-partition lesson as operators/dedup._widen), and the result
+    is persisted so the decode-meta and resize entries share ONE
+    generation pass instead of each regenerating every PNG. Payloads
+    are tiny (~300 B each), so the cached relation is megabytes even at
+    bench scale; at 100 TB this relation IS the lakehouse's raw image
+    column and the generator disappears — the consumers' shape is
+    unchanged."""
+    from ..operators.dedup import _widen
+
+    def build() -> DataFrame:
+        d = load(spark, sf_dir, "documents").select("doc_id")
+        return M.attach_png_payload(_widen(d))
+
+    return C.family(spark, "multimodal.png_payload", sf_dir, build)
+
+
 def _hexd(expr: str, p: int) -> str:
     """SQL: value 0-15 of the p-th (1-based) hex digit of ``expr``."""
     return f"(strpos('0123456789abcdef', substring({expr}, {p}, 1)) - 1)"
@@ -82,9 +104,10 @@ def multimodal_decode_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     formula of doc_id), so the hash match proves the encode -> parse
     round trip byte-exactly on every row; any drift in chunk layout,
     CRC, or IHDR packing fails the gate. The former sha-derived stub
-    is demoted to non-PNG payloads (pytest-covered)."""
-    d = load(spark, sf_dir, "documents")
-    return M.decode_image_meta(M.attach_png_payload(d)).select(
+    is demoted to non-PNG payloads (pytest-covered). Payloads come from
+    the shared widened family cache (_png_payload_cached) — one
+    generation pass serves this entry and the resize entry."""
+    return M.decode_image_meta(_png_payload_cached(spark, sf_dir)).select(
         "doc_id", "mime", "width", "height", "n_channels",
         "bit_depth", "color_type",
     )
@@ -168,10 +191,13 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     floor-index resample math (out[y][x] = in[y*h//16][x*w//16]), so
     the hash match proves decode + unfilter + resample byte-exactly
     per document. The digest-stream stub survives only as the non-PNG
-    fallback (pytest-covered)."""
-    d = load(spark, sf_dir, "documents")
+    fallback (pytest-covered). Payloads come from the shared widened
+    family cache (_png_payload_cached) — the generation pass is paid
+    once per session, not once per entry."""
     return M.resize_images(
-        M.attach_png_payload(d), target_w=_RESIZE_TW, target_h=_RESIZE_TH
+        _png_payload_cached(spark, sf_dir),
+        target_w=_RESIZE_TW,
+        target_h=_RESIZE_TH,
     ).drop("resized_payload")
 
 

@@ -1488,8 +1488,10 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id,
            CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                    '^\\s*[+-]?[0-9]+\\s*$')
-                THEN TRY_CAST(json_extract_string(props, '$.k') AS INT)
+                                    '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
+                THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                                             '^[\\x00-\\x20]+|[\\x00-\\x20]+$',
+                                             '', 'g') AS INT)
            END AS k_val,
            (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
     FROM p
@@ -1514,8 +1516,15 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     — Spark's string-to-int cast via UTF8String.trimAll and DuckDB's
     TRY_CAST both parse ' 7'/'\\t-3 ' (round-9 advice: the old
     integral-only regex NULLed these in the oracle while Spark parsed
-    them — a latent parity break if a fixture ever emits padding);
-    pinned in tests/test_round10_ops.py."""
+    them — a latent parity break if a fixture ever emits padding).
+    Round-11 (advice): the guard's class is the FULL [\\x00-\\x20]
+    set Spark's trimAll strips — RE2's \\s ([\\t\\n\\f\\r ]) missed
+    control-char padding like '\\x0b7'/'\\x1f7' that Spark parses to
+    7 — and because DuckDB's own TRY_CAST trim set is NARROWER than
+    trimAll (measured: it accepts \\x0b/\\x0c but NULLs \\x00/\\x1f
+    padding), the oracle strips the padding explicitly via
+    regexp_replace before casting. Pinned in
+    tests/test_round10_ops.py (control-char battery)."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")
     return e.select(

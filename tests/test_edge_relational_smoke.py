@@ -28,14 +28,33 @@ The slow test runs EVERY catalog entry; all tables exist, so nothing
 may skip — any raise is a regression to fix symmetrically in both
 engines (the round-7 discipline).
 
-TEN whole-catalog fixture classes by round 9: hostile values, empty
-tables, time edges, float edges (NaN/±Inf/-0.0), hot-key skew,
+ELEVEN whole-catalog fixture classes by round 10: hostile values,
+empty tables, time edges, float edges (NaN/±Inf/-0.0), hot-key skew,
 magnitude edges (finite beyond exact domains), TEXT edges (Unicode
 case-mapping traps, whitespace zoo, NUL, huge tokens, ZWJ/astral,
 RTL, NFC/NFD, non-ASCII digits, byte-vs-codepoint levenshtein, the
-JSON value zoo), VECTOR shapes (malformed embeddings), and SHUFFLED
+JSON value zoo), VECTOR shapes (malformed embeddings), SHUFFLED
 LAYOUT (identical data, permuted rows across many part files —
-layout-independent determinism).
+layout-independent determinism), and the COMBINED corpus (all
+composable classes merged + skewed + shuffled + empty part files).
+
+SWEEP ROSTER TRIMMED round 11 (verdict item 5 — the suite must not
+grow unboundedly as classes accumulate): the standalone SHUFFLED-
+LAYOUT and HOT-KEY-SKEW sweeps are retired because the combined
+builder literally runs their fixture builders on the merged corpus
+(build_shuffled_layout_fixture + build_skew_fixture), so their
+divergence classes are swept every run under strictly more hostile
+interaction. The EMPTY-TABLES sweep is deliberately KEPT despite the
+verdict listing it as subsumed: whole-corpus zero-row tables CANNOT
+compose into the combined fixture (zero rows contradict carrying
+hostile values — see build_combined_edge_fixture's docstring), and
+the grouping-sets-on-empty-input / NULL-printf / zero-row-finisher
+divergences it pinned in round 8 are only reachable with genuinely
+empty TABLES, not the combined corpus's empty PART FILES. It is also
+the cheapest sweep (every query runs over zero rows). The five
+value-domain single-class sweeps (time, float, magnitude, text,
+vector) stay: their pins are domain guards whose failures are easiest
+to localize class-by-class.
 """
 
 from __future__ import annotations
@@ -1194,16 +1213,11 @@ def test_whole_catalog_oracle_parity_on_combined_edges(
     assert not _parity_sweep(spark, str(d))
 
 
-@pytest.mark.slow
-def test_whole_catalog_oracle_parity_on_shuffled_layout(spark, tmp_path_factory):
-    """FULL-PARITY sweep on the shuffled many-part-file layout of
-    sf0.001 (tenth fixture class): identical DATA, hostile physical
-    layout. Green = every one of the 223 entries is deterministic
-    under row-order and file-boundary permutation — the unique-key
-    tiebreak discipline (CLAUDE.md) verified empirically, corpus-wide."""
-    d = tmp_path_factory.mktemp("shuffled_layout")
-    build_shuffled_layout_fixture("/root/testdata/sf0.001", d)
-    assert not _parity_sweep(spark, str(d))
+# RETIRED round 11 (verdict item 5): the standalone shuffled-layout
+# sweep — build_shuffled_layout_fixture stays because the COMBINED
+# fixture calls it (permuted rows, 8-way splits, plus an empty part
+# file per table), so layout-independent determinism is still swept
+# corpus-wide every run, just not twice.
 
 
 @pytest.mark.slow
@@ -1223,22 +1237,12 @@ def test_whole_catalog_oracle_parity_on_vector_edges(spark, tmp_path_factory):
     assert not _parity_sweep(spark, str(d))
 
 
-@pytest.mark.slow
-def test_whole_catalog_oracle_parity_on_hot_key_skew(spark, tmp_path_factory):
-    """FULL-PARITY sweep on a hot-key SKEWED corpus (sixth fixture
-    class, round-9 verdict item 4): 50% of events on one user, ~28.5%
-    of lineitem on one part, one order ~300x typical size (built by
-    tests/skew_fixture.py from sf0.001). Skew changes physical plans
-    (AQE skew-join splitting, salted two-stage aggregation) but must
-    never change VALUES — green here proves the salted/AQE paths are
-    exact under the key distributions they exist for."""
-    from tests.skew_fixture import build_skew_fixture
-
-    d = tmp_path_factory.mktemp("skew")
-    shares = build_skew_fixture("/root/testdata/sf0.001", str(d))
-    assert shares["events.user_id"] > 0.4
-    assert shares["lineitem.l_partkey"] > 0.2
-    assert not _parity_sweep(spark, str(d))
+# RETIRED round 11 (verdict item 5): the standalone hot-key-skew sweep
+# — build_combined_edge_fixture calls tests/skew_fixture.py's
+# build_skew_fixture on the merged corpus (and asserts the >=0.4
+# hot-user share survived composition), so the salted/AQE exactness
+# class is still swept corpus-wide every run under MORE hostile
+# conditions (skew x hostile values x shuffled layout).
 
 
 @pytest.mark.slow

@@ -86,9 +86,23 @@ class TestPngFencing:
             png_parse_ihdr(bytes(blob))
 
     def test_truncated_idat(self):
+        # ValueError specifically (round-10 advice): a truncated IDAT
+        # used to leak zlib.error past the kernels' except ValueError
         blob = png_encode(3, 2, bytes(18))
-        with pytest.raises(Exception):
+        with pytest.raises(ValueError):
             png_decode(blob[:40] + b"\x00" * 4)
+
+    def test_corrupt_idat_bytes_raise_value_error(self):
+        """Valid signature + IHDR but garbage IDAT payload: the inflate
+        failure must surface as ValueError — the documented malformed-
+        PNG contract — not zlib.error (round-10 advice)."""
+        blob = bytearray(png_encode(3, 2, bytes(18)))
+        # flip bytes inside the IDAT chunk payload (IHDR ends at 33;
+        # IDAT payload starts at 41)
+        for i in range(41, min(len(blob) - 12, 49)):
+            blob[i] ^= 0xFF
+        with pytest.raises(ValueError, match="IDAT inflate failed"):
+            png_decode(bytes(blob))
 
     def test_signature_only(self):
         with pytest.raises(ValueError):
@@ -172,3 +186,41 @@ class TestSparkPngPath:
             assert r["width"] == int(digest[:4], 16) % 1920 + 1
             assert r["height"] == int(digest[4:8], 16) % 1080 + 1
             assert r["bit_depth"] == -1 and r["color_type"] == -1
+
+    def test_corrupt_idat_payload_takes_malformed_fallback(self, spark):
+        """A PNG with valid signature/IHDR but corrupt IDAT must take
+        the documented malformed fallback in BOTH kernels — resize ->
+        (b'', ''), decode-meta -> -1 dims — instead of crashing the
+        executor task with zlib.error (round-10 advice)."""
+        from kafka_avro_order_processor_eg_4131_spark.operators import (
+            multimodal as M,
+        )
+
+        blob = bytearray(png_encode(3, 2, bytes(18)))
+        for i in range(41, min(len(blob) - 12, 49)):
+            blob[i] ^= 0xFF
+        df = spark.createDataFrame(
+            [(1, bytes(blob), "image/png", len(blob))],
+            "doc_id long, payload binary, mime string, n_bytes long",
+        )
+        r = M.resize_images(df, target_w=4, target_h=4).collect()[0]
+        assert bytes(r["resized_payload"]) == b""
+        assert r["resized_sha"] == ""
+        m = M.decode_image_meta(df).collect()[0]
+        # IHDR itself is intact, so metadata decode still succeeds —
+        # the inflate is not on the metadata path
+        assert (m["width"], m["height"]) == (3, 2)
+
+    def test_negative_doc_id_fails_loudly(self, spark):
+        """attach_png_payload's formula domain is doc_id >= 0 (Python %
+        vs SQL % diverge below zero, and did % 5 would hand png_encode
+        a negative filter type): a negative id must raise, not emit a
+        silently-diverging payload (round-10 advice)."""
+        from kafka_avro_order_processor_eg_4131_spark.operators import (
+            multimodal as M,
+        )
+
+        docs = spark.createDataFrame([(-3,)], "doc_id long")
+        # surfaces as PythonException from the worker; match the message
+        with pytest.raises(Exception, match="negative doc_id"):
+            M.attach_png_payload(docs).collect()

@@ -26,15 +26,28 @@ _PADDED_CASES = [
     " ",         # whitespace-only: NULL both sides
     "99999999999999999999",  # overflow: NULL both sides
     "half 7",    # interior text: NULL both sides
+    # round-11 (advice): control-char padding — Spark's trimAll strips
+    # ALL ASCII <= 0x20, RE2's \s is only [\t\n\f\r ], and DuckDB's own
+    # TRY_CAST trim set accepts \x0b/\x0c but NULLs \x00/\x1f padding,
+    # which is why the oracle strips the padding before casting
+    "\x0b7",     # VT: Spark parses 7; old \s guard NULLed it
+    "\x1f7",     # unit sep: Spark parses 7; DuckDB TRY_CAST alone NULLs
+    "\x007",     # NUL pad: Spark parses 7; DuckDB TRY_CAST alone NULLs
+    "7\x0c",     # trailing FF
+    "\x0e 7 \x01",  # mixed control+space padding both ends
 ]
 
-_ORACLE_REGEX = r"^\s*[+-]?[0-9]+\s*$"
+# the exact guarded-cast pair scalar_json_funcs' oracle runs (round-11:
+# [\x00-\x20] class + explicit strip before the cast — see the plan's
+# docstring for why the strip is required)
+_ORACLE_REGEX = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
+_ORACLE_STRIP = r"^[\x00-\x20]+|[\x00-\x20]+$"
 
 
 class TestPaddedNumericCast:
     def test_spark_try_cast_matches_guarded_duckdb_try_cast(self, spark):
         """For every case: Spark try_cast(string -> int) must equal the
-        oracle's regex-guarded DuckDB TRY_CAST — the exact pair of
+        oracle's regex-guarded strip-then-TRY_CAST — the exact pair of
         expressions scalar_json_funcs runs on the two sides."""
         df = spark.createDataFrame(
             [(i, s) for i, s in enumerate(_PADDED_CASES)], "i int, s string"
@@ -47,8 +60,9 @@ class TestPaddedNumericCast:
         }
         for i, s in enumerate(_PADDED_CASES):
             (ok, duck) = duckdb.execute(
-                "SELECT regexp_matches(?, ?), TRY_CAST(? AS INT)",
-                [s, _ORACLE_REGEX, s],
+                "SELECT regexp_matches(?, ?),"
+                " TRY_CAST(regexp_replace(?, ?, '', 'g') AS INT)",
+                [s, _ORACLE_REGEX, s, _ORACLE_STRIP],
             ).fetchone()
             expect = duck if ok else None
             assert got[i] == expect, (
@@ -88,12 +102,14 @@ class TestVembIdempotent:
         # second application is the identity
         assert _vemb(wrapped) == wrapped
 
-    def test_vemb_asserts_on_unfenced_direct_scan(self):
+    def test_vemb_raises_on_unfenced_direct_scan(self):
+        """ValueError, not assert (round-10 advice): the fence must
+        survive `python -O`, which compiles asserts out."""
         from kafka_avro_order_processor_eg_4131_spark.plans.similarity import (
             _vemb,
         )
 
         wrapped = _vemb("SELECT * FROM embeddings")
         hostile = f"WITH inner1 AS ({wrapped}) SELECT * FROM embeddings"
-        with pytest.raises(AssertionError):
+        with pytest.raises(ValueError, match="outside a vemb CTE"):
             _vemb(hostile)
