@@ -306,13 +306,32 @@ def pctile_sql(vs: str, q: str) -> str:
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    from .operators import cache as C
     from .shipping import ship_package
     from .sources.tables import load_table
 
     # every catalog query funnels through here — guarantees executor
     # workers can import this package before any Python UDF runs
     ship_package(spark)
-    return load_table(spark, sf_dir, name)
+    # Session-memoized LOADED RELATION (round 11): a fresh
+    # spark.read.parquet costs ~100 ms of driver time per call (file
+    # listing + footer/schema resolution) and the catalog makes
+    # hundreds of load() calls per run — reusing the resolved
+    # DataFrame object removes that fixed cost from every query after
+    # the first. This memoizes the LAZY PLAN only, never data: each
+    # consumer still gets full predicate pushdown, column pruning, and
+    # a fresh physical plan (the shared family caches in
+    # operators/cache.py are the data-level reuse and are unchanged).
+    # Self-joins of the same relation object are already the norm in
+    # this package (every family cache is one shared DataFrame) and
+    # Spark 4's relation deduplication handles them; the full oracle
+    # gate + every fixture sweep run against this path.
+    return C.memo(
+        spark,
+        f"table.{name}",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, name),
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -16,9 +16,16 @@ structural exact-dup collapse. Green = every heavy completes at the
 default heap; a kill is a structural regression to fix like the round-
 10 basket cap, never a sizing note.
 
+The combined base corpus is adversarial-fixture scale (~80 documents),
+so the default x10 leg mostly proves the mechanics; `--copies 100`
+gives the real duplicate-density stress (every doc 99 exact copies on
+top of the hostile values — intra-group pair expansions grow ~copies^2,
+the historical 4g-killer shape).
+
 Usage (from any cwd; writes only under /tmp):
 
-    python /root/repo/tests/combined_scale_sweep.py             # build + run
+    python /root/repo/tests/combined_scale_sweep.py               # x10
+    python /root/repo/tests/combined_scale_sweep.py --copies 100  # x100
     python /root/repo/tests/combined_scale_sweep.py --build-only
 """
 
@@ -31,7 +38,7 @@ import time
 from pathlib import Path
 
 OUT = "/tmp/spark_graft_combined_scale"
-N_COPIES = 10
+DEFAULT_COPIES = 10
 
 _TESTS_DIR = os.path.dirname(os.path.abspath(__file__))
 _REPO = os.path.dirname(_TESTS_DIR)
@@ -76,11 +83,11 @@ def build_base(dst: Path) -> None:
     build_combined_edge_fixture(dst)
 
 
-def build_10x(src: Path, dst: Path) -> None:
-    """Union src with (N_COPIES-1) key-shifted copies via DuckDB.
+def build_nx(src: Path, dst: Path, n_copies: int) -> None:
+    """Union src with (n_copies-1) key-shifted copies via DuckDB.
     Tables are part-file directories (the shuffled-layout shape);
     output is one parquet file per table — the layout class is already
-    exercised at 1x, this leg tests VOLUME."""
+    exercised at 1x, this leg tests VOLUME/duplicate density."""
     import duckdb
 
     dst.mkdir(parents=True, exist_ok=True)
@@ -99,7 +106,7 @@ def build_10x(src: Path, dst: Path) -> None:
             ).fetchall()
         ]
         selects = []
-        for k in range(N_COPIES):
+        for k in range(n_copies):
             proj = ", ".join(
                 f"({c} + {shifts[c] * k}) AS {c}" if c in shifts else c
                 for c in cols
@@ -115,14 +122,17 @@ def main() -> int:
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     if repo not in sys.path:
         sys.path.insert(0, repo)
+    n_copies = DEFAULT_COPIES
+    if "--copies" in sys.argv:
+        n_copies = int(sys.argv[sys.argv.index("--copies") + 1])
     base = Path(OUT) / "combined_x1"
-    big = Path(OUT) / "combined_x10"
+    big = Path(OUT) / f"combined_x{n_copies}"
     if not (base / "lineitem.parquet").exists():
         print("building combined-edge base corpus ...", flush=True)
         build_base(base)
     if not (big / "lineitem.parquet").exists():
-        print("building 10x key-shifted corpus ...", flush=True)
-        build_10x(base, big)
+        print(f"building {n_copies}x key-shifted corpus ...", flush=True)
+        build_nx(base, big, n_copies)
     if "--build-only" in sys.argv:
         return 0
 
@@ -130,7 +140,7 @@ def main() -> int:
     from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
     from kafka_avro_order_processor_eg_4131_spark.session import get_spark
 
-    spark = get_spark(app_name="combined-10x-sweep")
+    spark = get_spark(app_name=f"combined-{n_copies}x-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     heap = spark.conf.get("spark.driver.memory", "unset")
     print(f"session heap: {heap} (default — no crutch allowed)", flush=True)
@@ -145,7 +155,7 @@ def main() -> int:
             print(f"ERR {name}: {type(e).__name__}: {e}"[:300], flush=True)
         C.release_ephemeral(spark)
     C.release_all()
-    print(f"COMBINED-10x SWEEP {'FAIL' if bad else 'OK'}: "
+    print(f"COMBINED-{n_copies}x SWEEP {'FAIL' if bad else 'OK'}: "
           f"{len(HEAVY)} plans, {bad} errors, heap {heap}")
     spark.stop()
     return 1 if bad else 0
