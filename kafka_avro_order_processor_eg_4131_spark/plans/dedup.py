@@ -100,6 +100,14 @@ def _shingles_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc_shingle_novelty and the decontamination stage of
     pipeline_pretraining_batches (linear relations, never the pair
     blowup)."""
+    # NOT eager (round 11, measured): eager was tried on every family
+    # in this module after the similarity-topk broadcast finding and
+    # REVERTED — these heavy relations' first consumers materialize
+    # them through ordinary shuffle/aggregate paths (which DO fill a
+    # lazy persist), so eager only split build+consume into two jobs
+    # and cost the bench ~15 s (dedup family sum 21.3 -> 30.8 s,
+    # A/B'd on back-to-back sub-1%-steal runs). Eager stays ONLY on
+    # the tiny broadcast-consumed topk caches in plans/similarity.py.
     return C.family(
         spark,
         "dedup.shingles",

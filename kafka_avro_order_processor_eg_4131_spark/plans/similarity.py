@@ -127,7 +127,13 @@ def _brute_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = e.filter(F.col("vec_id") < _N_QUERIES)
         return S.brute_force_topk(e, queries, width=width)
 
-    return C.family(spark, "similarity.topk.brute", sf_dir, build)
+    # eager (round 11): the first consumers BROADCAST this tiny
+    # relation, and a broadcast's executeCollect does NOT populate
+    # the lazy persist — every consumer was silently re-running the
+    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
+    # reads", 0.25 s once actually cached). One count() at build
+    # time fills the cache for everyone.
+    return C.family(spark, "similarity.topk.brute", sf_dir, build, eager=True)
 
 
 @register(
@@ -182,7 +188,13 @@ def _ivf_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = e.filter(F.col("vec_id") < _N_QUERIES)
         return S.ivf_topk(e, queries, width=width)
 
-    return C.family(spark, "similarity.topk.ivf", sf_dir, build)
+    # eager (round 11): the first consumers BROADCAST this tiny
+    # relation, and a broadcast's executeCollect does NOT populate
+    # the lazy persist — every consumer was silently re-running the
+    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
+    # reads", 0.25 s once actually cached). One count() at build
+    # time fills the cache for everyone.
+    return C.family(spark, "similarity.topk.ivf", sf_dir, build, eager=True)
 
 
 @register(
@@ -329,7 +341,13 @@ def _lsh_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = e.filter(F.col("vec_id") < _N_QUERIES)
         return S.lsh_topk(e, queries, width=width)
 
-    return C.family(spark, "similarity.topk.lsh", sf_dir, build)
+    # eager (round 11): the first consumers BROADCAST this tiny
+    # relation, and a broadcast's executeCollect does NOT populate
+    # the lazy persist — every consumer was silently re-running the
+    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
+    # reads", 0.25 s once actually cached). One count() at build
+    # time fills the cache for everyone.
+    return C.family(spark, "similarity.topk.lsh", sf_dir, build, eager=True)
 
 
 @register(
@@ -985,7 +1003,13 @@ def _rrf_fusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= S.TOP_K)
         )
 
-    return C.family(spark, "similarity.topk.rrf", sf_dir, build)
+    # eager (round 11): the first consumers BROADCAST this tiny
+    # relation, and a broadcast's executeCollect does NOT populate
+    # the lazy persist — every consumer was silently re-running the
+    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
+    # reads", 0.25 s once actually cached). One count() at build
+    # time fills the cache for everyone.
+    return C.family(spark, "similarity.topk.rrf", sf_dir, build, eager=True)
 
 
 def _fusion_gain_oracle() -> str:
