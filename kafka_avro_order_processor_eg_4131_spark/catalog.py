@@ -326,6 +326,16 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # this package (every family cache is one shared DataFrame) and
     # Spark 4's relation deduplication handles them; the full oracle
     # gate + every fixture sweep run against this path.
+    #
+    # CONSTRAINT for plan authors (round-12 advice): because two
+    # load() calls for the same table now return the SAME object, a
+    # join of a table to itself written with df['col'] / F.col()
+    # attribute references on "both" sides is a literal self-join —
+    # Spark may raise AMBIGUOUS_SELF_JOIN or silently resolve both
+    # references to one side (a trivially-true condition a fresh read
+    # never produced). When joining a table to itself, either use
+    # string join keys (df.join(df2, "key")) or explicitly
+    # .alias("l")/.alias("r") the two sides and qualify every column.
     return C.memo(
         spark,
         f"table.{name}",

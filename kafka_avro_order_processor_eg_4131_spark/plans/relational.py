@@ -1488,9 +1488,9 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_id,
            CASE WHEN regexp_matches(json_extract_string(props, '$.k'),
-                                    '^[\\x00-\\x20]*[+-]?[0-9]+[\\x00-\\x20]*$')
+                                    '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$')
                 THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
-                                             '^[\\x00-\\x20]+|[\\x00-\\x20]+$',
+                                             '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$',
                                              '', 'g') AS INT)
            END AS k_val,
            (json_extract_string(props, '$.k') IS NOT NULL) AS has_k
@@ -1517,13 +1517,18 @@ def scalar_json_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     TRY_CAST both parse ' 7'/'\\t-3 ' (round-9 advice: the old
     integral-only regex NULLed these in the oracle while Spark parsed
     them — a latent parity break if a fixture ever emits padding).
-    Round-11 (advice): the guard's class is the FULL [\\x00-\\x20]
-    set Spark's trimAll strips — RE2's \\s ([\\t\\n\\f\\r ]) missed
+    Round-11 (advice): the guard admits the control-char padding
+    Spark's trimAll strips — RE2's \\s ([\\t\\n\\f\\r ]) missed
     control-char padding like '\\x0b7'/'\\x1f7' that Spark parses to
     7 — and because DuckDB's own TRY_CAST trim set is NARROWER than
     trimAll (measured: it accepts \\x0b/\\x0c but NULLs \\x00/\\x1f
     padding), the oracle strips the padding explicitly via
-    regexp_replace before casting. Pinned in
+    regexp_replace before casting. Round-12 (advice): the class is
+    [\\x00-\\x20\\x7f], not just [\\x00-\\x20] — trimAll strips
+    whitespace OR Character.isISOControl, and DEL (0x7f) is ISO
+    control above 0x20 (probe: Spark try_cast('\\x7f7') = 7). The C1
+    controls \\x85-\\x9f are multi-byte in UTF-8, outside trimAll's
+    single-byte strip, so they stay NULL on both sides. Pinned in
     tests/test_round10_ops.py (control-char battery)."""
     e = load(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k")

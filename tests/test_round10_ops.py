@@ -35,13 +35,20 @@ _PADDED_CASES = [
     "\x007",     # NUL pad: Spark parses 7; DuckDB TRY_CAST alone NULLs
     "7\x0c",     # trailing FF
     "\x0e 7 \x01",  # mixed control+space padding both ends
+    # round-12 (advice): \x7f (DEL) — Spark's trimAll strips whitespace
+    # OR Character.isISOControl bytes, and DEL (0x7f) is ISO control but
+    # NOT <= 0x20; the round-11 [\x00-\x20] class missed it (C1
+    # \x85-\x9f are multi-byte in UTF-8 and correctly NULL both sides)
+    "\x7f7",        # DEL pad: Spark parses 7
+    " \x7f 7",      # mixed DEL+space padding
+    "7\x7f",        # trailing DEL
 ]
 
-# the exact guarded-cast pair scalar_json_funcs' oracle runs (round-11:
-# [\x00-\x20] class + explicit strip before the cast — see the plan's
-# docstring for why the strip is required)
-_ORACLE_REGEX = r"^[\x00-\x20]*[+-]?[0-9]+[\x00-\x20]*$"
-_ORACLE_STRIP = r"^[\x00-\x20]+|[\x00-\x20]+$"
+# the exact guarded-cast pair scalar_json_funcs' oracle runs (round-12:
+# [\x00-\x20\x7f] class + explicit strip before the cast — see the
+# plan's docstring for why the strip is required and why \x7f is in)
+_ORACLE_REGEX = r"^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$"
+_ORACLE_STRIP = r"^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$"
 
 
 class TestPaddedNumericCast:

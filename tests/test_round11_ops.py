@@ -20,12 +20,15 @@ from kafka_avro_order_processor_eg_4131_spark.catalog import load
 from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
 
 
-def _fully_cached_names(spark) -> dict[str, tuple[int, int]]:
-    """RDD name -> (cached partitions, total partitions) for every
-    entry the JVM block manager currently tracks."""
+def _fully_cached_ids(spark) -> dict[int, tuple[int, int]]:
+    """RDD id -> (cached partitions, total partitions) for every entry
+    the JVM block manager currently tracks. Keyed by id, not name:
+    round-12 advice — the pin must prove a NEW fully-cached entry
+    appeared across the build, and ids are unique where names are not
+    (and can be null)."""
     infos = spark.sparkContext._jsc.sc().getRDDStorageInfo()
     return {
-        i.name(): (i.numCachedPartitions(), i.numPartitions()) for i in infos
+        i.id(): (i.numCachedPartitions(), i.numPartitions()) for i in infos
     }
 
 
@@ -66,24 +69,31 @@ class TestEagerTopkCaches:
             _rrf_fusion_cached,
         )
 
+        def _fully(ids):
+            return {i for i, (c_, t) in ids.items() if t > 0 and c_ == t}
+
         C.release_families(spark)
         try:
+            # round-12 advice: snapshot BEFORE the build so a leftover
+            # persisted RDD from an earlier test in the shared session
+            # (which release_families does not sweep) cannot keep this
+            # green — the assertion is on NEW fully-cached ids only.
+            before = _fully(_fully_cached_ids(spark))
             lsh = _lsh_topk_cached(spark, sf_small)
-            cached = _fully_cached_names(spark)
+            after = _fully_cached_ids(spark)
             plan_key = lsh._jdf.queryExecution().analyzed().toString()[:60]
-            fully = [n for n, (c_, t) in cached.items() if t > 0 and c_ == t]
-            assert fully, (
-                "no fully-cached RDD right after _lsh_topk_cached — the "
-                f"eager materialization regressed (storage: {cached}, "
-                f"plan: {plan_key})"
+            new_fully = _fully(after) - before
+            assert new_fully, (
+                "no NEW fully-cached RDD appeared across _lsh_topk_cached "
+                f"— the eager materialization regressed (storage: {after}, "
+                f"pre-existing: {before}, plan: {plan_key})"
             )
-            # the fused rrf relation eagerly materializes too
+            # the fused rrf relation eagerly materializes a NEW entry too
+            pre_rrf = _fully(after)
             _rrf_fusion_cached(spark, sf_small)
-            n_before = len(
-                [n for n, (c_, t) in _fully_cached_names(spark).items()
-                 if t > 0 and c_ == t]
+            assert _fully(_fully_cached_ids(spark)) - pre_rrf, (
+                "no NEW fully-cached RDD appeared across _rrf_fusion_cached"
             )
-            assert n_before >= 2
         finally:
             C.release_families(spark)
             C.release_ephemeral(spark)
