@@ -127,12 +127,15 @@ def _brute_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = e.filter(F.col("vec_id") < _N_QUERIES)
         return S.brute_force_topk(e, queries, width=width)
 
-    # eager (round 11): the first consumers BROADCAST this tiny
-    # relation, and a broadcast's executeCollect does NOT populate
-    # the lazy persist — every consumer was silently re-running the
-    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
-    # reads", 0.25 s once actually cached). One count() at build
-    # time fills the cache for everyone.
+    # eager (round 11, mechanism refined round 12): the catalog's
+    # fused consumers (ann_eval_fusion_gain's 3-branch union, whose
+    # rrf branch NESTS the lsh/ivf caches) do NOT populate these lazy
+    # persists — every consumer was silently re-running the builder
+    # (measured: lsh/rrf entries cost 1.8-2.5 s as "cache reads",
+    # 0.25 s once actually cached). A SIMPLE broadcast consumer DOES
+    # populate (pinned both ways in tests/test_round12_ops.py); the
+    # skip is specific to the nested-cache/union shape. One count()
+    # at build time fills the cache for everyone either way.
     return C.family(spark, "similarity.topk.brute", sf_dir, build, eager=True)
 
 
@@ -188,12 +191,15 @@ def _ivf_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = e.filter(F.col("vec_id") < _N_QUERIES)
         return S.ivf_topk(e, queries, width=width)
 
-    # eager (round 11): the first consumers BROADCAST this tiny
-    # relation, and a broadcast's executeCollect does NOT populate
-    # the lazy persist — every consumer was silently re-running the
-    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
-    # reads", 0.25 s once actually cached). One count() at build
-    # time fills the cache for everyone.
+    # eager (round 11, mechanism refined round 12): the catalog's
+    # fused consumers (ann_eval_fusion_gain's 3-branch union, whose
+    # rrf branch NESTS the lsh/ivf caches) do NOT populate these lazy
+    # persists — every consumer was silently re-running the builder
+    # (measured: lsh/rrf entries cost 1.8-2.5 s as "cache reads",
+    # 0.25 s once actually cached). A SIMPLE broadcast consumer DOES
+    # populate (pinned both ways in tests/test_round12_ops.py); the
+    # skip is specific to the nested-cache/union shape. One count()
+    # at build time fills the cache for everyone either way.
     return C.family(spark, "similarity.topk.ivf", sf_dir, build, eager=True)
 
 
@@ -341,12 +347,15 @@ def _lsh_topk_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
         queries = e.filter(F.col("vec_id") < _N_QUERIES)
         return S.lsh_topk(e, queries, width=width)
 
-    # eager (round 11): the first consumers BROADCAST this tiny
-    # relation, and a broadcast's executeCollect does NOT populate
-    # the lazy persist — every consumer was silently re-running the
-    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
-    # reads", 0.25 s once actually cached). One count() at build
-    # time fills the cache for everyone.
+    # eager (round 11, mechanism refined round 12): the catalog's
+    # fused consumers (ann_eval_fusion_gain's 3-branch union, whose
+    # rrf branch NESTS the lsh/ivf caches) do NOT populate these lazy
+    # persists — every consumer was silently re-running the builder
+    # (measured: lsh/rrf entries cost 1.8-2.5 s as "cache reads",
+    # 0.25 s once actually cached). A SIMPLE broadcast consumer DOES
+    # populate (pinned both ways in tests/test_round12_ops.py); the
+    # skip is specific to the nested-cache/union shape. One count()
+    # at build time fills the cache for everyone either way.
     return C.family(spark, "similarity.topk.lsh", sf_dir, build, eager=True)
 
 
@@ -1003,12 +1012,15 @@ def _rrf_fusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rank") <= S.TOP_K)
         )
 
-    # eager (round 11): the first consumers BROADCAST this tiny
-    # relation, and a broadcast's executeCollect does NOT populate
-    # the lazy persist — every consumer was silently re-running the
-    # builder (measured: lsh/rrf entries cost 1.8-2.5 s as "cache
-    # reads", 0.25 s once actually cached). One count() at build
-    # time fills the cache for everyone.
+    # eager (round 11, mechanism refined round 12): the catalog's
+    # fused consumers (ann_eval_fusion_gain's 3-branch union, whose
+    # rrf branch NESTS the lsh/ivf caches) do NOT populate these lazy
+    # persists — every consumer was silently re-running the builder
+    # (measured: lsh/rrf entries cost 1.8-2.5 s as "cache reads",
+    # 0.25 s once actually cached). A SIMPLE broadcast consumer DOES
+    # populate (pinned both ways in tests/test_round12_ops.py); the
+    # skip is specific to the nested-cache/union shape. One count()
+    # at build time fills the cache for everyone either way.
     return C.family(spark, "similarity.topk.rrf", sf_dir, build, eager=True)
 
 
