@@ -292,6 +292,49 @@ def release_all() -> int:
     return sum(_drain(b) for b in buckets) + release_families()
 
 
+def warm_concurrently(thunks) -> None:
+    """Run independent cache-filling thunks on concurrent driver threads
+    (optimization guide §2.6: Spark happily runs several jobs at once —
+    actions are only sequential because driver code calls them
+    sequentially; concurrent jobs back-fill executors idled by each
+    other's stage tails).
+
+    Round-12 use: the family registry's per-key build locks already make
+    concurrent builders of the SAME family serialize and share one
+    result, so a thunk set like "build brute/ivf/lsh/rrf topk caches"
+    is safe even when one thunk's builder consumes another's family —
+    the dependent thread simply blocks on that key's lock, then reads
+    the winner's cache. Wall-clock becomes max(chain) instead of
+    sum(builds): the round-11 verdict measured ann_eval_fusion_gain
+    absorbing all four topk builds SERIALLY (3.3 -> 7.4 s).
+
+    Threads use pyspark.InheritableThread so JVM thread-local job
+    properties propagate and are cleaned up. Exceptions are collected
+    and the first is re-raised after every thread joins (a failed warm
+    must fail the caller, not silently fall back to serial rebuild).
+    Ephemeral persists registered by a warm thread land in that
+    thread's bucket; the bucket becomes sweepable as soon as the
+    thread exits (owner-dead reclaim, round-4 advice), so nothing
+    leaks past the caller's next release_ephemeral()."""
+    from pyspark import InheritableThread
+
+    errors: list[BaseException] = []
+
+    def _run(thunk):
+        try:
+            thunk()
+        except BaseException as exc:  # noqa: BLE001 — re-raised below
+            errors.append(exc)
+
+    threads = [InheritableThread(target=_run, args=(t,)) for t in thunks]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+
+
 def retained_rdd_count(spark: SparkSession) -> int:
     """Number of RDDs the JVM CacheManager currently retains — the
     lifecycle tests assert this returns to zero after release_all()."""

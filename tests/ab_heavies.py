@@ -84,6 +84,14 @@ def _apply_variant(variant: str) -> list[str]:
         return ANN_HEAVIES
     if variant == "base_ann":
         return ANN_HEAVIES
+    if variant == "no_warm":
+        # round-12 A/B (historical): compared the concurrent near-dup
+        # three-chain warm against serial absorption. Measured EQUAL
+        # subset totals (~32.4 s median, 5 reps each) with the warm
+        # tripling corpus_dedup_rate's noise cross-section, so the warm
+        # was reverted — `no_warm` is now identical to `base`; kept so
+        # the recorded A/B command lines stay runnable.
+        return HEAVIES
     raise SystemExit(f"unknown variant {variant!r}")
 
 

@@ -260,3 +260,98 @@ class TestManySmallFilesLayout:
 
         C.release_families(spark)
         assert not _parity_sweep(spark, many_small_dir)
+
+
+class TestWarmConcurrently:
+    """Round-12 optimization pins: the concurrent cache warm
+    (operators/cache.py::warm_concurrently, guide §2.6) used by the
+    ann topk family builds."""
+
+    def test_thunks_all_run_concurrently(self):
+        import threading
+
+        seen = []
+        lock = threading.Lock()
+        # a 4-party barrier only releases if all four thunks are alive
+        # AT THE SAME TIME — pins actual concurrency, not just
+        # completion (thread idents recycle, so they can't be used)
+        barrier = threading.Barrier(4, timeout=30)
+
+        def mk(i):
+            def thunk():
+                barrier.wait()
+                with lock:
+                    seen.append(i)
+            return thunk
+
+        C.warm_concurrently([mk(i) for i in range(4)])
+        assert sorted(seen) == [0, 1, 2, 3]
+
+    def test_first_exception_propagates(self):
+        ran = []
+
+        def ok():
+            ran.append("ok")
+
+        def boom():
+            raise ValueError("warm failed")
+
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="warm failed"):
+            C.warm_concurrently([ok, boom, ok])
+        # the failing thunk must not cancel the others (join-all first)
+        assert ran == ["ok", "ok"]
+
+    def test_fusion_gain_fn_fills_all_four_topk_caches(
+        self, spark, sf_small
+    ):
+        """Constructing ann_eval_fusion_gain's plan (fn only, no
+        action) must leave the four eager topk family caches FULLY
+        materialized — the round-12 concurrent warm runs at fn time.
+        Precision per round-12 advice: snapshot storage ids before and
+        assert on the delta of fully-cached entries (>= 5: embeddings
+        + brute/ivf/lsh/rrf)."""
+        from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+
+        C.release_families(spark)
+        try:
+            before = _fully(_storage_ids(spark))
+            REGISTRY["ann_eval_fusion_gain"].fn(spark, sf_small)
+            new_fully = _fully(_storage_ids(spark)) - before
+            assert len(new_fully) >= 5, (
+                f"expected >=5 newly materialized caches (embeddings + 4 "
+                f"topk), got {len(new_fully)} — the fn-time concurrent "
+                "warm regressed"
+            )
+        finally:
+            C.release_families(spark)
+            C.release_ephemeral(spark)
+
+    def test_concurrent_same_family_builders_share_one_build(self, spark):
+        """Two warm threads racing the SAME family key serialize on the
+        per-key build lock and share one persisted result (the property
+        that makes warm thunks safe to overlap with dependent builds)."""
+        import threading
+
+        calls = []
+        lock = threading.Lock()
+
+        def builder():
+            with lock:
+                calls.append(1)
+            return spark.range(10)
+
+        key = "r12.warm.same-key-probe"
+        out = []
+        C.warm_concurrently(
+            [
+                lambda: out.append(C.family(spark, key, "/x", builder)),
+                lambda: out.append(C.family(spark, key, "/x", builder)),
+            ]
+        )
+        try:
+            assert len(calls) == 1, "same-key builders must not race"
+            assert out[0] is out[1]
+        finally:
+            C.release_families(spark)
