@@ -353,6 +353,45 @@ def main() -> None:
         32, "h"
     ).count()
 
+    # string-normalization operator class (round 12, same policy):
+    # regexp_replace/split + translate/replace casefold + trim + md5
+    # over strings is the fingerprint/tokenizer hot path shared by the
+    # text/dedup families — measured 2.04 s on first touch vs 0.39 s
+    # once the expression class is JIT-warm (plan-shape-independent:
+    # the warm transfers through expression-level JIT, not the codegen
+    # class cache). Synthetic strings, so no catalog data or result is
+    # precomputed.
+    s = F.concat(
+        F.col("id").cast("string"), F.lit("  The\tQuick  ΣΟΦΙΑ brown fox ")
+    )
+    spark.range(50_000).select(
+        F.md5(
+            F.replace(
+                F.translate(
+                    F.lower(F.trim(F.regexp_replace(s, r"\s+", " "))),
+                    "ς",
+                    "σ",
+                ),
+                F.lit("i̇"),
+                F.lit("i"),
+            )
+        ).alias("h"),
+        F.array_remove(F.split(F.trim(s), r"\s+"), "").alias("toks"),
+    ).select(F.count_distinct("h"), F.sum(F.size("toks"))).collect()
+
+    # UDTF eval path (BatchEvalPythonUDTF): a one-row identity UDTF
+    # warms the Python UDTF worker protocol the same way the pandas-UDF
+    # warm above covers ArrowEvalPython — otherwise the session cost
+    # lands on the first (only) UDTF catalog entry
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="v bigint")
+    class _WarmUdtf:
+        def eval(self, v: int):
+            yield (v,)
+
+    _WarmUdtf(F.lit(1)).collect()
+
     from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
 
     timings: dict[str, float] = {}
