@@ -58,6 +58,26 @@ from .textops import _ALPHA, _AVGLEN, _STOPRATIO, doc_fp_cached
 # equivalence suite).
 
 
+def _plan_memo(spark: SparkSession, name: str, sf_dir: str, builder):
+    """Session-memoized consumer PLAN (round 13, guide §7.3: planning
+    time itself is a bottleneck on deep lineage). The lazily-expanded
+    pair relations below are deliberately never persisted (the round-7
+    quadratic-blowup rule), but their *DataFrame objects* are pure plan
+    — rebuilding one costs ~0.3-1.5 s of py4j chatter + eager analysis
+    over the three-chain lineage, paid again by EVERY consumer entry
+    (dedup_family_agreement alone re-built three of them). Memoizing
+    the built plan per (session, sf_dir) removes that fixed cost while
+    changing nothing about execution: same object => same logical plan
+    => same physical plan, the identical reuse contract as catalog.load
+    (round 11). Invalidation is coupled to release_families via the
+    shared memo registry, so a released family cache can never leak
+    through a stale consumer plan. No ephemeral persist may be
+    registered inside ``builder`` (the release_ephemeral sweep would
+    strip a load-bearing persist out of a long-lived memoized plan) —
+    all six memoized helpers are pure join/union compositions."""
+    return C.memo(spark, f"plan.{name}", sf_dir, builder)
+
+
 def _exact_rep_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(id, rep, gsz): every document's exact-duplicate-group
     representative (rep = MIN(doc_id) over the normalized-text
@@ -141,12 +161,17 @@ def _sigs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc MinHash signature relation at MEMBER grain — lazy
     expansion of the rep signatures through the (id, rep) map
     (bit-identical: equal normalized text => equal shingle set => equal
-    per-hash minima). Feeds the estimator-accuracy audit."""
-    m = _exact_rep_cached(spark, sf_dir)
-    rs = _rep_sigs_cached(spark, sf_dir).withColumnRenamed("id", "rep")
-    return m.join(rs, "rep").select(
-        "id", *[f"sig{h}" for h in range(D.NUM_HASHES)]
-    )
+    per-hash minima). Feeds the estimator-accuracy audit. Plan
+    memoized (_plan_memo)."""
+
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        rs = _rep_sigs_cached(spark, sf_dir).withColumnRenamed("id", "rep")
+        return m.join(rs, "rep").select(
+            "id", *[f"sig{h}" for h in range(D.NUM_HASHES)]
+        )
+
+    return _plan_memo(spark, "dedup.sigs_expanded", sf_dir, build)
 
 
 def _rep_cands_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -164,11 +189,16 @@ def _candidates_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-grain LSH candidate pairs — lazy expansion: cross pairs
     of every rep candidate's two groups, plus all within-group pairs of
     shingled groups (equal signatures collide in every band). Equals
-    the raw all-doc band join bit-for-bit; never persisted."""
-    m = _exact_rep_cached(spark, sf_dir)
-    inter = D.expand_rep_pairs(m, _rep_cands_cached(spark, sf_dir), [])
-    intra = D.intra_group_pairs(m, _rep_sigs_cached(spark, sf_dir))
-    return inter.unionAll(intra)
+    the raw all-doc band join bit-for-bit; never persisted (the PLAN is
+    memoized — _plan_memo)."""
+
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        inter = D.expand_rep_pairs(m, _rep_cands_cached(spark, sf_dir), [])
+        intra = D.intra_group_pairs(m, _rep_sigs_cached(spark, sf_dir))
+        return inter.unionAll(intra)
+
+    return _plan_memo(spark, "dedup.candidates_expanded", sf_dir, build)
 
 
 def _rep_jaccard_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -191,15 +221,20 @@ def _jaccard_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     intersection/union integers => identical double). Within-group
     pairs score n/(n+n-n) = n/n, which is EXACTLY 1.0 in IEEE for any
     finite nonzero n — the literal is bit-identical to the raw
-    computation."""
-    m = _exact_rep_cached(spark, sf_dir)
-    inter = D.expand_rep_pairs(
-        m, _rep_jaccard_cached(spark, sf_dir), ["jaccard"]
-    )
-    intra = D.intra_group_pairs(m, _rep_sigs_cached(spark, sf_dir)).select(
-        "id1", "id2", F.lit(1.0).alias("jaccard")
-    )
-    return inter.unionAll(intra)
+    computation. Plan memoized (_plan_memo): four consumer entries
+    re-built this identical plan per touch."""
+
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        inter = D.expand_rep_pairs(
+            m, _rep_jaccard_cached(spark, sf_dir), ["jaccard"]
+        )
+        intra = D.intra_group_pairs(m, _rep_sigs_cached(spark, sf_dir)).select(
+            "id1", "id2", F.lit(1.0).alias("jaccard")
+        )
+        return inter.unionAll(intra)
+
+    return _plan_memo(spark, "dedup.jaccard_expanded", sf_dir, build)
 
 
 def _rep_components_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -278,10 +313,15 @@ def _rep_simhash_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _simhash_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Member-grain (id, simhash) — lazy expansion (equal token
     multisets => equal votes => equal signature). Empty-token groups
-    produce no rep signature and stay absent, as in the raw build."""
-    m = _exact_rep_cached(spark, sf_dir)
-    rs = _rep_simhash_cached(spark, sf_dir).withColumnRenamed("id", "rep")
-    return m.join(rs, "rep").select("id", "simhash")
+    produce no rep signature and stay absent, as in the raw build.
+    Plan memoized (_plan_memo)."""
+
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        rs = _rep_simhash_cached(spark, sf_dir).withColumnRenamed("id", "rep")
+        return m.join(rs, "rep").select("id", "simhash")
+
+    return _plan_memo(spark, "dedup.simhash_expanded", sf_dir, build)
 
 
 def _rep_simhash_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -300,15 +340,19 @@ def _simhash_pairs_expanded(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefilter is COMPLETE for hamming < 4 (pigeonhole), so the raw
     output is exactly {pairs with hamming <= 3}: cross pairs inherit
     the rep hamming, within-group pairs (of token-bearing groups) have
-    hamming 0."""
-    m = _exact_rep_cached(spark, sf_dir)
-    inter = D.expand_rep_pairs(
-        m, _rep_simhash_pairs_cached(spark, sf_dir), ["hamming"]
-    )
-    intra = D.intra_group_pairs(
-        m, _rep_simhash_cached(spark, sf_dir)
-    ).select("id1", "id2", F.lit(0).cast("int").alias("hamming"))
-    return inter.unionAll(intra)
+    hamming 0. Plan memoized (_plan_memo)."""
+
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        inter = D.expand_rep_pairs(
+            m, _rep_simhash_pairs_cached(spark, sf_dir), ["hamming"]
+        )
+        intra = D.intra_group_pairs(
+            m, _rep_simhash_cached(spark, sf_dir)
+        ).select("id1", "id2", F.lit(0).cast("int").alias("hamming"))
+        return inter.unionAll(intra)
+
+    return _plan_memo(spark, "dedup.simhash_pairs_expanded", sf_dir, build)
 
 # shared SQL fragments --------------------------------------------------------
 
@@ -867,30 +911,34 @@ def _embedding_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal: nrm*nrm re-rounds sqrt(d)^2, so d/(nrm*nrm) can sit an ulp
     off 1.0) — filtered at the same threshold. The registered pairs
     query, semdedup, and the cross-detector agreement audit consume
-    this; nothing quadratic is persisted."""
+    this; nothing quadratic is persisted. Plan memoized (_plan_memo):
+    three consumer entries re-built this identical plan per touch."""
     from ..functions.vectors import dot
 
-    m = _exact_rep_cached(spark, sf_dir)
-    inter = D.expand_rep_pairs(
-        m, _rep_embedding_pairs_cached(spark, sf_dir), ["cos"]
-    )
-    self_cos = _rep_doc_vectors_cached(spark, sf_dir).select(
-        F.col("doc_id").alias("id"),
-        (dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm"))).alias(
-            "self_cos"
-        ),
-    ).filter(F.col("self_cos") >= _COS_THRESHOLD)
-    intra = (
-        D.intra_group_pairs(m, self_cos)
-        .join(
-            m.select(F.col("id").alias("id1"), "rep").join(
-                self_cos.select(F.col("id").alias("rep"), "self_cos"), "rep"
-            ),
-            "id1",
+    def build() -> DataFrame:
+        m = _exact_rep_cached(spark, sf_dir)
+        inter = D.expand_rep_pairs(
+            m, _rep_embedding_pairs_cached(spark, sf_dir), ["cos"]
         )
-        .select("id1", "id2", F.col("self_cos").alias("cos"))
-    )
-    return inter.unionAll(intra)
+        self_cos = _rep_doc_vectors_cached(spark, sf_dir).select(
+            F.col("doc_id").alias("id"),
+            (dot(F.col("vec"), F.col("vec")) / (F.col("nrm") * F.col("nrm"))).alias(
+                "self_cos"
+            ),
+        ).filter(F.col("self_cos") >= _COS_THRESHOLD)
+        intra = (
+            D.intra_group_pairs(m, self_cos)
+            .join(
+                m.select(F.col("id").alias("id1"), "rep").join(
+                    self_cos.select(F.col("id").alias("rep"), "self_cos"), "rep"
+                ),
+                "id1",
+            )
+            .select("id1", "id2", F.col("self_cos").alias("cos"))
+        )
+        return inter.unionAll(intra)
+
+    return _plan_memo(spark, "dedup.embedding_pairs_expanded", sf_dir, build)
 
 
 _SEMDEDUP_CELLS = 16
