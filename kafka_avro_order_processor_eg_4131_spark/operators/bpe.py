@@ -66,32 +66,71 @@ def pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
+_TOP_SCHEMA = "rnd int, lhs string, rhs string, pair_count bigint"
+
+
+def _top_literal(spark, rnd: int, lhs: str, rhs: str, pair_count: int) -> DataFrame:
+    """One collected argmax row as a JVM-side literal relation.
+    range(1)+lit instead of createDataFrame: the parallelize path costs
+    ~0.7 s per cold count for a 3-leg union (Python serialization + one
+    RDD-scan job per leg — measured round 13); a projected range(1) is
+    a constant-folded local scan."""
+    return spark.range(0, 1, 1, 1).select(
+        F.lit(rnd).cast("int").alias("rnd"),
+        F.lit(lhs).alias("lhs"),
+        F.lit(rhs).alias("rhs"),
+        F.lit(pair_count).cast("bigint").alias("pair_count"),
+    )
+
+
 def _train(vocab: DataFrame, rounds: int) -> tuple[list[DataFrame], DataFrame]:
     """The shared training loop: per round one pair-count aggregate,
     one TakeOrdered(1) argmax with a full deterministic tie-break
-    (count desc, lhs, rhs), one broadcast merge application. Each
-    round's vocabulary is localCheckpoint-ed (iterative-lineage
-    discipline, the kmeans / components pattern). Returns the per-round
-    1-row argmax relations and the final merged vocabulary."""
+    (count desc, lhs, rhs), one merge application over the checkpointed
+    vocabulary. Each round's vocabulary is localCheckpoint-ed
+    (iterative-lineage discipline, the kmeans / components pattern).
+    Returns the per-round 1-row argmax relations and the final merged
+    vocabulary.
+
+    Round 13 (optimization guide §2/§5 — fewer driver actions, no
+    re-execution): the argmax is COLLECTED once per round (one row) and
+    applied as literals, instead of riding a broadcast crossJoin whose
+    lazy ``top`` plan made every later consumer of the tops RE-RUN that
+    round's full pair-count aggregate (merges_table re-executed all
+    ``rounds`` aggregates at action time). The returned tops are now
+    1-row LOCAL relations — same rows, same schema, zero recompute —
+    and the per-round checkpoint job is a pure narrow map (no broadcast
+    build stage). The argmax value itself is computed by the identical
+    TakeOrdered plan with the identical tie-break, so the learned
+    merges are bit-for-bit unchanged (oracle-pinned end to end)."""
+    spark = vocab.sparkSession
     tops = []
     for rnd in range(1, rounds + 1):
-        top = (
+        top_rows = (
             pair_counts(vocab)
             .orderBy(F.col("pair_count").desc(), "lhs", "rhs")
             .limit(1)
+            .collect()
         )
-        tops.append(top.select(F.lit(rnd).cast("int").alias("rnd"), "*"))
-        vocab = (
-            vocab.crossJoin(F.broadcast(top))
-            .select(
+        if top_rows:
+            r = top_rows[0]
+            tops.append(
+                _top_literal(spark, rnd, r["lhs"], r["rhs"], r["pair_count"])
+            )
+            vocab = vocab.select(
                 "w",
                 "cnt",
-                apply_merge(F.col("seq"), F.col("lhs"), F.col("rhs")).alias(
-                    "seq"
-                ),
-            )
-            .localCheckpoint(eager=True)
-        )
+                apply_merge(
+                    F.col("seq"), F.lit(r["lhs"]), F.lit(r["rhs"])
+                ).alias("seq"),
+            ).localCheckpoint(eager=True)
+        else:
+            # no adjacent pair anywhere (every word is a single symbol):
+            # the previous broadcast-crossJoin formulation emptied the
+            # vocabulary against the empty argmax — preserve that exact
+            # semantic so degenerate corpora keep their pinned shape
+            tops.append(spark.createDataFrame([], _TOP_SCHEMA))
+            vocab = vocab.limit(0).localCheckpoint(eager=True)
     return tops, vocab
 
 
