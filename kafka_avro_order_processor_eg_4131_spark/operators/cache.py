@@ -181,6 +181,16 @@ def memo(spark: SparkSession, name: str, sf_dir: str, builder: Callable[[], obje
     )
 
 
+def is_cached(spark: SparkSession, name: str, sf_dir: str) -> bool:
+    """True when the family registry already holds ``name`` for this
+    (session, sf_dir) — lets a warm orchestrator skip spawning threads
+    whose thunks would be immediate cache hits (round-12 advice:
+    _rrf_fusion_cached spawned two InheritableThreads per build even on
+    the common already-warm path)."""
+    with _LOCK:
+        return (_session_key(spark), name, sf_dir) in _FAMILY
+
+
 def ephemeral(df: DataFrame) -> DataFrame:
     """Persist ``df`` and register it for the next ``release_ephemeral``
     sweep FROM THE SAME (session, thread). The caller (or its consumer)
@@ -331,8 +341,14 @@ def warm_concurrently(thunks) -> None:
         t.start()
     for t in threads:
         t.join()
-    if errors:
+    if len(errors) == 1:
         raise errors[0]
+    if errors:
+        # multiple thunks failed: surface EVERY diagnostic instead of
+        # silently dropping all but the first (round-12 advice)
+        raise BaseExceptionGroup(
+            f"{len(errors)} of {len(threads)} concurrent warms failed", errors
+        )
 
 
 def retained_rdd_count(spark: SparkSession) -> int:

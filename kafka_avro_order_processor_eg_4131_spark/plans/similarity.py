@@ -982,15 +982,21 @@ def _rrf_fusion_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     def build() -> DataFrame:
         # round 12 (guide §2.6): when rrf is the FIRST topk toucher the
         # lsh and ivf eager builds are independent — warm them on two
-        # concurrent threads instead of paying them back-to-back (no-op
-        # when already cached; in bench order fusion_gain's warm call
-        # has usually filled both before this runs)
-        C.warm_concurrently(
-            [
-                lambda: _lsh_topk_cached(spark, sf_dir),
-                lambda: _ivf_topk_cached(spark, sf_dir),
-            ]
-        )
+        # concurrent threads instead of paying them back-to-back. The
+        # spawn is skipped when both families are already registered
+        # (the common bench path: fusion_gain's warm call filled them)
+        # so the warm costs zero thread churn when there is nothing to
+        # warm (round-12 advice).
+        if not (
+            C.is_cached(spark, "similarity.topk.lsh", sf_dir)
+            and C.is_cached(spark, "similarity.topk.ivf", sf_dir)
+        ):
+            C.warm_concurrently(
+                [
+                    lambda: _lsh_topk_cached(spark, sf_dir),
+                    lambda: _ivf_topk_cached(spark, sf_dir),
+                ]
+            )
         lsh = _lsh_topk_cached(spark, sf_dir).select(
             "query_id", "neighbor_id", F.col("rank").alias("r1")
         )
