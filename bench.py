@@ -12,6 +12,13 @@ file.
 Each query is timed end-to-end including the action that materializes
 it (count of the result — forces full execution without driver-side
 collect of wide rows).
+
+Round-13 additions (both DETAIL-FILE ONLY; the stdout line, the
+catalog total, and the `queries` map are untouched): ``warm_sec``
+audits the total untimed warm-up wall time, and ``heavy10x`` is a
+timed 10x-volume leg over the ~10 data-heavy entries (see
+bench_heavy_10x) so real data-compute deltas are measurable above the
+sf0.1 machinery floor.
 """
 
 from __future__ import annotations
@@ -251,6 +258,75 @@ def bench_streaming(
         shutil.rmtree(work, ignore_errors=True)
 
 
+def bench_heavy_10x(spark, sf_dir: str, budget_sec: float) -> dict:
+    """Timed 10x-volume leg over the ~10 data-heavy entries (round-12
+    verdict item 2b): at the driver's sf0.1 the bench is ~3/4
+    scale-independent per-entry machinery, so real data-compute
+    optimizations drown in the noise floor — this leg times the same
+    heavy entries over a 10x key-shifted-copy dir (the long-standing
+    materialization-sweep fixture: cross-copy documents are exact
+    near-dups by construction, a deliberately harsher dedup workload
+    than a true larger corpus). DETAIL-FILE ONLY — nothing here touches
+    the stdout line, the catalog total, or the `queries` map the driver
+    diffs round-over-round.
+
+    The 10x dir is derived INPUT data (deterministic function of the
+    source parquet), built under /tmp when missing and reused across
+    runs like the testdata itself; every timed query still computes
+    from parquet inputs within this run — no result or intermediate is
+    carried across runs (family caches are released before and after
+    the leg). ``budget_sec`` bounds the leg's wall clock: entries past
+    the budget are SKIPPED and listed in the returned dict (no silent
+    caps — guide §1); budget 0 disables the leg entirely."""
+    import shutil
+
+    from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
+    from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
+    from tests.scale_rehearsal import HEAVY, build
+
+    out: dict = {"copies": 10, "budget_sec": budget_sec}
+    base = os.path.basename(sf_dir.rstrip("/"))
+    ten_dir = os.path.join("/tmp/spark_graft_scale", f"x10_{base}")
+    t0 = time.perf_counter()
+    if not os.path.exists(os.path.join(ten_dir, "lineitem.parquet")):
+        try:
+            build(10, ten_dir, src=sf_dir)
+        except Exception as exc:
+            shutil.rmtree(ten_dir, ignore_errors=True)
+            out["error"] = f"build failed: {exc}"
+            return out
+        out["built"] = True
+    out["build_or_probe_sec"] = round(time.perf_counter() - t0, 2)
+
+    C.release_families(spark)  # leg starts cold, like every run before it
+    timings: dict[str, float] = {}
+    skipped: list[str] = []
+    c0 = _cpu_snap()
+    t_leg = time.perf_counter()
+    for name in HEAVY:
+        if time.perf_counter() - t_leg > budget_sec:
+            skipped.append(name)
+            continue
+        q0 = time.perf_counter()
+        try:
+            REGISTRY[name].fn(spark, ten_dir).count()
+            timings[name] = round(time.perf_counter() - q0, 4)
+        except Exception as exc:
+            timings[name] = -1.0
+            print(f"BENCH ERROR 10x {name}: {exc}", file=sys.stderr)
+        finally:
+            C.release_ephemeral()
+    out["total_sec"] = round(time.perf_counter() - t_leg, 4)
+    att = _cpu_attrib(c0, _cpu_snap())
+    if att:
+        out["steal_pct"] = att.get("steal_pct")
+    out["queries"] = timings
+    if skipped:
+        out["skipped_over_budget"] = skipped
+    C.release_families(spark)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     repo_root = os.path.dirname(os.path.abspath(__file__))
@@ -261,6 +337,12 @@ def main() -> None:
     from kafka_avro_order_processor_eg_4131_spark.session import get_spark
 
     spark = get_spark(app_name="engine-bench")
+
+    # total untimed warm-up wall time is reported as ``warm_sec`` in
+    # BENCH_DETAIL.json (round-12 verdict item 2a: five warm-up blocks
+    # precede the timed region and their cost was invisible, so the
+    # harness's untimed share grew unaudited round over round)
+    t_warm0 = time.perf_counter()
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # queries, not session bootstrap
@@ -392,6 +474,8 @@ def main() -> None:
 
     _WarmUdtf(F.lit(1)).collect()
 
+    warm_sec = round(time.perf_counter() - t_warm0, 4)
+
     from kafka_avro_order_processor_eg_4131_spark.operators import cache as C
 
     timings: dict[str, float] = {}
@@ -425,6 +509,18 @@ def main() -> None:
         print(f"BENCH ERROR streaming: {exc}", file=sys.stderr)
         stream_rps, stream_rows, stream_lat, stream_steals = None, 0, {}, []
 
+    # timed 10x heavy leg, detail-only (round-12 verdict item 2b). Never
+    # allowed to break the primary metrics: errors are recorded, not
+    # raised. SPARK_GRAFT_10X_BUDGET=0 disables it.
+    try:
+        ten_budget = float(os.environ.get("SPARK_GRAFT_10X_BUDGET", "300"))
+        heavy10x = (
+            bench_heavy_10x(spark, sf_dir, ten_budget) if ten_budget > 0 else None
+        )
+    except Exception as exc:
+        print(f"BENCH ERROR heavy10x: {exc}", file=sys.stderr)
+        heavy10x = {"error": str(exc)}
+
     sf_raw = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf = float(sf_raw) if sf_raw.replace(".", "").isdigit() else sf_raw
     detail = {
@@ -438,6 +534,8 @@ def main() -> None:
         "streaming_batch_ms": stream_lat,
         "streaming_rep_steal_pct": stream_steals,
         "cpu_attrib": cpu_attrib,
+        "warm_sec": warm_sec,
+        "heavy10x": heavy10x,
         "wall_clock_utc": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
     }
     detail_json = json.dumps(detail, indent=1, sort_keys=True)

@@ -64,19 +64,19 @@ HEAVY = [
 ]
 
 
-def build(n_copies: int, out_dir: str) -> None:
-    """Union SRC with (n_copies-1) key-shifted copies via DuckDB."""
+def build(n_copies: int, out_dir: str, src: str = SRC) -> None:
+    """Union ``src`` with (n_copies-1) key-shifted copies via DuckDB."""
     import duckdb
 
     os.makedirs(out_dir, exist_ok=True)
     con = duckdb.connect()
     for t in ("region", "nation"):
-        shutil.copy(f"{SRC}/{t}.parquet", f"{out_dir}/{t}.parquet")
+        shutil.copy(f"{src}/{t}.parquet", f"{out_dir}/{t}.parquet")
     for t, shifts in SHIFTS.items():
         cols = [
             r[0]
             for r in con.execute(
-                f"DESCRIBE SELECT * FROM read_parquet('{SRC}/{t}.parquet')"
+                f"DESCRIBE SELECT * FROM read_parquet('{src}/{t}.parquet')"
             ).fetchall()
         ]
         selects = []
@@ -85,7 +85,7 @@ def build(n_copies: int, out_dir: str) -> None:
                 f"({c} + {shifts[c] * k}) AS {c}" if c in shifts else c
                 for c in cols
             )
-            selects.append(f"SELECT {proj} FROM read_parquet('{SRC}/{t}.parquet')")
+            selects.append(f"SELECT {proj} FROM read_parquet('{src}/{t}.parquet')")
         union = " UNION ALL ".join(selects)
         con.execute(f"COPY ({union}) TO '{out_dir}/{t}.parquet' (FORMAT PARQUET)")
 
