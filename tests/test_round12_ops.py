@@ -82,12 +82,15 @@ class TestBroadcastCacheRuleInverseProbes:
         from kafka_avro_order_processor_eg_4131_spark.catalog import REGISTRY
 
         orig = CM.family
-        monkeypatch.setattr(
-            CM, "family",
-            lambda spark_, key, sf_dir, builder, eager=False: orig(
-                spark_, key, sf_dir, builder, eager=False
-            ),
-        )
+
+        def lazy_family(*args, **kwargs):
+            # only override eager; forward everything else so a future
+            # family() parameter fails loudly instead of being swallowed
+            # (round-12 advice)
+            kwargs["eager"] = False
+            return orig(*args, **kwargs)
+
+        monkeypatch.setattr(CM, "family", lazy_family)
         C.release_families(spark)
         try:
             REGISTRY["ann_eval_fusion_gain"].fn(spark, sf_small).count()
